@@ -1,0 +1,156 @@
+"""Single-process NumPy oracles for the graph operators (SURVEY.md §5).
+
+Used only by tests and fixture generation — never in the distributed path.
+``pagerank`` reproduces the reference CPU power iteration's observable
+semantics step for step (backend/cuda/pagerank_gpu.cu:137-191): dangling
+mass measured on the in-vector each sweep, update
+``r' = α·(P·r + dangling_mass/n) + (1-α)/n``, L1 stopping rule checked
+*after* the sweep, and a final sum-normalize.
+
+The CC / LP / triangle oracles define the deterministic semantics the
+distributed implementations must match exactly (BASELINE.json north_rule);
+the reference has no such operators, so the spec here is the contract.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def n_from_edges(edges: np.ndarray) -> int:
+    """Vertex-count convention of the reference loader: ``max_id + 1``
+    (backend/cuda/pagerank_gpu.cu:65)."""
+    if len(edges) == 0:
+        return 0
+    return int(edges.max()) + 1
+
+
+def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
+             tol: float = 1e-8, max_iter: int = 100):
+    """Power iteration with dangling redistribution; returns (ranks, sweeps,
+    residual).  Semantics of backend/cuda/pagerank_gpu.cu:137-191."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0), 0, 0.0
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = outdeg == 0
+    live = outdeg[src] > 0           # always true for src, but mirrors build_P
+    src, dst = src[live], dst[live]
+    inv_out = np.zeros(n)
+    nz = outdeg > 0
+    inv_out[nz] = 1.0 / outdeg[nz]
+
+    r = np.full(n, 1.0 / n)
+    teleport = (1.0 - alpha) / n
+    sweeps, delta = 0, np.inf
+    for it in range(max_iter):
+        dangling_mass = r[dangling].sum()
+        contrib = r[src] * inv_out[src]
+        y = np.bincount(dst, weights=contrib, minlength=n)
+        r_new = alpha * (y + dangling_mass / n) + teleport
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        sweeps = it + 1
+        if delta < tol:
+            break
+    total = r.sum()
+    if total > 0:
+        r = r / total
+    return r, sweeps, float(delta)
+
+
+def undirected_adj(edges: np.ndarray, n: int) -> list[set[int]]:
+    adj: list[set[int]] = [set() for _ in range(n)]
+    for u, v in edges:
+        if u != v:
+            adj[int(u)].add(int(v))
+            adj[int(v)].add(int(u))
+    return adj
+
+
+def connected_components(edges: np.ndarray, n: int | None = None) -> np.ndarray:
+    """Iterative min-label propagation on the undirected view until no
+    change; label(v) converges to min vid of v's component (exact)."""
+    if n is None:
+        n = n_from_edges(edges)
+    labels = np.arange(n, dtype=np.int64)
+    if len(edges) == 0:
+        return labels
+    u = edges[:, 0].astype(np.int64)
+    v = edges[:, 1].astype(np.int64)
+    while True:
+        new = labels.copy()
+        # neighbor minimum along both directions
+        np.minimum.at(new, v, labels[u])
+        np.minimum.at(new, u, labels[v])
+        if np.array_equal(new, labels):
+            return labels
+        labels = new
+
+
+def label_propagation(edges: np.ndarray, n: int | None = None,
+                      max_iter: int = 10) -> np.ndarray:
+    """Synchronous label propagation, deterministic.
+
+    Contract (north_rule "label propagation community detection", exact):
+    labels init to vid; each sweep every vertex adopts the most frequent
+    label among its undirected neighbors' *previous* labels, ties broken by
+    the minimum label; isolated vertices keep their label; stop at
+    fixpoint or after ``max_iter`` sweeps.
+    """
+    if n is None:
+        n = n_from_edges(edges)
+    labels = np.arange(n, dtype=np.int64)
+    adj = undirected_adj(edges, n)
+    for _ in range(max_iter):
+        new = labels.copy()
+        for v in range(n):
+            if not adj[v]:
+                continue
+            counts: dict[int, int] = {}
+            for w in adj[v]:
+                lab = int(labels[w])
+                counts[lab] = counts.get(lab, 0) + 1
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        if np.array_equal(new, labels):
+            break
+        labels = new
+    return labels
+
+
+def triangle_counts(edges: np.ndarray, n: int | None = None) -> np.ndarray:
+    """Exact per-vertex triangle counts on the undirected simple graph
+    (self-loops and duplicate/reciprocal edges collapse to one edge)."""
+    if n is None:
+        n = n_from_edges(edges)
+    counts = np.zeros(n, dtype=np.int64)
+    und = set()
+    for u, v in edges:
+        u, v = int(u), int(v)
+        if u == v:
+            continue
+        und.add((min(u, v), max(u, v)))
+    deg = np.zeros(n, dtype=np.int64)
+    for u, v in und:
+        deg[u] += 1
+        deg[v] += 1
+    # orient low (deg, id) → high (deg, id); N+ bounded by O(sqrt(m))
+    fwd: list[list[int]] = [[] for _ in range(n)]
+    for u, v in und:
+        a, b = (u, v) if (deg[u], u) < (deg[v], v) else (v, u)
+        fwd[a].append(b)
+    und_set = und
+    for a in range(n):
+        nb = sorted(fwd[a], key=lambda x: (deg[x], x))
+        for i in range(len(nb)):
+            for j in range(i + 1, len(nb)):
+                b, c = nb[i], nb[j]
+                if (min(b, c), max(b, c)) in und_set:
+                    counts[a] += 1
+                    counts[b] += 1
+                    counts[c] += 1
+    return counts
