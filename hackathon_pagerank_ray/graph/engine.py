@@ -1,0 +1,271 @@
+"""Driver-side orchestration of the sharded iterative graph engine.
+
+``ShardedGraph.build`` turns an edge ``ray.data.Dataset`` (``src``/``dst``
+int64) into P ``RankOwner`` + E ``EdgeShard`` actors (see
+:mod:`hackathon_pagerank_ray.graph.shards` for the physical plan), then
+:func:`pagerank`, :func:`connected_components` and :func:`label_propagation`
+run per-sweep gather → local-combine → hash(dst)-keyed reduce rounds over
+those actors with cheap scalar barriers, exactly the shape the reference's
+per-iteration device→host reductions take on one GPU
+(backend/cuda/pagerank_gpu.cu:277-313).
+
+Every sweep can checkpoint vertex state + a manifest with per-partition
+lineage/metrics; ``resume=True`` restarts from the last complete sweep
+(north_rule: resumable mid-iteration — an incomplete sweep directory has no
+manifest and is discarded).
+"""
+
+from __future__ import annotations
+
+import math
+import time
+
+import numpy as np
+import ray
+
+from ..state.checkpoint import (latest_sweep, read_manifest, sweep_dir,
+                                write_sweep_manifest)
+from .shards import EdgeShard, RankOwner
+
+
+class ShardedGraph:
+    def __init__(self, owners, edge_shards, n: int, m: int, num_owners: int,
+                 gather_mode: str = "full"):
+        self.owners = owners
+        self.edge_shards = edge_shards
+        self.n = n
+        self.m = m
+        self.P = num_owners
+        self.E = len(edge_shards)
+        self.gather_mode = gather_mode
+
+    @classmethod
+    def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
+              num_edge_shards: int | None = None, undirected: bool = False,
+              sort_by_src: bool = True, gather_mode: str = "full"):
+        """Build the actor mesh from an edge Dataset.
+
+        ``sort_by_src`` range-partitions edges by source before chunking —
+        this shrinks each shard's gather subscription (locality) and splits
+        out-degree hubs across shards by construction.  ``n`` defaults to
+        the reference convention ``max_id + 1``
+        (backend/cuda/pagerank_gpu.cu:65).
+
+        ``gather_mode``: ``"full"`` ships each owner's whole value vector
+        once per sweep (one plasma object, zero-copy shared by all shards on
+        a node — the single-node fast path); ``"subscribe"`` ships only each
+        shard's subscribed slice (minimal bytes — the multi-node path).
+        Results are identical; both are tested.
+        """
+        E = num_edge_shards or num_owners
+        # Create the actor mesh FIRST: after a Ray Data execution the raylet
+        # throttles new worker-process starts for several seconds, so actor
+        # creation must overlap with (not follow) the shuffle.
+        shards = [
+            EdgeShard.remote(e, num_owners, None, undirected, gather_mode)
+            for e in range(E)
+        ]
+        owners = [RankOwner.remote(j, num_owners) for j in range(num_owners)]
+
+        if sort_by_src:
+            edges_ds = edges_ds.sort("src")
+        edges_ds = edges_ds.repartition(E).materialize()
+        m = edges_ds.count()
+        refs = edges_ds.to_arrow_refs()
+        # round-robin block refs over E shards (blocks stay in object store)
+        per_shard: list[list] = [[] for _ in range(E)]
+        for i, r in enumerate(refs):
+            per_shard[i % E].append(r)
+
+        max_ids = ray.get([
+            sh.set_edges.remote(per_shard[e], undirected)
+            for e, sh in enumerate(shards)
+        ])
+        if n is None:
+            # reference convention n = max_id + 1 (pagerank_gpu.cu:65)
+            n = max(max_ids) + 1
+        ray.get([ow.configure.remote(n) for ow in owners])
+
+        # wire subscriptions + scatter maps + out-degrees: one payload per
+        # (shard, owner) pair, computed in one batched call per shard
+        pending = []
+        for e, sh in enumerate(shards):
+            if num_owners > 1:
+                payloads = sh.build_owner_payloads.options(
+                    num_returns=num_owners).remote()
+            else:
+                payloads = [sh.build_owner_payloads.remote()]
+            for j, ow in enumerate(owners):
+                pending.append(ow.register_shard.remote(e, payloads[j]))
+        ray.get(pending)
+        ray.get([ow.finalize_build.remote() for ow in owners])
+        return cls(owners, shards, n, m, num_owners, gather_mode)
+
+    # -- shared sweep plumbing --------------------------------------------
+    def _partial_refs(self, method: str):
+        """partials[e][j] = edge shard e's partial aggregate for owner j."""
+        if self.gather_mode == "full":
+            full = [ow.get_full_values.remote() for ow in self.owners]
+            gathers = [full] * self.E
+        else:
+            gathers = [
+                [ow.get_values.remote(e) for ow in self.owners]
+                for e in range(self.E)
+            ]
+        partials = []
+        for e, sh in enumerate(self.edge_shards):
+            fn = getattr(sh, method)
+            if self.P > 1:
+                partials.append(fn.options(num_returns=self.P).remote(*gathers[e]))
+            else:
+                partials.append([fn.remote(*gathers[e])])
+        return partials  # partials[e][j]
+
+    def collect_metrics(self) -> list[dict]:
+        return ray.get([sh.get_metrics.remote() for sh in self.edge_shards])
+
+    def ranks_dataset(self):
+        return ray.data.from_arrow_refs(
+            [ow.ranks_table.remote() for ow in self.owners])
+
+    def labels_dataset(self):
+        return ray.data.from_arrow_refs(
+            [ow.labels_table.remote() for ow in self.owners])
+
+    def shutdown(self):
+        for a in self.owners + self.edge_shards:
+            ray.kill(a)
+
+
+def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
+             max_iter: int = 100, checkpoint_dir: str | None = None,
+             checkpoint_every: int = 1, resume: bool = False,
+             normalize: bool = True):
+    """Distributed power iteration, reference semantics
+    (backend/cuda/pagerank_gpu.cu:137-191): per sweep measure dangling mass
+    on the in-vector, ``r' = α·(P·r + dm/n) + (1-α)/n``, L1 stop AFTER the
+    sweep, final sum-normalize.  Returns ``(ranks_dataset, info)``.
+    """
+    owners = graph.owners
+    start_it = 0
+    residual = math.inf
+    if resume and checkpoint_dir:
+        last = latest_sweep(checkpoint_dir)
+        if last is not None:
+            it, manifest = last
+            ray.get([ow.load_state_part.remote(
+                f"{sweep_dir(checkpoint_dir, it)}/ranks", "ranks")
+                for ow in owners])
+            start_it = it + 1
+            residual = manifest["residual_l1"]
+            if residual < tol:
+                return graph.ranks_dataset(), {
+                    "sweeps": start_it, "residual_l1": residual,
+                    "resumed_at": it, "converged": True,
+                    "edges_per_sec_per_sweep": None}
+        else:
+            ray.get([ow.init_ranks.remote() for ow in owners])
+    else:
+        ray.get([ow.init_ranks.remote() for ow in owners])
+
+    t0 = time.perf_counter()
+    sweeps_run = 0
+    it = start_it - 1
+    for it in range(start_it, max_iter):
+        dangling_mass = sum(ray.get(
+            [ow.start_pagerank_sweep.remote() for ow in owners]))
+        partials = graph._partial_refs("pagerank_partials")
+        deltas = ray.get([
+            ow.apply_pagerank_update.remote(
+                alpha, dangling_mass, *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ])
+        residual = float(sum(deltas))
+        sweeps_run += 1
+        if checkpoint_dir and (it % checkpoint_every == 0 or residual < tol):
+            _checkpoint(graph, checkpoint_dir, it, "ranks", {
+                "residual_l1": residual, "dangling_mass": dangling_mass,
+                "alpha": alpha, "tol": tol})
+        if residual < tol:
+            break
+    elapsed = time.perf_counter() - t0
+
+    if normalize:
+        total = sum(ray.get([ow.rank_sum.remote() for ow in owners]))
+        if total > 0:
+            ray.get([ow.scale_ranks.remote(1.0 / total) for ow in owners])
+
+    info = {
+        "sweeps": it + 1,
+        "sweeps_run": sweeps_run,
+        "residual_l1": residual,
+        "converged": residual < tol,
+        "n": graph.n,
+        "m": graph.m,
+        "elapsed_sec": elapsed,
+        "edges_per_sec_per_sweep":
+            graph.m * sweeps_run / elapsed if elapsed > 0 and sweeps_run else None,
+    }
+    return graph.ranks_dataset(), info
+
+
+def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
+                         checkpoint_dir: str | None = None,
+                         checkpoint_every: int = 5):
+    """Iterative min-label propagation to fixpoint (exact); build the graph
+    with ``undirected=True``.  Labels converge to min vid per component."""
+    owners = graph.owners
+    ray.get([ow.init_labels.remote() for ow in owners])
+    it = -1
+    for it in range(max_iter):
+        ray.get([ow.start_label_sweep.remote() for ow in owners])
+        partials = graph._partial_refs("min_label_partials")
+        changed = sum(ray.get([
+            ow.apply_min_label_update.remote(
+                *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ]))
+        if checkpoint_dir and it % checkpoint_every == 0:
+            _checkpoint(graph, checkpoint_dir, it, "labels",
+                        {"changed": changed})
+        if changed == 0:
+            break
+    return graph.labels_dataset(), {"sweeps": it + 1}
+
+
+def label_propagation(graph: ShardedGraph, max_iter: int = 10):
+    """Synchronous LP with the deterministic min-label tie-break — the exact
+    contract of ``oracle.label_propagation``; build with ``undirected=True``
+    on the canonical simple edge set."""
+    owners = graph.owners
+    ray.get([ow.init_labels.remote() for ow in owners])
+    it = -1
+    for it in range(max_iter):
+        ray.get([ow.start_label_sweep.remote() for ow in owners])
+        partials = graph._partial_refs("mode_label_partials")
+        changed = sum(ray.get([
+            ow.apply_mode_label_update.remote(
+                *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ]))
+        if changed == 0:
+            break
+    return graph.labels_dataset(), {"sweeps": it + 1}
+
+
+def _checkpoint(graph: ShardedGraph, ckpt_dir: str, it: int, kind: str,
+                extra: dict):
+    """Write all owner parts into ``it=<k>.tmp``, then atomically publish by
+    writing the manifest and renaming (SURVEY.md §7.7)."""
+    tmp = sweep_dir(ckpt_dir, it, tmp=True)
+    part_metrics = ray.get([
+        ow.write_state_part.remote(f"{tmp}/{kind}", kind)
+        for ow in graph.owners
+    ])
+    write_sweep_manifest(ckpt_dir, it, {
+        "iteration": it,
+        "kind": kind,
+        **extra,
+        "partitions": part_metrics,
+        "edge_shards": graph.collect_metrics(),
+    })

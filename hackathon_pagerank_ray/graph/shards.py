@@ -1,0 +1,429 @@
+"""Partitioned CSR graph shards — the iterative-compute substrate.
+
+Physical plan (BASELINE.json north_rule: "gather-scatter over CSR partitions
+followed by a groupby-aggregate shuffle keyed on destination-vertex hash"):
+
+* ``RankOwner`` actors — P hash partitions of the *vertex state* (ranks /
+  labels, out-degrees, dangling flags).  Vertex ``v`` lives on owner
+  ``v % P`` at local index ``v // P``.
+* ``EdgeShard`` actors — E balanced partitions of the *edge list*.  Edges
+  are sorted by ``src`` and split by edge count, NOT by source vertex, so a
+  hub's out-edges straddle shards (explicit out-skew splitting).  Each shard
+  builds its local CSR-style index **once** (build time), then every sweep:
+
+  1. gathers the vertex values it needs from owners via per-shard
+     *subscription lists* computed at build time (only the unique vertex ids
+     this shard touches move — the broadcast-free gather),
+  2. computes contributions and **pre-aggregates locally by destination**
+     (``np.bincount`` over a compacted dst index) — this is the combiner
+     that caps an in-hub's shuffle fan-in at ≤ E partial values no matter
+     its in-degree (explicit in-skew handling), and
+  3. ships one partial-sum array per destination owner — the
+     groupby-aggregate shuffle keyed on ``hash(dst) = dst % P``.
+
+The reference keeps the whole CSR on one GPU (backend/cuda/
+pagerank_gpu.cu:32-37,255-260); this is its partitioned equivalent, and the
+per-sweep scalar barrier (dangling mass, L1 residual) mirrors the
+reference's per-iteration device→host reductions (``:279-305``).
+
+All numeric work is vectorized numpy on int64/float64 arrays.  Actors never
+call ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+
+def _to_numpy(col) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    return col.to_numpy(zero_copy_only=False)
+
+
+@ray.remote
+class RankOwner:
+    """Owns vertex state for the partition ``{v : v % P == j}``."""
+
+    def __init__(self, shard_id: int, num_owners: int, n: int | None = None):
+        self.j = shard_id
+        self.P = num_owners
+        # subscriptions[e] = local indices whose values EdgeShard e gathers
+        self.subscriptions: dict[int, np.ndarray] = {}
+        # dst_maps[e] = local indices EdgeShard e's partial sums align to
+        self.dst_maps: dict[int, np.ndarray] = {}
+        self.r: np.ndarray | None = None
+        self.labels: np.ndarray | None = None
+        self._vals: np.ndarray | None = None   # per-sweep gathered value vector
+        self.metrics = {"gather_bytes": 0, "sweep_seconds": 0.0}
+        if n is not None:
+            self.configure(n)
+
+    def configure(self, n: int) -> None:
+        """Size the vertex-state arrays once ``n`` is known (deferred so the
+        actor can be created before the edge Dataset has executed)."""
+        self.n = n
+        self.n_local = len(range(self.j, n, self.P))
+        self.outdeg = np.zeros(self.n_local, dtype=np.float64)
+
+    # -- build -------------------------------------------------------------
+    def add_outdeg(self, contrib) -> None:
+        """``contrib`` = (local_idx, counts) — one edge shard's out-degree
+        partial (passed as a single ObjectRef, resolved by Ray)."""
+        local_idx, counts = contrib
+        np.add.at(self.outdeg, local_idx, counts)
+
+    def subscribe(self, edge_shard_id: int, sub) -> None:
+        """``sub`` = (gather local_idx, scatter dst_local_idx) from
+        ``EdgeShard.subscription`` — passed by ObjectRef, no driver copy."""
+        local_idx, dst_local_idx = sub
+        self.subscriptions[edge_shard_id] = np.asarray(local_idx, dtype=np.int64)
+        self.dst_maps[edge_shard_id] = np.asarray(dst_local_idx, dtype=np.int64)
+
+    def register_shard(self, edge_shard_id: int, payload) -> None:
+        """Batched wiring: one message per (shard, owner) carrying the
+        subscription, scatter map and out-degree partial together."""
+        sub_local, dst_local, od_idx, od_cnt = payload
+        self.subscriptions[edge_shard_id] = np.asarray(sub_local, dtype=np.int64)
+        self.dst_maps[edge_shard_id] = np.asarray(dst_local, dtype=np.int64)
+        if len(od_idx):
+            np.add.at(self.outdeg, od_idx, od_cnt)
+
+    def get_full_values(self) -> np.ndarray:
+        """Full-partition value vector for ``gather_mode="full"`` — ONE
+        plasma object per owner per sweep, shared zero-copy by every edge
+        shard on the node (single-node fast path; ``"subscribe"`` is the
+        multi-node bandwidth-minimal path)."""
+        return self._vals
+
+    def finalize_build(self) -> dict:
+        self.dangling = self.outdeg == 0
+        self.inv_out = np.zeros(self.n_local)
+        nz = ~self.dangling
+        self.inv_out[nz] = 1.0 / self.outdeg[nz]
+        return {"owner": self.j, "n_local": self.n_local,
+                "dangling": int(self.dangling.sum())}
+
+    def vids(self) -> np.ndarray:
+        return np.arange(self.j, self.n, self.P, dtype=np.int64)
+
+    # -- PageRank ----------------------------------------------------------
+    def init_ranks(self, value: float | None = None) -> None:
+        self.r = np.full(self.n_local, value if value is not None else 1.0 / self.n)
+
+    def set_ranks(self, ranks: np.ndarray) -> None:
+        self.r = np.asarray(ranks, dtype=np.float64).copy()
+
+    def start_pagerank_sweep(self) -> float:
+        """Compute rr = r/outdeg and return this partition's dangling mass
+        (reference measures it on the in-vector, pagerank_gpu.cu:150-154)."""
+        t0 = time.perf_counter()
+        self._vals = self.r * self.inv_out
+        dm = float(self.r[self.dangling].sum())
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return dm
+
+    def get_values(self, edge_shard_id: int) -> np.ndarray:
+        """The gather: only this shard's subscribed values leave the owner."""
+        out = self._vals[self.subscriptions[edge_shard_id]]
+        self.metrics["gather_bytes"] += out.nbytes
+        return out
+
+    def apply_pagerank_update(self, alpha: float, dangling_mass: float,
+                              *partials: np.ndarray) -> float:
+        """Reduce edge-shard partials (fixed shard order → deterministic),
+        apply ``r' = α·(y + dm/n) + (1-α)/n``, return the L1 residual part."""
+        t0 = time.perf_counter()
+        y = np.zeros(self.n_local)
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if part is not None and len(part):
+                np.add.at(y, self.dst_maps[e_id], part)
+        r_new = alpha * (y + dangling_mass / self.n) + (1.0 - alpha) / self.n
+        delta = float(np.abs(r_new - self.r).sum())
+        self.r = r_new
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return delta
+
+    def rank_sum(self) -> float:
+        return float(self.r.sum())
+
+    def scale_ranks(self, factor: float) -> None:
+        self.r = self.r * factor
+
+    def ranks_table(self) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(self.vids(), pa.int64()), pa.array(self.r, pa.float64())],
+            names=["vid", "rank"],
+        )
+
+    # -- label ops (CC / LP) ----------------------------------------------
+    def init_labels(self) -> None:
+        self.labels = self.vids().copy()
+
+    def set_labels(self, labels: np.ndarray) -> None:
+        self.labels = np.asarray(labels, dtype=np.int64).copy()
+
+    def start_label_sweep(self) -> None:
+        self._vals = self.labels
+
+    def apply_min_label_update(self, *partial_mins: np.ndarray) -> int:
+        """CC: take the min of current labels and incoming neighbor minima;
+        returns the number of labels that changed."""
+        new = self.labels.copy()
+        for e_id in sorted(self.dst_maps):
+            part = partial_mins[e_id]
+            if part is not None and len(part):
+                np.minimum.at(new, self.dst_maps[e_id], part.astype(np.int64))
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    def apply_mode_label_update(self, *partial_counts) -> int:
+        """LP: merge (local_idx, label, count) triplets from all edge shards,
+        adopt per-vertex argmax count with min-label tie-break (the
+        deterministic contract in oracle.label_propagation)."""
+        idx_parts, lab_parts, cnt_parts = [], [], []
+        for part in partial_counts:
+            if part is None:
+                continue
+            i, l, c = part
+            if len(i):
+                idx_parts.append(np.asarray(i, dtype=np.int64))
+                lab_parts.append(np.asarray(l, dtype=np.int64))
+                cnt_parts.append(np.asarray(c, dtype=np.int64))
+        if not idx_parts:
+            return 0
+        idx = np.concatenate(idx_parts)
+        lab = np.concatenate(lab_parts)
+        cnt = np.concatenate(cnt_parts)
+        # merge duplicate (idx, lab) pairs, then argmax by (count, -label)
+        order = np.lexsort((lab, idx))
+        idx, lab, cnt = idx[order], lab[order], cnt[order]
+        boundary = np.ones(len(idx), dtype=bool)
+        boundary[1:] = (idx[1:] != idx[:-1]) | (lab[1:] != lab[:-1])
+        group = np.cumsum(boundary) - 1
+        merged_cnt = np.bincount(group, weights=cnt).astype(np.int64)
+        merged_idx = idx[boundary]
+        merged_lab = lab[boundary]
+        # per-vertex argmax: sort by (idx, count, -label) and take the last
+        # entry per idx → max count, and among ties the MIN label
+        order2 = np.lexsort((-merged_lab, merged_cnt, merged_idx))
+        mi, ml = merged_idx[order2], merged_lab[order2]
+        last = np.ones(len(mi), dtype=bool)
+        last[:-1] = mi[1:] != mi[:-1]
+        new = self.labels.copy()
+        new[mi[last]] = ml[last]
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    def labels_table(self) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(self.vids(), pa.int64()),
+             pa.array(self.labels, pa.int64())],
+            names=["vid", "label"],
+        )
+
+    # -- checkpoint --------------------------------------------------------
+    def write_state_part(self, path: str, kind: str) -> dict:
+        import os
+        import pyarrow.parquet as pq
+        os.makedirs(path, exist_ok=True)
+        t0 = time.perf_counter()
+        table = self.ranks_table() if kind == "ranks" else self.labels_table()
+        out = f"{path}/part-{self.j:05d}.parquet"
+        pq.write_table(table, out)
+        return {"owner": self.j, "rows": table.num_rows,
+                "bytes": table.nbytes, "seconds": time.perf_counter() - t0,
+                "file": out, **self.metrics}
+
+    def load_state_part(self, path: str, kind: str) -> None:
+        import pyarrow.parquet as pq
+        table = pq.read_table(f"{path}/part-{self.j:05d}.parquet")
+        if kind == "ranks":
+            self.set_ranks(_to_numpy(table["rank"]))
+        else:
+            self.set_labels(_to_numpy(table["label"]))
+
+
+@ray.remote
+class EdgeShard:
+    """One balanced chunk of the edge list with build-once local indexes."""
+
+    def __init__(self, shard_id: int, num_owners: int,
+                 edge_tables=None, undirected: bool = False,
+                 gather_mode: str = "full"):
+        self.e = shard_id
+        self.P = num_owners
+        self.gather_mode = gather_mode
+        self.metrics = {"edges": 0, "uniq_src": 0, "sweep_seconds": 0.0}
+        if edge_tables is not None:
+            self.set_edges(edge_tables, undirected)
+
+    def set_edges(self, edge_tables, undirected: bool = False) -> int:
+        """Load this shard's edge chunk and build the local CSR-style
+        indexes (once).  Returns the shard's max vertex id (-1 if empty) so
+        the driver can derive ``n = max_id + 1`` without a Dataset pass."""
+        num_owners = self.P
+        if isinstance(edge_tables, pa.Table):
+            edge_tables = [edge_tables]
+        # refs nested in a list are not auto-resolved by Ray — fetch here
+        # (zero-copy reads from the local object store)
+        edge_tables = [ray.get(t) if isinstance(t, ray.ObjectRef) else t
+                       for t in edge_tables]
+        # sort/repartition can emit empty blocks with an EMPTY schema —
+        # drop anything that doesn't carry the edge columns
+        edge_tables = [t for t in edge_tables
+                       if t.num_rows and "src" in t.schema.names]
+        if edge_tables:
+            edge_table = pa.concat_tables(
+                [t.select(["src", "dst"]) for t in edge_tables]
+            )
+            src = _to_numpy(edge_table["src"]).astype(np.int64)
+            dst = _to_numpy(edge_table["dst"]).astype(np.int64)
+        else:
+            src = np.zeros(0, dtype=np.int64)
+            dst = np.zeros(0, dtype=np.int64)
+        if undirected:
+            # treat each stored canonical edge as both directions
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        self.src = src
+        self.dst = dst
+        self.m = len(src)
+
+        # gather side: unique vertices whose values this shard needs
+        self.uniq_src = np.unique(src)                       # sorted
+        self.src_pos = np.searchsorted(self.uniq_src, src)   # edge → gather slot
+        # received value vectors are concatenated in owner order; compute the
+        # offset of each owner's slice within the gather vector
+        owner_of_uniq = self.uniq_src % num_owners
+        self.gather_order = np.argsort(owner_of_uniq, kind="stable")
+        inverse = np.empty(len(self.uniq_src), dtype=np.int64)
+        inverse[self.gather_order] = np.arange(len(self.uniq_src))
+        self.src_pos = inverse[self.src_pos]
+        sorted_owner = owner_of_uniq[self.gather_order]
+        self.owner_slice_counts = np.bincount(sorted_owner, minlength=num_owners)
+        # per-owner subscription lists (local indices at the owner)
+        uniq_sorted = self.uniq_src[self.gather_order]
+        offs = np.concatenate([[0], np.cumsum(self.owner_slice_counts)])
+        self.sub_local = [
+            uniq_sorted[offs[j]:offs[j + 1]] // num_owners for j in range(num_owners)
+        ]
+
+        # scatter side: per destination owner, a compacted dst index
+        dst_owner = dst % num_owners
+        self.scatter_order = np.argsort(dst_owner, kind="stable")
+        sorted_dst = dst[self.scatter_order]
+        self.scatter_counts = np.bincount(dst_owner, minlength=num_owners)
+        soffs = np.concatenate([[0], np.cumsum(self.scatter_counts)])
+        self.dst_compact = np.empty(self.m, dtype=np.int64)
+        self.uniq_dst_local = []
+        for j in range(num_owners):
+            seg = sorted_dst[soffs[j]:soffs[j + 1]]
+            uniq, compact = np.unique(seg, return_inverse=True)
+            self.dst_compact[soffs[j]:soffs[j + 1]] = compact
+            self.uniq_dst_local.append(uniq // num_owners)
+        self.soffs = soffs
+        self.metrics["edges"] = self.m
+        self.metrics["uniq_src"] = len(self.uniq_src)
+        return int(max(src.max(initial=-1), dst.max(initial=-1)))
+
+    # -- build helpers ------------------------------------------------------
+    def subscription(self, owner_id: int):
+        return self.sub_local[owner_id], self.uniq_dst_local[owner_id]
+
+    def outdeg_contrib(self, owner_id: int):
+        """(local_idx, counts) of this shard's edges per source vertex."""
+        mask = (self.src % self.P) == owner_id
+        if not mask.any():
+            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
+        vids, counts = np.unique(self.src[mask], return_counts=True)
+        return vids // self.P, counts
+
+    def build_owner_payloads(self):
+        """All per-owner wiring payloads in one call (used with
+        ``options(num_returns=P)`` so each owner fetches only its own)."""
+        out = []
+        for j in range(self.P):
+            od_idx, od_cnt = self.outdeg_contrib(j)
+            out.append((self.sub_local[j], self.uniq_dst_local[j],
+                        od_idx, od_cnt))
+        return tuple(out) if self.P > 1 else out[0]
+
+    def get_metrics(self) -> dict:
+        return {"shard": self.e, **self.metrics}
+
+    # -- sweeps -------------------------------------------------------------
+    def _gathered(self, value_slices) -> np.ndarray:
+        if not value_slices:
+            return np.zeros(0)
+        if self.gather_mode == "full":
+            # received full per-owner vectors: slice to this shard's
+            # subscription locally (plasma gives us zero-copy views)
+            return np.concatenate([
+                np.asarray(v)[self.sub_local[j]]
+                for j, v in enumerate(value_slices)
+            ])
+        return np.concatenate([np.asarray(v) for v in value_slices])
+
+    def pagerank_partials(self, *value_slices: np.ndarray):
+        """contrib = rr[src]; local combine by dst → one partial array per
+        destination owner (aligned with uniq_dst_local)."""
+        t0 = time.perf_counter()
+        vals = self._gathered(value_slices)
+        contrib = vals[self.src_pos][self.scatter_order]
+        out = []
+        for j in range(self.P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            if self.soffs[j + 1] == self.soffs[j]:
+                out.append(np.zeros(0))
+                continue
+            out.append(np.bincount(self.dst_compact[seg], weights=contrib[seg],
+                                   minlength=len(self.uniq_dst_local[j])))
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return tuple(out) if self.P > 1 else out[0]
+
+    def min_label_partials(self, *label_slices: np.ndarray):
+        """per-dst minimum of source labels, per destination owner."""
+        labels = self._gathered(label_slices).astype(np.int64)
+        vals = labels[self.src_pos][self.scatter_order]
+        out = []
+        for j in range(self.P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            size = len(self.uniq_dst_local[j])
+            if self.soffs[j + 1] == self.soffs[j]:
+                out.append(np.full(0, np.iinfo(np.int64).max))
+                continue
+            mins = np.full(size, np.iinfo(np.int64).max)
+            np.minimum.at(mins, self.dst_compact[seg], vals[seg])
+            out.append(mins)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def mode_label_partials(self, *label_slices: np.ndarray):
+        """(dst_local_idx, label, count) triplets per destination owner —
+        the pre-aggregated histogram shuffle for label propagation."""
+        labels = self._gathered(label_slices).astype(np.int64)
+        vals = labels[self.src_pos][self.scatter_order]
+        out = []
+        for j in range(self.P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            if self.soffs[j + 1] == self.soffs[j]:
+                z = np.zeros(0, dtype=np.int64)
+                out.append((z, z, z))
+                continue
+            d = self.dst_compact[seg]
+            l = vals[seg]
+            order = np.lexsort((l, d))
+            d, l = d[order], l[order]
+            boundary = np.ones(len(d), dtype=bool)
+            boundary[1:] = (d[1:] != d[:-1]) | (l[1:] != l[:-1])
+            group = np.cumsum(boundary) - 1
+            counts = np.bincount(group).astype(np.int64)
+            local = self.uniq_dst_local[j][d[boundary]]
+            out.append((local, l[boundary], counts))
+        return tuple(out) if self.P > 1 else out[0]
