@@ -1,0 +1,127 @@
+"""Per-vertex triangle counting as Dataset ops (north_rule mandate).
+
+Degree-oriented wedge join (the standard distributed algorithm):
+
+1. canonicalize to the undirected simple graph (``u < v``, dedup,
+   self-loops dropped),
+2. orient each edge low→high by ``(degree, vid)`` — bounds every oriented
+   adjacency list by O(√m), so no wedge group explodes on hub vertices
+   (this is the skew handling),
+3. per-source wedge generation inside ``map_groups`` (numpy
+   ``triu_indices``), and
+4. a hash join of wedges against the oriented edge set on the closing pair
+   — each match is one triangle, counted for all three corners.
+
+Exact; matches ``oracle.triangle_counts`` by construction.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.relational import distinct, inner_join, left_join_coalesce
+
+
+def canonical_undirected(edges_ds, num_partitions: int = 16):
+    """(src,dst) digraph → unique undirected simple edges (u < v)."""
+    def _canon(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["src"], t["dst"])
+        t = t.filter(keep)
+        u = pc.min_element_wise(t["src"], t["dst"])
+        v = pc.max_element_wise(t["src"], t["dst"])
+        return pa.Table.from_arrays([u, v], names=["u", "v"])
+
+    return distinct(edges_ds.map_batches(_canon, batch_format="pyarrow"),
+                    ["u", "v"], num_partitions)
+
+
+def undirected_degrees(und_ds):
+    both = und_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["u"].combine_chunks(),
+                               t["v"].combine_chunks()])], names=["vid"]),
+        batch_format="pyarrow")
+    return both.groupby("vid").count().rename_columns({"count()": "deg"})
+
+
+def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16):
+    """Per-vertex triangle counts ``(vid, triangles)``.
+
+    ``vertices_ds`` (optional, column ``vid``) fixes the output universe so
+    triangle-free vertices appear with count 0; otherwise only vertices
+    incident to at least one undirected edge appear.
+    """
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    deg = undirected_degrees(und)
+
+    d_u = deg.rename_columns({"vid": "u", "deg": "deg_u"})
+    d_v = deg.rename_columns({"vid": "v", "deg": "deg_v"})
+    withdeg = inner_join(inner_join(und, d_u, on="u",
+                                    num_partitions=num_partitions),
+                         d_v, on="v", num_partitions=num_partitions)
+
+    # orient low (deg, vid) → high (deg, vid)
+    def _orient(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["u"])
+        v = np.asarray(t["v"])
+        du = np.asarray(t["deg_u"])
+        dv = np.asarray(t["deg_v"])
+        fwd = (du < dv) | ((du == dv) & (u < v))
+        a = np.where(fwd, u, v)
+        b = np.where(fwd, v, u)
+        db = np.where(fwd, dv, du)
+        return pa.Table.from_arrays(
+            [pa.array(a), pa.array(b), pa.array(db)],
+            names=["a", "b", "deg_b"])
+
+    oriented = withdeg.map_batches(_orient, batch_format="pyarrow").materialize()
+
+    # wedges: for each a, all (b, c) pairs of its oriented neighbors with
+    # b before c in (deg, vid) order — so (b, c) is itself oriented and can
+    # close only via the oriented edge b→c
+    def _wedges(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "c": []})
+        g = g.sort_values(["deg_b", "b"], kind="stable")
+        nb = g["b"].to_numpy()
+        i, j = np.triu_indices(len(nb), k=1)
+        return pd.DataFrame({"a": np.full(len(i), g["a"].iloc[0]),
+                             "b": nb[i], "c": nb[j]})
+
+    wedges = oriented.groupby("a").map_groups(_wedges, batch_format="pandas")
+
+    # fresh projection (rename a→b, b→c would collide with existing names)
+    closing = oriented.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["a"].combine_chunks(), t["b"].combine_chunks()],
+            names=["b", "c"]),
+        batch_format="pyarrow")
+    tris = inner_join(wedges, closing, on=("b", "c"),
+                      num_partitions=num_partitions)
+
+    def _corners(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
+                               t["b"].combine_chunks().cast(pa.int64()),
+                               t["c"].combine_chunks().cast(pa.int64())])],
+            names=["vid"])
+
+    counts = (tris.map_batches(_corners, batch_format="pyarrow")
+              .groupby("vid").count()
+              .rename_columns({"count()": "triangles"}))
+
+    if vertices_ds is not None:
+        # result-sized; materializing sidesteps an Acero planning failure
+        # when the full lazy diamond feeds the final outer join
+        counts = counts.materialize()
+        out = left_join_coalesce(vertices_ds.select_columns(["vid"]), counts,
+                                 on="vid", fill={"triangles": 0},
+                                 num_partitions=num_partitions)
+        def _cast(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("triangles")
+            return t.set_column(i, "triangles", pc.cast(t["triangles"], pa.int64()))
+        return out.map_batches(_cast, batch_format="pyarrow")
+    return counts

@@ -1,0 +1,32 @@
+"""Degree tables and dangling detection (SURVEY.md A1/A2/A4).
+
+Reference computes out-degrees with a dense array pass and flags
+``outdeg == 0`` as dangling (backend/cuda/pagerank_gpu.cu:68-80); here they
+are groupby-count shuffles plus an anti-join, all streaming.
+"""
+
+from __future__ import annotations
+
+from .relational import anti_join
+
+
+def out_degrees(edges_ds, src_col: str = "src"):
+    """(src, outdeg) — count per source vertex (A1)."""
+    ds = edges_ds.groupby(src_col).count()
+    return ds.rename_columns({"count()": "outdeg"})
+
+
+def in_degrees(edges_ds, dst_col: str = "dst"):
+    """(dst, indeg) — count per destination vertex (A4)."""
+    ds = edges_ds.groupby(dst_col).count()
+    return ds.rename_columns({"count()": "indeg"})
+
+
+def dangling_vertices(vertices_ds, edges_ds, vid_col: str = "vid",
+                      src_col: str = "src", num_partitions: int = 16):
+    """A2: vertices with no out-edges = anti-join of the vertex table
+    against distinct edge sources."""
+    from .relational import distinct
+    srcs = distinct(edges_ds, [src_col], num_partitions)
+    return anti_join(vertices_ds, srcs, on=vid_col, right_on=src_col,
+                     num_partitions=num_partitions)

@@ -95,10 +95,15 @@ def parse_pages(pages_ds, target_lang: str | None = None, concurrency=None,
     `concurrency=None` lets Ray autoscale the task pool — pass an int (or
     ``(min, max)``) to pin an actor pool.
     """
+    if concurrency is None:
+        # autoscaling actor pool up to the cluster CPU count — parsing is
+        # the CPU-heavy stage, but leave the floor low so small inputs
+        # don't pay 32 actor startups
+        import ray
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        concurrency = (1, max(2, ncpu))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
-                  num_cpus=num_cpus)
-    if concurrency is not None:
-        kwargs["concurrency"] = concurrency
+                  num_cpus=num_cpus, concurrency=concurrency)
     return pages_ds.map_batches(ExtractPages,
                                 fn_constructor_kwargs={"target_lang": target_lang},
                                 **kwargs)

@@ -1,0 +1,71 @@
+"""Vertex-ID assignment and url→id edge mapping (SURVEY.md T2′ / J2).
+
+The reference assigns dense ints in crawl-discovery order via a driver dict
+(crawler/core.py:214-215,286-289,306-308).  Discovery order doesn't exist in
+a batch corpus, so the engine uses **sort-based dense assignment**: distinct
+urls → global sort → per-block offsets from cumulative block row-counts →
+dense int64 vid.  Deterministic for a given url set, compact (rank vectors
+stay dense arrays), and id-scheme-independent for every url-keyed output —
+which is all the reference's outputs key on (backend/data/
+parse_pagerank.py:51).  The cumulative-offset step is the one place the
+Dataset API genuinely can't express the semantics (a global ordinal), so it
+drops to small Ray tasks over the sorted blocks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .relational import inner_join
+
+
+@ray.remote
+def _block_rows(table: pa.Table) -> int:
+    return table.num_rows
+
+
+@ray.remote
+def _assign_ids(table: pa.Table, offset: int, col: str) -> pa.Table:
+    vids = pa.array(np.arange(offset, offset + table.num_rows, dtype=np.int64))
+    return pa.Table.from_arrays([vids, table[col].combine_chunks()],
+                                names=["vid", col])
+
+
+def assign_vertex_ids(urls_ds, col: str = "url"):
+    """Distinct values of ``col`` → ``(vid: int64, url)`` with dense
+    sort-ordered vids.  Shuffles once (sort doubles as the distinct's
+    partitioner: we dedup per-block before and after the sort)."""
+    def _local_distinct(t: pa.Table) -> pa.Table:
+        return t.select([col]).group_by(col).aggregate([])
+
+    from ray.data.aggregate import Count
+    distinct_sorted = (
+        urls_ds.map_batches(_local_distinct, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .select_columns([col])
+        .sort(col)
+        .materialize()
+    )
+    refs = distinct_sorted.to_arrow_refs()
+    counts = ray.get([_block_rows.remote(r) for r in refs])
+    offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    out_refs = [
+        _assign_ids.remote(r, int(off), col)
+        for r, off in zip(refs, offsets)
+    ]
+    return ray.data.from_arrow_refs(out_refs)
+
+
+def edges_to_ids(edges_url_ds, vertices_ds, num_partitions: int = 16):
+    """J2: map (src_url, dst_url) → (src, dst) via two hash joins against
+    the vertex table; edges with an unknown endpoint are dropped (the
+    reference's both-sides semi-join, api/build_corpus.py:83-92)."""
+    v_src = vertices_ds.rename_columns({"vid": "src", "url": "src_url"})
+    v_dst = vertices_ds.rename_columns({"vid": "dst", "url": "dst_url"})
+    e = inner_join(edges_url_ds, v_src, on="src_url",
+                   num_partitions=num_partitions)
+    e = inner_join(e, v_dst, on="dst_url", num_partitions=num_partitions)
+    return e.select_columns(["src", "dst"])

@@ -1,0 +1,102 @@
+"""Generic relational operators (SURVEY.md §2.4–2.7) as Dataset transforms.
+
+Thin, documented wrappers so every reference operator has a named engine
+entry point; all of them stream (no driver-side row loops) and shuffle only
+where the semantics demand it.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def distinct(ds, cols: list[str], num_partitions: int | None = None):
+    """Exact dedup on a key tuple — hash-partition + first per group
+    (SURVEY.md D2; reference ``seen``-set at api/build_corpus.py:88-92)."""
+    from ray.data.aggregate import Count
+    out = ds.select_columns(cols).groupby(cols).aggregate(Count(alias_name="_n"))
+    return out.select_columns(cols)
+
+
+def topk(ds, keys, k: int, descending=True):
+    """Total-order top-k = range-partitioned sort + limit (SURVEY.md K1;
+    reference full sort + truncate, backend/cuda/pagerank_gpu.cu:429-441).
+    Pass a key tuple with a unique tiebreaker for deterministic output."""
+    return ds.sort(keys, descending=descending).limit(k)
+
+
+def inner_join(left, right, on, right_on=None, num_partitions: int = 16):
+    """Hash-partitioned inner join (SURVEY.md J1 semantics: rows without a
+    match are dropped, backend/data/parse_pagerank.py:43-55)."""
+    return left.join(right, "inner", num_partitions, on=_t(on),
+                     right_on=_t(right_on) if right_on else None)
+
+
+def left_join_coalesce(left, right, on, fill: dict,
+                       num_partitions: int = 16, right_on=None):
+    """Left join + fill missing right columns (SURVEY.md J3: pagerank
+    defaults to 0.0 for unranked urls, api/main.py:391-398)."""
+    joined = left.join(right, "left_outer", num_partitions, on=_t(on),
+                       right_on=_t(right_on) if right_on else None)
+
+    def _fill(t: pa.Table) -> pa.Table:
+        for col, val in fill.items():
+            if col in t.schema.names:
+                filled = pc.fill_null(t[col], val)
+                t = t.set_column(t.schema.get_field_index(col), col, filled)
+        return t
+
+    return joined.map_batches(_fill, batch_format="pyarrow")
+
+
+def anti_join(left, right, on, num_partitions: int = 16, right_on=None):
+    """Rows of ``left`` with no match in ``right`` (SURVEY.md J4/D5,
+    api/check.py:18-22)."""
+    return left.join(right, "left_anti", num_partitions, on=_t(on),
+                     right_on=_t(right_on) if right_on else None)
+
+
+def semi_join(left, right, on, num_partitions: int = 16, right_on=None):
+    return left.join(right, "left_semi", num_partitions, on=_t(on),
+                     right_on=_t(right_on) if right_on else None)
+
+
+def sum_normalize(ds, col: str, out_col: str | None = None):
+    """Divide a column by its global sum (SURVEY.md A7; reference
+    renormalization backend/data/parse_pagerank.py:57-61).  One cheap
+    aggregate pass, then a broadcast-scalar map."""
+    total = ds.sum(col)
+    out_col = out_col or col
+    if not total:
+        return ds
+
+    def _div(t: pa.Table) -> pa.Table:
+        arr = pc.divide(t[col], pa.scalar(float(total), pa.float64()))
+        if out_col in t.schema.names:
+            return t.set_column(t.schema.get_field_index(out_col), out_col, arr)
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(_div, batch_format="pyarrow")
+
+
+def minmax_normalize(ds, col: str, out_col: str | None = None):
+    """Rescale a column to [0,1] (SURVEY.md A9; api/main.py:117-127 —
+    including the reference's span=1.0 guard when max == min)."""
+    lo = ds.min(col)
+    hi = ds.max(col)
+    span = (hi - lo) if hi > lo else 1.0
+    out_col = out_col or f"{col}_norm"
+
+    def _scale(t: pa.Table) -> pa.Table:
+        arr = pc.divide(pc.subtract(t[col], pa.scalar(float(lo), pa.float64())),
+                        pa.scalar(float(span), pa.float64()))
+        return t.append_column(out_col, arr)
+
+    return ds.map_batches(_scale, batch_format="pyarrow")
+
+
+def _t(on):
+    if on is None:
+        return None
+    return (on,) if isinstance(on, str) else tuple(on)
