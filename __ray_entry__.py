@@ -1,44 +1,617 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here (or in the library) calls ``ray.init()`` / ``ray.shutdown()``.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes one entry per implemented operator family from
+SURVEY.md §2 plus the training-data extensions; SQL-expressible ones have a
+matching ``oracle_sql()`` entry (column names aligned), the iterative /
+hash-based ones are rows-only by design.
+
+Graph queries run over a deterministic edge table derived from ``orders``:
+``src = o_custkey, dst = o_orderkey % 997`` — reproducible in SQL, skewed
+enough (custkeys repeat) to exercise the hash-partitioned paths.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+_EDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders")
+
+
+def _rd():
+    import ray.data as rd
+    return rd
+
+
+def _quiet():
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from hackathon_pagerank_ray.stages.relational import tune_shuffle
+    tune_shuffle()
+
+
+def _edges_ds(sf_dir: str):
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    # integer modulo o_orderkey % 997 (via numpy; zero-copy int64 in/out)
+    def _mk2(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(),
+             pa.array(ok % 997, pa.int64())],
+            names=["src", "dst"])
+
+    return orders.map_batches(_mk2, batch_format="pyarrow")
+
+
+def _docs_ds(sf_dir: str, columns=None):
+    return _rd().read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship smoke at sf0.001: orders-derived edge table → sharded
+    PageRank → top-50 report (vid, rank)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.stages.relational import topk
+
+    edges = _edges_ds("/root/testdata/sf0.001")
+    graph = ShardedGraph.build(edges, num_owners=4)
+    try:
+        ranks, info = pagerank(graph)
+        out = topk(ranks, ["rank", "vid"], 50,
+                   descending=[True, False]).to_pandas()
+    finally:
+        graph.shutdown()
+    return out
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_out_degrees(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import out_degrees
+    return out_degrees(_edges_ds(sf_dir))
+
+
+def _q_in_degrees(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import in_degrees
+    return in_degrees(_edges_ds(sf_dir))
+
+
+def _q_edge_dedup(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import distinct
+    return distinct(_edges_ds(sf_dir), ["src", "dst"], 8)
+
+
+def _q_dangling(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import anti_join, distinct
+    e = _edges_ds(sf_dir).materialize()
+    dsts = distinct(e, ["dst"], 8)
+    srcs = distinct(e, ["src"], 8)
+    return anti_join(dsts, srcs, on="dst", right_on="src", num_partitions=8)
+
+
+def _q_topk_customers(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import topk
+    c = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    return topk(c, ["c_acctbal", "c_custkey"], 10, descending=[True, False])
+
+
+def _q_orders_join_customer(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import inner_join
+    rd = _rd()
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_name"])
+    j = inner_join(o, c, on="o_custkey", right_on="c_custkey",
+                   num_partitions=8)
+    return j.select_columns(["o_orderkey", "c_name", "o_totalprice"])
+
+
+def _q_customer_order_counts(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import left_join_coalesce
+    rd = _rd()
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_custkey"])
+    counts = (o.groupby("o_custkey").count()
+              .rename_columns({"count()": "n_orders"}))
+    out = left_join_coalesce(c, counts, on="c_custkey", right_on="o_custkey",
+                             fill={"n_orders": 0}, num_partitions=8)
+
+    def _cast(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("n_orders")
+        return t.set_column(i, "n_orders", pc.cast(t["n_orders"], pa.int64()))
+
+    return out.select_columns(["c_custkey", "n_orders"]).map_batches(
+        _cast, batch_format="pyarrow")
+
+
+def _q_customers_without_orders(sf_dir):
+    """Anti-join (J4/D5): customers with no order above 250k (the filter
+    keeps the result non-empty at every sf)."""
+    _quiet()
+    import pyarrow.compute as _pc
+    from hackathon_pagerank_ray.stages.relational import anti_join
+    rd = _rd()
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"],
+                        filter=(_pc.field("o_totalprice") > 250000.0))
+    return anti_join(c, o.select_columns(["o_custkey"]), on="c_custkey",
+                     right_on="o_custkey", num_partitions=8)
+
+
+def _q_minmax_acctbal(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import minmax_normalize
+    c = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_acctbal"])
+    return minmax_normalize(c, "c_acctbal", "acctbal_norm").select_columns(
+        ["c_custkey", "acctbal_norm"])
+
+
+def _q_sum_normalize_orders(sf_dir):
+    """A7 sum-normalize with an exact integer-cents total so the scalar is
+    bit-identical to the SQL oracle's."""
+    _quiet()
+    rd = _rd()
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_orderkey", "o_totalprice"]).materialize()
+
+    def _cents(t: pa.Table) -> pa.Table:
+        v = t["o_totalprice"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(np.rint(v * 100).astype(np.int64))], names=["cents"])
+
+    total = o.map_batches(_cents, batch_format="pyarrow").sum("cents") / 100.0
+
+    def _div(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["o_orderkey"].combine_chunks(),
+             pc.divide(t["o_totalprice"], pa.scalar(total, pa.float64()))],
+            names=["o_orderkey", "price_share"])
+
+    return o.map_batches(_div, batch_format="pyarrow")
+
+
+def _q_revenue_topk(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import topk
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_linenumber", "l_extendedprice",
+                 "l_discount"])
+
+    def _rev(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(t["l_extendedprice"],
+                          pc.subtract(pa.scalar(1.0), t["l_discount"]))
+        if isinstance(rev, pa.ChunkedArray):
+            rev = rev.combine_chunks()
+        return pa.Table.from_arrays(
+            [t["l_orderkey"].combine_chunks(),
+             t["l_linenumber"].combine_chunks(), rev],
+            names=["l_orderkey", "l_linenumber", "revenue"])
+
+    return topk(li.map_batches(_rev, batch_format="pyarrow"),
+                ["revenue", "l_orderkey", "l_linenumber"], 10,
+                descending=[True, False, False])
+
+
+def _q_events_hourly(sf_dir):
+    _quiet()
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts", "value"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.Table.from_arrays(
+            [t["user_id"].combine_chunks(),
+             hour.combine_chunks() if isinstance(hour, pa.ChunkedArray) else hour,
+             t["value"].combine_chunks()],
+            names=["user_id", "hour_bucket", "value"])
+
+    from ray.data.aggregate import Count, Max, Min
+    return (ev.map_batches(_bucket, batch_format="pyarrow")
+            .groupby(["user_id", "hour_bucket"])
+            .aggregate(Count(alias_name="n_events"),
+                       Min("value", alias_name="min_value"),
+                       Max("value", alias_name="max_value")))
+
+
+def _q_event_type_counts(sf_dir):
+    _quiet()
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type"])
+    return ev.groupby("event_type").count().rename_columns(
+        {"count()": "n"})
+
+
+def _q_region_customer_counts(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import inner_join
+    rd = _rd()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet")
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_regionkey"])
+    cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey"])
+    j = inner_join(cust, nation, on="c_nationkey", right_on="n_nationkey",
+                   num_partitions=8)
+    j = inner_join(j, region, on="n_regionkey", right_on="r_regionkey",
+                   num_partitions=8)
+    return j.groupby("r_name").count().rename_columns(
+        {"count()": "n_customers"})
+
+
+def _q_part_filter(sf_dir):
+    _quiet()
+    import pyarrow.dataset  # noqa: F401
+    return _rd().read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_size"],
+        filter=(pc.field("p_size") > 40))
+
+
+def _q_token_counts(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_token_counts
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_token_counts(docs, concurrency=4).select_columns(
+        ["doc_id", "n_tokens"])
+
+
+def _q_term_df(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.functions.tfidf import term_freq_table
+    from hackathon_pagerank_ray.stages.relational import rename
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    tf = term_freq_table(docs)
+    return rename(tf.groupby("term").count(), {"count()": "df"})
+
+
+def _q_stopword_ratio(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_quality_scores
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_quality_scores(docs, concurrency=4).select_columns(
+        ["doc_id", "stopword_ratio"])
+
+
+def _q_exact_text_dedup(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import exact_text_dedup
+    out = exact_text_dedup(_docs_ds(sf_dir, ["doc_id", "text"]))
+    return out.select_columns(["keep_id", "dup_count"])
+
+
+def _q_doc_dedup_longest(sf_dir):
+    _quiet()
+    import pandas as pd
+    docs = _docs_ds(sf_dir, ["doc_id", "lang", "source", "n_chars"])
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["n_chars", "doc_id"],
+                          ascending=[False, True], kind="stable")
+        return g.head(1)
+
+    return docs.groupby(["lang", "source"]).map_groups(
+        _pick, batch_format="pandas")
+
+
+def _q_ann_topk(sf_dir):
+    _quiet()
+    import pyarrow.parquet as pq
+    from hackathon_pagerank_ray.stages.similarity import brute_force_topk
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet")
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    out = brute_force_topk(emb, np.asarray([q0]), k=10, concurrency=4)
+
+    def _round(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["vec_id"].combine_chunks(),
+             pc.round(t["cosine"], 6).combine_chunks()
+             if isinstance(pc.round(t["cosine"], 6), pa.ChunkedArray)
+             else pc.round(t["cosine"], 6)],
+            names=["vec_id", "cosine"])
+
+    return out.select_columns(["vec_id", "cosine"]).map_batches(
+        _round, batch_format="pyarrow")
+
+
+def _q_triangle_counts(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.graph.triangles import triangle_counts
+    return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
+
+
+# -- rows-only (non-SQL-expressible: iterative / hash-seeded) ---------------
+
+def _q_pagerank(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    g = ShardedGraph.build(_edges_ds(sf_dir), num_owners=4)
+    try:
+        ranks, _ = pagerank(g)
+        return ranks.materialize()
+    finally:
+        g.shutdown()
+
+
+def _q_connected_components(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     connected_components)
+    from hackathon_pagerank_ray.graph.triangles import canonical_undirected
+
+    und = canonical_undirected(_edges_ds(sf_dir), 8).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    g = ShardedGraph.build(und, num_owners=4, undirected=True)
+    try:
+        labels, _ = connected_components(g)
+        return labels.materialize()
+    finally:
+        g.shutdown()
+
+
+def _q_label_propagation(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     label_propagation)
+    from hackathon_pagerank_ray.graph.triangles import canonical_undirected
+
+    und = canonical_undirected(_edges_ds(sf_dir), 8).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    g = ShardedGraph.build(und, num_owners=4, undirected=True)
+    try:
+        labels, _ = label_propagation(g, max_iter=10)
+        return labels.materialize()
+    finally:
+        g.shutdown()
+
+
+def _q_minhash_pairs(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import minhash_dedup
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    pairs = minhash_dedup(docs, threshold=0.5, num_partitions=8)
+    return pairs.select_columns(["a", "b"])
+
+
+def _q_simhash_pairs(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import (simhash_candidates,
+                                                          simhash_signatures)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return simhash_candidates(simhash_signatures(docs, concurrency=4),
+                              max_hamming=3)
+
+
+def _q_embedding_near_dups(sf_dir):
+    """The sf embeddings have no natural near-dups (max pair cosine ≈0.48),
+    so deterministic jittered copies (vec_id + 1_000_000) are unioned in —
+    the operator must find exactly the planted (i, i+1e6) pairs."""
+    _quiet()
+    import pyarrow.parquet as pq
+    from hackathon_pagerank_ray.stages.dedup_near import embedding_near_dups
+    rd = _rd()
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    base = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 32)
+    rng = np.random.RandomState(7)
+    jittered = pa.Table.from_pydict({
+        "vec_id": [int(i) + 1_000_000 for i in base["vec_id"].to_pylist()],
+        "embedding": [
+            (np.asarray(v, dtype=np.float32)
+             + 1e-3 * rng.standard_normal(len(v)).astype(np.float32)).tolist()
+            for v in base["embedding"].to_pylist()],
+        "label": base["label"].to_pylist(),
+    })
+    both = emb.union(rd.from_arrow(jittered))
+    return embedding_near_dups(both, threshold=0.99).select_columns(["a", "b"])
+
+
+def _q_language_id(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_language_id
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_language_id(docs, concurrency=4).select_columns(
+        ["doc_id", "lang_pred"])
+
+
+def _q_fingerprints(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_fingerprints
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_fingerprints(docs, concurrency=4).select_columns(
+        ["doc_id", "fingerprint"])
+
+
+def _q_flagship_corpus(sf_dir):
+    """Synthetic page corpus (seeded, no external data) through the full
+    extract → dedup → ids → PageRank pipeline; per-url ranks."""
+    _quiet()
+    from hackathon_pagerank_ray.pipelines.flagship import run_flagship
+    from hackathon_pagerank_ray.testgen import write_pages_parquet
+
+    corpus = "/tmp/graft_corpus_200_s42"
+    if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
+        write_pages_parquet(corpus, 200, seed=42)
+    res = run_flagship(corpus, out_dir=None, target_lang="en",
+                       num_owners=4, top_k=50, checkpoint=False)
+    from hackathon_pagerank_ray.stages.relational import inner_join
+    out = inner_join(res["ranks"], res["vertices"], on="vid",
+                     num_partitions=4).select_columns(["url", "rank"])
+    out = out.materialize()
+    res["graph"].shutdown()
+    return out
+
+
+def _q_tfidf_search(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.functions.tfidf import (build_tfidf_tables,
+                                                        search)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    postings, norms, df_ds, N = build_tfidf_tables(docs, num_partitions=8)
+    out = search(postings, norms, df_ds, N, "data table query fast",
+                 top_k=10, num_partitions=8)
+    return out
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
-
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "out_degrees": _q_out_degrees,
+        "in_degrees": _q_in_degrees,
+        "edge_dedup": _q_edge_dedup,
+        "dangling": _q_dangling,
+        "topk_customers": _q_topk_customers,
+        "orders_join_customer": _q_orders_join_customer,
+        "customer_order_counts": _q_customer_order_counts,
+        "customers_without_orders": _q_customers_without_orders,
+        "minmax_acctbal": _q_minmax_acctbal,
+        "sum_normalize_orders": _q_sum_normalize_orders,
+        "revenue_topk": _q_revenue_topk,
+        "events_hourly": _q_events_hourly,
+        "event_type_counts": _q_event_type_counts,
+        "region_customer_counts": _q_region_customer_counts,
+        "part_filter": _q_part_filter,
+        "token_counts": _q_token_counts,
+        "term_df": _q_term_df,
+        "stopword_ratio": _q_stopword_ratio,
+        "exact_text_dedup": _q_exact_text_dedup,
+        "doc_dedup_longest": _q_doc_dedup_longest,
+        "ann_topk": _q_ann_topk,
+        "triangle_counts": _q_triangle_counts,
+        # rows-only (iterative / hash-seeded, not cleanly SQL-expressible)
+        "pagerank": _q_pagerank,
+        "connected_components": _q_connected_components,
+        "label_propagation": _q_label_propagation,
+        "minhash_pairs": _q_minhash_pairs,
+        "simhash_pairs": _q_simhash_pairs,
+        "embedding_near_dups": _q_embedding_near_dups,
+        "language_id": _q_language_id,
+        "fingerprints": _q_fingerprints,
+        "flagship_corpus": _q_flagship_corpus,
+        "tfidf_search": _q_tfidf_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    E = f"WITH edges AS ({_EDGE_SQL})"
+    STOP = "['the','and','of','to','a','in','is','it','on','for']"
+    return {
+        "out_degrees":
+            f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
+        "in_degrees":
+            f"{E} SELECT dst, COUNT(*) AS indeg FROM edges GROUP BY dst",
+        "edge_dedup":
+            f"{E} SELECT DISTINCT src, dst FROM edges",
+        "dangling":
+            f"{E} SELECT DISTINCT dst FROM edges WHERE dst NOT IN "
+            f"(SELECT src FROM edges)",
+        "topk_customers":
+            "SELECT c_custkey, c_acctbal FROM customer "
+            "ORDER BY c_acctbal DESC, c_custkey LIMIT 10",
+        "orders_join_customer":
+            "SELECT o_orderkey, c_name, o_totalprice FROM orders "
+            "JOIN customer ON o_custkey = c_custkey",
+        "customer_order_counts":
+            "SELECT c_custkey, CAST(COALESCE(n, 0) AS BIGINT) AS n_orders "
+            "FROM customer LEFT JOIN (SELECT o_custkey, COUNT(*) AS n "
+            "FROM orders GROUP BY o_custkey) o ON c_custkey = o.o_custkey",
+        "customers_without_orders":
+            "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 250000)",
+        "minmax_acctbal":
+            "SELECT c_custkey, (c_acctbal - (SELECT MIN(c_acctbal) FROM customer)) / "
+            "((SELECT MAX(c_acctbal) FROM customer) - "
+            "(SELECT MIN(c_acctbal) FROM customer)) AS acctbal_norm "
+            "FROM customer",
+        "sum_normalize_orders":
+            "SELECT o_orderkey, o_totalprice / "
+            "((SELECT SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) "
+            "FROM orders) / 100.0) AS price_share FROM orders",
+        "revenue_topk":
+            "SELECT l_orderkey, l_linenumber, "
+            "l_extendedprice * (1.0 - l_discount) AS revenue FROM lineitem "
+            "ORDER BY revenue DESC, l_orderkey, l_linenumber LIMIT 10",
+        "events_hourly":
+            "SELECT user_id, epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "COUNT(*) AS n_events, MIN(value) AS min_value, "
+            "MAX(value) AS max_value FROM events GROUP BY 1, 2",
+        "event_type_counts":
+            "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+        "region_customer_counts":
+            "SELECT r_name, COUNT(*) AS n_customers FROM customer "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
+        "part_filter":
+            "SELECT p_partkey, p_size FROM part WHERE p_size > 40",
+        "token_counts":
+            r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) "
+            r"AS BIGINT) AS n_tokens FROM documents",
+        "term_df":
+            r"SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "
+            r"unnest(list_distinct(regexp_extract_all(lower(text), '\w+'))) "
+            r"AS term FROM documents) GROUP BY term",
+        "stopword_ratio":
+            r"SELECT doc_id, CASE WHEN len(regexp_extract_all(lower(text), "
+            r"'\w+')) = 0 THEN 0.0 ELSE "
+            rf"CAST(len(list_filter(regexp_extract_all(lower(text), '\w+'), "
+            rf"x -> list_contains({STOP}, x))) AS DOUBLE) / "
+            r"len(regexp_extract_all(lower(text), '\w+')) END "
+            r"AS stopword_ratio FROM documents",
+        "exact_text_dedup":
+            "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
+            "FROM documents GROUP BY text",
+        "doc_dedup_longest":
+            "SELECT doc_id, lang, source, n_chars FROM documents "
+            "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source "
+            "ORDER BY n_chars DESC, doc_id) = 1",
+        "ann_topk":
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id = 0)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        "triangle_counts":
+            f"{E}, e AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "t AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a "
+            "JOIN e b ON b.u = a.u AND b.v > a.v "
+            "JOIN e c ON c.u = a.v AND c.v = b.v), "
+            "corners AS (SELECT x AS vid FROM t UNION ALL "
+            "SELECT y FROM t UNION ALL SELECT z FROM t) "
+            "SELECT vid, COUNT(*) AS triangles FROM corners GROUP BY vid",
+    }

@@ -1,0 +1,191 @@
+"""Bench harness (driver contract + BASELINE.md scaling evidence).
+
+Default mode: runs the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) and a bench-scale synthetic edge graph, prints ONE
+JSON line::
+
+    {"metric": "...", "value": <headline seconds>, "unit": "sec",
+     "queries": {...}, "sf": ..., "num_cpus": N, ...extras}
+
+``--scaling``: runs the identical PageRank job in fresh subprocesses at two
+parallelism levels (env ``GRAFT_SCALE_LO``/``GRAFT_SCALE_HI``, default
+8/32) on the same input and prints both throughputs + scaling efficiency.
+
+Owns its Ray session (scripts only — the library never calls ray.init).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_N = int(os.environ.get("GRAFT_BENCH_N", "2000000"))
+BENCH_M = int(os.environ.get("GRAFT_BENCH_M", "40000000"))
+MESH = int(os.environ.get("GRAFT_BENCH_MESH", "16"))
+CORPUS_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "4000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    from hackathon_pagerank_ray.stages.relational import tune_shuffle
+    tune_shuffle()
+    return ray
+
+
+def _bench_edges_parquet() -> str:
+    """Cache the bench edge table (seeded) as parquet shards under /tmp."""
+    from hackathon_pagerank_ray.testgen import (gen_random_edges_fast,
+                                                write_edges_parquet)
+    path = f"/tmp/graft_bench_edges_n{BENCH_N}_m{BENCH_M}_s7"
+    if not os.path.exists(os.path.join(path, "part-00000.parquet")):
+        edges = gen_random_edges_fast(BENCH_N, BENCH_M, seed=7,
+                                      hub_k=32, hub_frac=0.2)
+        write_edges_parquet(edges, path, n_shards=MESH)
+    return path
+
+
+def _corpus_parquet() -> str:
+    from hackathon_pagerank_ray.testgen import write_pages_parquet
+    path = f"/tmp/graft_bench_corpus_{CORPUS_PAGES}_s42"
+    if not os.path.exists(os.path.join(path, "part-00000.parquet")):
+        write_pages_parquet(path, CORPUS_PAGES, seed=42, n_shards=8)
+    return path
+
+
+def run_pagerank_bench(num_cpus: int) -> dict:
+    """Headline: power-iteration PageRank on the bench graph; reports
+    edges-processed/sec/sweep at tol=1e-6 (north metric)."""
+    _init_ray(num_cpus)
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+
+    path = _bench_edges_parquet()
+    edges = rd.read_parquet(path)
+    t0 = time.perf_counter()
+    graph = ShardedGraph.build(edges, n=BENCH_N, num_owners=MESH,
+                               num_edge_shards=MESH)
+    build_sec = time.perf_counter() - t0
+    ranks, info = pagerank(graph, tol=1e-6, max_iter=40, checkpoint_dir=None)
+    graph.shutdown()
+    return {
+        "build_sec": round(build_sec, 2),
+        "pagerank_sec": round(info["elapsed_sec"], 2),
+        "sweeps": info["sweeps"],
+        "converged": info["converged"],
+        "edges": graph.m,
+        "edges_per_sec_per_sweep": round(info["edges_per_sec_per_sweep"] or 0),
+    }
+
+
+def run_queries(sf_dir: str) -> dict:
+    """Per-query wall times over the sf tables (driver-recorded)."""
+    import __ray_entry__ as entrymod
+
+    picks = ["out_degrees", "edge_dedup", "topk_customers",
+             "orders_join_customer", "events_hourly", "token_counts",
+             "term_df", "exact_text_dedup", "ann_topk", "minhash_pairs",
+             "pagerank", "connected_components", "triangle_counts"]
+    qs = entrymod.queries()
+    times = {}
+    for name in picks:
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](sf_dir)
+            if hasattr(res, "materialize"):
+                res = res.materialize()
+            times[name] = round(time.perf_counter() - t0, 2)
+        except Exception as e:  # pragma: no cover - surfaced in the JSON
+            times[name] = f"ERROR: {type(e).__name__}"
+    return times
+
+
+def run_extract_bench() -> dict:
+    """Page-parse throughput: corpus parquet → links+text (the M5-M8 actor
+    stage), pages/sec."""
+    from hackathon_pagerank_ray.pipelines.flagship import build_graph_tables
+    from hackathon_pagerank_ray.sources.readers import read_pages
+
+    corpus = _corpus_parquet()
+    t0 = time.perf_counter()
+    docs, vertices, edges = build_graph_tables(read_pages(corpus))
+    n_docs = docs.count()
+    m = edges.count()
+    dt = time.perf_counter() - t0
+    return {"extract_sec": round(dt, 2), "docs": n_docs, "edges": m,
+            "pages_per_sec": round(n_docs / dt, 1)}
+
+
+def main():
+    ray = _init_ray(NUM_CPUS)
+    pr = run_pagerank_bench(NUM_CPUS)
+    ex = run_extract_bench()
+    queries = run_queries(SF_DIR)
+    total_query_sec = sum(v for v in queries.values()
+                          if isinstance(v, (int, float)))
+    out = {
+        "metric": "pagerank_wall_sec_to_1e-6_plus_extract_and_queries",
+        "value": round(pr["pagerank_sec"] + ex["extract_sec"]
+                       + total_query_sec, 2),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "pagerank": pr,
+        "extract": ex,
+    }
+    print(json.dumps(out))
+    ray.shutdown()
+
+
+def scaling():
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    results = {}
+    for ncpu in (lo, hi):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_BENCH_ONLY_PAGERANK="1")
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--pagerank-only"],
+            env=env, capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+        results[ncpu] = json.loads(out.stdout.strip().splitlines()[-1])
+    eps_lo = results[lo]["pagerank"]["edges_per_sec_per_sweep"]
+    eps_hi = results[hi]["pagerank"]["edges_per_sec_per_sweep"]
+    eff = (eps_hi / eps_lo) / (hi / lo)
+    print(json.dumps({
+        "metric": "pagerank_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "edges_per_sec_per_sweep_lo": eps_lo,
+        "edges_per_sec_per_sweep_hi": eps_hi,
+        "detail": {str(k): v["pagerank"] for k, v in results.items()},
+    }))
+
+
+def pagerank_only():
+    ray = _init_ray(NUM_CPUS)
+    pr = run_pagerank_bench(NUM_CPUS)
+    print(json.dumps({"metric": "pagerank_only", "value": pr["pagerank_sec"],
+                      "unit": "sec", "num_cpus": NUM_CPUS, "pagerank": pr}))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    elif "--pagerank-only" in sys.argv:
+        pagerank_only()
+    else:
+        main()

@@ -1,0 +1,123 @@
+"""Engine CLI (SURVEY.md X3) — the Ray-native analogue of the reference's
+CLI knobs (crawler/crawl.py:11-40, api/build_corpus.py:215-265,
+backend/cuda/pagerank_gpu.cu:357-370).  Launch directly or via
+``ray job submit -- python -m hackathon_pagerank_ray.cli ...``.
+
+Subcommands::
+
+    flagship  <pages_parquet_dir> --out DIR [--lang en] [--damping 0.85]
+              [--tol 1e-8] [--max-iter 100] [--top-k 100] [--owners 8]
+              [--resume]
+    pagerank  <edges.(txt|parquet dir)> --out DIR [--damping/--tol/...]
+    gen-corpus <out_dir> --pages N [--seed 42]
+
+Owns the Ray session (guarded init; the library itself never inits).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ensure_ray(num_cpus: int | None):
+    import ray
+    if not ray.is_initialized():
+        kwargs = dict(address="local", include_dashboard=False,
+                      ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+    DataContext.get_current().enable_progress_bars = False
+    from .stages.relational import tune_shuffle
+    tune_shuffle()
+    return ray
+
+
+def _add_pr_args(p):
+    p.add_argument("--damping", type=float, default=0.85)
+    p.add_argument("--tol", type=float, default=1e-8)
+    p.add_argument("--max-iter", type=int, default=100)
+    p.add_argument("--top-k", type=int, default=100)
+    p.add_argument("--owners", type=int, default=8)
+    p.add_argument("--dangling-mode", choices=["distribute", "teleport"],
+                   default="distribute")
+    p.add_argument("--num-cpus", type=int, default=None)
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="hackathon_pagerank_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    f = sub.add_parser("flagship")
+    f.add_argument("pages")
+    f.add_argument("--out", required=True)
+    f.add_argument("--lang", default=None)
+    f.add_argument("--resume", action="store_true")
+    _add_pr_args(f)
+
+    g = sub.add_parser("pagerank")
+    g.add_argument("edges")
+    g.add_argument("--out", required=True)
+    g.add_argument("--resume", action="store_true")
+    _add_pr_args(g)
+
+    c = sub.add_parser("gen-corpus")
+    c.add_argument("out_dir")
+    c.add_argument("--pages", type=int, default=1000)
+    c.add_argument("--seed", type=int, default=42)
+
+    args = ap.parse_args(argv)
+
+    if args.cmd == "gen-corpus":
+        from .testgen import write_pages_parquet
+        path = write_pages_parquet(args.out_dir, args.pages, seed=args.seed)
+        print(json.dumps({"corpus": path, "pages": args.pages}))
+        return 0
+
+    ray = _ensure_ray(args.num_cpus)
+    try:
+        if args.cmd == "flagship":
+            from .pipelines.flagship import run_flagship
+            res = run_flagship(args.pages, out_dir=args.out,
+                               target_lang=args.lang, alpha=args.damping,
+                               tol=args.tol, max_iter=args.max_iter,
+                               top_k=args.top_k, num_owners=args.owners,
+                               resume=args.resume)
+            res["graph"].shutdown()
+            print(json.dumps(res["info"]))
+        else:
+            from .graph.engine import ShardedGraph, pagerank
+            from .sources.writers import write_rank_report
+            if args.edges.endswith(".txt"):
+                from .sources.readers import read_edge_txt
+                edges = read_edge_txt(args.edges)
+            else:
+                from .sources.readers import read_edges_parquet
+                edges = read_edges_parquet(args.edges)
+            graph = ShardedGraph.build(edges, num_owners=args.owners)
+            os.makedirs(args.out, exist_ok=True)
+            ranks, info = pagerank(
+                graph, alpha=args.damping, tol=args.tol,
+                max_iter=args.max_iter, dangling_mode=args.dangling_mode,
+                checkpoint_dir=os.path.join(args.out, "checkpoints"),
+                resume=args.resume)
+            ranks.write_parquet(os.path.join(args.out, "ranks"))
+            dangling = sum(m["dangling"] for m in
+                           ray.get([ow.finalize_build.remote()
+                                    for ow in graph.owners]))
+            write_rank_report(ranks, os.path.join(args.out, "report.txt"),
+                              n=graph.n, m=graph.m, dangling_count=dangling,
+                              top_k=args.top_k)
+            graph.shutdown()
+            print(json.dumps(info))
+        return 0
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,185 @@
+"""Distributed TF-IDF tables + query-time scoring (SURVEY.md T4/Q1/Q3/M10).
+
+Formulas are the reference's exactly (api/tfidf_index.py:50-132):
+``idf = log((1+N)/(1+df)) + 1``; postings weight ``tf·idf``; doc norm
+``sqrt(Σ w²)`` ; query scored by cosine ``dot/(q_norm·doc_norm)``; blended
+ranking ``0.8·tfidf + 0.2·pagerank_norm`` (api/main.py:387-398); snippet
+window generation (api/main.py:332-362).
+
+Physical plan: tokenize per batch (actor pool) → explode to (doc, term, tf)
+→ ``groupby(term)`` for df (the only corpus-wide shuffle) → broadcast
+idf-join → per-doc norm groupby.  Query scoring broadcasts the (tiny)
+query-term weights and never shuffles the corpus.
+"""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+
+from ..stages.schema_util import drop_empty_blocks
+from ..stages.text_ops import tokenize
+
+
+def term_freq_table(docs_ds, id_col="doc_id", text_col="text"):
+    """(doc, term, tf) rows — one per distinct term per doc."""
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, terms, tfs = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            for term, tf in Counter(tokenize(text)).items():
+                ids.append(doc_id)
+                terms.append(term)
+                tfs.append(float(tf))
+        return pd.DataFrame({id_col: ids, "term": terms, "tf": tfs})
+
+    return docs_ds.map_batches(_explode, batch_format="pandas")
+
+
+def build_tfidf_tables(docs_ds, id_col="doc_id", text_col="text",
+                       num_partitions: int = 8):
+    """Returns (postings_ds (doc, term, weight), norms_ds (doc, norm),
+    df_ds (term, df), N).  Weights/norms follow api/tfidf_index.py:65-93.
+
+    NOTE: the reference counts only docs with ≥1 token into N
+    (api/tfidf_index.py:55-58) — replicated here.
+    """
+    tf = drop_empty_blocks(term_freq_table(docs_ds, id_col, text_col))
+    # N = docs with ≥1 token, counted dataset-side (no driver list)
+    N = tf.select_columns([id_col]).groupby(id_col).count().count()
+
+    from ..stages.relational import rename
+    df_ds = drop_empty_blocks(
+        rename(tf.groupby("term").count(), {"count()": "df"}))
+
+    def _idf(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["idf"] = np.log((1.0 + N) / (1.0 + batch["df"])) + 1.0
+        return batch
+
+    idf_ds = df_ds.map_batches(_idf, batch_format="pandas")
+
+    from ..stages.relational import inner_join
+    postings = inner_join(tf, idf_ds.select_columns(["term", "idf"]),
+                          on="term", num_partitions=num_partitions)
+
+    def _weight(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["weight"] = batch["tf"] * batch["idf"]
+        return batch[[id_col, "term", "weight"]]
+
+    postings = drop_empty_blocks(
+        postings.map_batches(_weight, batch_format="pandas"))
+
+    sq = postings.map_batches(
+        lambda b: pd.DataFrame({id_col: b[id_col],
+                                "w2": b["weight"] ** 2}),
+        batch_format="pandas")
+    norms = sq.groupby(id_col).sum("w2")
+
+    def _sqrt(batch: pd.DataFrame) -> pd.DataFrame:
+        n = np.sqrt(batch["sum(w2)"].to_numpy())
+        n[n <= 0] = 1.0                      # api/tfidf_index.py:92 guard
+        batch["norm"] = n
+        return batch[[id_col, "norm"]]
+
+    norms = drop_empty_blocks(norms.map_batches(_sqrt, batch_format="pandas"))
+    return postings, norms, df_ds, N
+
+
+def query_weights(query: str, df_map: dict[str, float], N: int):
+    """Reference query vectorization (api/tfidf_index.py:95-110)."""
+    q_tf = Counter(tokenize(query))
+    weights = {}
+    for term, freq in q_tf.items():
+        df = df_map.get(term)
+        if df is None:
+            continue
+        idf = math.log((1.0 + N) / (1.0 + df)) + 1.0
+        weights[term] = freq * idf
+    q_norm_sq = sum(w * w for w in weights.values())
+    return weights, math.sqrt(q_norm_sq) if q_norm_sq > 0 else 1.0
+
+
+def search(postings_ds, norms_ds, df_ds, N, query: str, top_k: int = 10,
+           id_col="doc_id", num_partitions: int = 8):
+    """Cosine-scored search (Q1): broadcast query weights → filter postings
+    → groupby(doc).sum(dot) → normalize → top-k."""
+    import ray
+
+    df_map = {r["term"]: r["df"] for r in df_ds.take_all()}
+    weights, q_norm = query_weights(query, df_map, N)
+    if not weights:
+        return None
+    wref = ray.put(weights)
+
+    def _dot(batch: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(wref)
+        mask = batch["term"].isin(w)
+        sub = batch[mask]
+        return pd.DataFrame({
+            id_col: sub[id_col],
+            "dot": sub["weight"] * sub["term"].map(w),
+        })
+
+    dots = drop_empty_blocks(
+        postings_ds.map_batches(_dot, batch_format="pandas")
+        .groupby(id_col).sum("dot"))
+
+    from ..stages.relational import inner_join, topk
+    scored = inner_join(dots, norms_ds, on=id_col,
+                        num_partitions=num_partitions)
+
+    def _cos(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["tfidf_score"] = batch["sum(dot)"] / (q_norm * batch["norm"])
+        return batch[[id_col, "tfidf_score"]]
+
+    scored = scored.map_batches(_cos, batch_format="pandas")
+    return topk(scored, ["tfidf_score", id_col], top_k,
+                descending=[True, False])
+
+
+def blended_search(postings_ds, norms_ds, df_ds, N, pagerank_norm_ds,
+                   query: str, top_k: int = 10, id_col="doc_id",
+                   alpha: float = 0.8, beta: float = 0.2,
+                   num_partitions: int = 8):
+    """Q3: ``alpha·tfidf + beta·pagerank_norm`` with the reference's 3×
+    candidate over-fetch (api/main.py:385-413)."""
+    base = search(postings_ds, norms_ds, df_ds, N, query, top_k * 3,
+                  id_col, num_partitions)
+    if base is None:
+        return None
+    from ..stages.relational import left_join_coalesce, topk
+    joined = left_join_coalesce(base, pagerank_norm_ds, on=id_col,
+                                fill={"pagerank_norm": 0.0},
+                                num_partitions=num_partitions)
+
+    def _blend(batch: pd.DataFrame) -> pd.DataFrame:
+        batch["combined_score"] = (alpha * batch["tfidf_score"]
+                                   + beta * batch["pagerank_norm"])
+        return batch
+
+    return topk(joined.map_batches(_blend, batch_format="pandas"),
+                ["combined_score", id_col], top_k, descending=[True, False])
+
+
+def make_snippet(text: str, query: str, max_len: int = 220) -> str:
+    """Reference snippet window (api/main.py:332-362), byte-compatible."""
+    if not text:
+        return ""
+    lowered = text.lower()
+    pos = None
+    for term in [t for t in query.lower().split() if t]:
+        idx = lowered.find(term)
+        if idx != -1:
+            pos = idx if pos is None else min(pos, idx)
+    if pos is None:
+        return (text[:max_len] + "…") if len(text) > max_len else text
+    start = max(0, pos - max_len // 3)
+    end = min(len(text), start + max_len)
+    snippet = text[start:end].strip()
+    if start > 0:
+        snippet = "… " + snippet
+    if end < len(text):
+        snippet = snippet + " …"
+    return snippet

@@ -17,6 +17,14 @@ import pyarrow.compute as pc
 
 from ..stages.degrees import out_degrees
 from ..stages.relational import inner_join, left_join_coalesce, semi_join
+from ..stages.schema_util import drop_empty_blocks, enforce_schema
+
+_VID = pa.schema([pa.field("vid", pa.int64())])
+_GATHERED = pa.schema([pa.field("vid", pa.int64()),
+                       pa.field("sum(contrib)", pa.float64())])
+_CONTRIB = pa.schema([pa.field("vid", pa.int64()),
+                      pa.field("contrib", pa.float64())])
+_RANKS = pa.schema([pa.field("vid", pa.int64()), pa.field("rank", pa.float64())])
 
 
 def pagerank_dataset(edges_ds, n: int | None = None, alpha: float = 0.85,
@@ -42,15 +50,16 @@ def pagerank_dataset(edges_ds, n: int | None = None, alpha: float = 0.85,
     # edges with 1/outdeg attached — computed once, reused every sweep
     e = inner_join(edges_ds, deg.map_batches(_inv, batch_format="pyarrow"),
                    on="src", num_partitions=num_partitions)
-    e = e.select_columns(["src", "dst", "inv_out"]).materialize()
+    e = drop_empty_blocks(e.select_columns(["src", "dst", "inv_out"]))
 
     vertices = rd.range(n).map_batches(
         lambda t: pa.Table.from_arrays(
             [pc.cast(t["id"], pa.int64())], names=["vid"]),
         batch_format="pyarrow").materialize()
-    dangling = vertices.join(
+    dangling = enforce_schema(vertices.join(
         deg.rename_columns({"src": "vid"}), "left_anti", num_partitions,
-        on=("vid",)).materialize()
+        on=("vid",), validate_schemas=True), _VID)
+    dangling = drop_empty_blocks(dangling)
     # an empty materialized dataset carries no schema and breaks later
     # joins — and with no dangling vertices the per-sweep mass is just 0
     has_dangling = dangling.count() > 0
@@ -70,29 +79,34 @@ def pagerank_dataset(edges_ds, n: int | None = None, alpha: float = 0.85,
 
         contribs = inner_join(ranks.rename_columns({"vid": "src"}), e,
                               on="src", num_partitions=num_partitions)
-        contribs = contribs.map_batches(
-            lambda t: pa.Table.from_arrays(
-                [t["dst"].combine_chunks(),
-                 pc.multiply(t["rank"], t["inv_out"]).combine_chunks()
-                 if isinstance(pc.multiply(t["rank"], t["inv_out"]), pa.ChunkedArray)
-                 else pc.multiply(t["rank"], t["inv_out"])],
-                names=["vid", "contrib"]),
-            batch_format="pyarrow")
-        gathered = contribs.groupby("vid").sum("contrib")
+        def _contrib(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _CONTRIB.empty_table()
+            prod = pc.multiply(t["rank"], t["inv_out"])
+            if isinstance(prod, pa.ChunkedArray):
+                prod = prod.combine_chunks()
+            return pa.Table.from_arrays(
+                [t["dst"].combine_chunks(), prod], names=["vid", "contrib"])
+
+        contribs = contribs.map_batches(_contrib, batch_format="pyarrow")
+        gathered = drop_empty_blocks(enforce_schema(
+            contribs.groupby("vid").sum("contrib"), _GATHERED))
 
         new_ranks = left_join_coalesce(vertices, gathered, on="vid",
                                        fill={"sum(contrib)": 0.0},
                                        num_partitions=num_partitions)
 
         def _update(t: pa.Table, dm=dm) -> pa.Table:
+            if t.num_rows == 0 or t.num_columns == 0:
+                return _RANKS.empty_table()
             y = pc.add(t["sum(contrib)"], pa.scalar(dm / n, pa.float64()))
             r = pc.add(pc.multiply(y, pa.scalar(alpha, pa.float64())),
                        pa.scalar(teleport, pa.float64()))
             return pa.Table.from_arrays(
                 [t["vid"].combine_chunks(), r], names=["vid", "rank"])
 
-        new_ranks = new_ranks.map_batches(_update,
-                                          batch_format="pyarrow").materialize()
+        new_ranks = drop_empty_blocks(
+            new_ranks.map_batches(_update, batch_format="pyarrow"))
 
         diff = inner_join(new_ranks.rename_columns({"rank": "rank_new"}),
                           ranks, on="vid", num_partitions=num_partitions)

@@ -140,12 +140,19 @@ class ShardedGraph:
 def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
              max_iter: int = 100, checkpoint_dir: str | None = None,
              checkpoint_every: int = 1, resume: bool = False,
-             normalize: bool = True):
+             normalize: bool = True, dangling_mode: str = "distribute"):
     """Distributed power iteration, reference semantics
     (backend/cuda/pagerank_gpu.cu:137-191): per sweep measure dangling mass
     on the in-vector, ``r' = α·(P·r + dm/n) + (1-α)/n``, L1 stop AFTER the
     sweep, final sum-normalize.  Returns ``(ranks_dataset, info)``.
+
+    ``dangling_mode``: ``"distribute"`` spreads dangling mass uniformly
+    (the G1/G2 semantics); ``"teleport"`` discards it — the alternative
+    strategy of the reference's browser implementation
+    (frontend/app/page.tsx:294-365, G4).
     """
+    if dangling_mode not in ("distribute", "teleport"):
+        raise ValueError(dangling_mode)
     owners = graph.owners
     start_it = 0
     residual = math.inf
@@ -174,6 +181,8 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     for it in range(start_it, max_iter):
         dangling_mass = sum(ray.get(
             [ow.start_pagerank_sweep.remote() for ow in owners]))
+        if dangling_mode == "teleport":
+            dangling_mass = 0.0
         partials = graph._partial_refs("pagerank_partials")
         deltas = ray.get([
             ow.apply_pagerank_update.remote(

@@ -23,6 +23,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..stages.relational import distinct, inner_join, left_join_coalesce
+from ..stages.schema_util import drop_empty_blocks, enforce_schema
+
+_WEDGE_SCHEMA = pa.schema([pa.field("a", pa.int64()), pa.field("b", pa.int64()),
+                           pa.field("c", pa.int64())])
+_CLOSE_SCHEMA = pa.schema([pa.field("b", pa.int64()), pa.field("c", pa.int64())])
+_CORNER_SCHEMA = pa.schema([pa.field("vid", pa.int64())])
 
 
 def canonical_undirected(edges_ds, num_partitions: int = 16):
@@ -77,32 +83,37 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16):
             [pa.array(a), pa.array(b), pa.array(db)],
             names=["a", "b", "deg_b"])
 
-    oriented = withdeg.map_batches(_orient, batch_format="pyarrow").materialize()
+    oriented = drop_empty_blocks(
+        withdeg.map_batches(_orient, batch_format="pyarrow"))
 
     # wedges: for each a, all (b, c) pairs of its oriented neighbors with
     # b before c in (deg, vid) order — so (b, c) is itself oriented and can
     # close only via the oriented edge b→c
     def _wedges(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "c": []})
+            return pd.DataFrame({"a": pd.Series(dtype="int64"), "b": pd.Series(dtype="int64"), "c": pd.Series(dtype="int64")})
         g = g.sort_values(["deg_b", "b"], kind="stable")
         nb = g["b"].to_numpy()
         i, j = np.triu_indices(len(nb), k=1)
         return pd.DataFrame({"a": np.full(len(i), g["a"].iloc[0]),
                              "b": nb[i], "c": nb[j]})
 
-    wedges = oriented.groupby("a").map_groups(_wedges, batch_format="pandas")
+    wedges = drop_empty_blocks(enforce_schema(
+        oriented.groupby("a").map_groups(_wedges, batch_format="pandas"),
+        _WEDGE_SCHEMA))
 
     # fresh projection (rename a→b, b→c would collide with existing names)
-    closing = oriented.map_batches(
+    closing = enforce_schema(oriented.map_batches(
         lambda t: pa.Table.from_arrays(
             [t["a"].combine_chunks(), t["b"].combine_chunks()],
             names=["b", "c"]),
-        batch_format="pyarrow")
+        batch_format="pyarrow"), _CLOSE_SCHEMA)
     tris = inner_join(wedges, closing, on=("b", "c"),
                       num_partitions=num_partitions)
 
     def _corners(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0 or t.num_columns == 0:
+            return _CORNER_SCHEMA.empty_table()
         return pa.Table.from_arrays(
             [pa.concat_arrays([t["a"].combine_chunks().cast(pa.int64()),
                                t["b"].combine_chunks().cast(pa.int64()),
@@ -116,7 +127,7 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16):
     if vertices_ds is not None:
         # result-sized; materializing sidesteps an Acero planning failure
         # when the full lazy diamond feeds the final outer join
-        counts = counts.materialize()
+        counts = drop_empty_blocks(counts)
         out = left_join_coalesce(vertices_ds.select_columns(["vid"]), counts,
                                  on="vid", fill={"triangles": 0},
                                  num_partitions=num_partitions)

@@ -26,7 +26,8 @@ def n_from_edges(edges: np.ndarray) -> int:
 
 
 def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
-             tol: float = 1e-8, max_iter: int = 100):
+             tol: float = 1e-8, max_iter: int = 100,
+             dangling_mode: str = "distribute"):
     """Power iteration with dangling redistribution; returns (ranks, sweeps,
     residual).  Semantics of backend/cuda/pagerank_gpu.cu:137-191."""
     if n is None:
@@ -47,7 +48,7 @@ def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
     teleport = (1.0 - alpha) / n
     sweeps, delta = 0, np.inf
     for it in range(max_iter):
-        dangling_mass = r[dangling].sum()
+        dangling_mass = r[dangling].sum() if dangling_mode == "distribute" else 0.0
         contrib = r[src] * inv_out[src]
         y = np.bincount(dst, weights=contrib, minlength=n)
         r_new = alpha * (y + dangling_mass / n) + teleport

@@ -28,7 +28,7 @@ from ..stages.relational import inner_join, topk
 
 def build_graph_tables(pages_ds, target_lang: str | None = None,
                        concurrency=None, batch_size: int = 128,
-                       num_partitions: int = 16):
+                       num_partitions: int | None = None):
     """pages → (docs, vertices, edges) Datasets.
 
     ``parsed`` is materialized once because two branches (docs and edges)
@@ -36,6 +36,11 @@ def build_graph_tables(pages_ds, target_lang: str | None = None,
     extracted text + link lists, not the raw bytes.
     """
     import ray.data as rd
+
+    from ..stages.relational import default_num_partitions, tune_shuffle
+    tune_shuffle()
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
 
     parsed = parse_pages(pages_ds, target_lang=target_lang,
                          concurrency=concurrency,
@@ -62,12 +67,14 @@ def build_graph_tables(pages_ds, target_lang: str | None = None,
 
 
 def pagerank_report(ranks_ds, vertices_ds, k: int = 100,
-                    num_partitions: int = 16):
+                    num_partitions: int | None = None):
     """J1 + K1: (vid, url, rank) top-k sorted desc, vid as tiebreaker —
     the Parquet-native form of the reference's text report + pagerank.json
     (backend/cuda/pagerank_gpu.cu:438-443, backend/data/parse_pagerank.py)."""
+    from ..stages.relational import default_num_partitions
     joined = inner_join(ranks_ds, vertices_ds, on="vid",
-                        num_partitions=num_partitions)
+                        num_partitions=num_partitions
+                        or default_num_partitions())
     return topk(joined.select_columns(["vid", "url", "rank"]),
                 ["rank", "vid"], k, descending=[True, False])
 

@@ -30,7 +30,8 @@ def inner_join(left, right, on, right_on=None, num_partitions: int = 16):
     """Hash-partitioned inner join (SURVEY.md J1 semantics: rows without a
     match are dropped, backend/data/parse_pagerank.py:43-55)."""
     return left.join(right, "inner", num_partitions, on=_t(on),
-                     right_on=_t(right_on) if right_on else None)
+                     right_on=_t(right_on) if right_on else None,
+                     validate_schemas=True)
 
 
 def left_join_coalesce(left, right, on, fill: dict,
@@ -38,7 +39,8 @@ def left_join_coalesce(left, right, on, fill: dict,
     """Left join + fill missing right columns (SURVEY.md J3: pagerank
     defaults to 0.0 for unranked urls, api/main.py:391-398)."""
     joined = left.join(right, "left_outer", num_partitions, on=_t(on),
-                       right_on=_t(right_on) if right_on else None)
+                       right_on=_t(right_on) if right_on else None,
+                       validate_schemas=True)
 
     def _fill(t: pa.Table) -> pa.Table:
         for col, val in fill.items():
@@ -54,12 +56,14 @@ def anti_join(left, right, on, num_partitions: int = 16, right_on=None):
     """Rows of ``left`` with no match in ``right`` (SURVEY.md J4/D5,
     api/check.py:18-22)."""
     return left.join(right, "left_anti", num_partitions, on=_t(on),
-                     right_on=_t(right_on) if right_on else None)
+                     right_on=_t(right_on) if right_on else None,
+                     validate_schemas=True)
 
 
 def semi_join(left, right, on, num_partitions: int = 16, right_on=None):
     return left.join(right, "left_semi", num_partitions, on=_t(on),
-                     right_on=_t(right_on) if right_on else None)
+                     right_on=_t(right_on) if right_on else None,
+                     validate_schemas=True)
 
 
 def sum_normalize(ds, col: str, out_col: str | None = None):
@@ -94,6 +98,33 @@ def minmax_normalize(ds, col: str, out_col: str | None = None):
         return t.append_column(out_col, arr)
 
     return ds.map_batches(_scale, batch_format="pyarrow")
+
+
+def default_num_partitions() -> int:
+    """Join/shuffle partition count sized to the session's CPUs — two hash
+    joins can be live in one plan, and each join's aggregator pool reserves
+    CPUs, so oversized pools deadlock small sessions."""
+    import ray
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    return max(2, min(16, cpus // 2))
+
+
+def tune_shuffle() -> None:
+    """Cap hash-shuffle aggregator actors so concurrent join pools always
+    fit the session (call once per session before running join plans)."""
+    import ray
+    from ray.data import DataContext
+    cpus = int(ray.cluster_resources().get("CPU", 8)) if ray.is_initialized() else 8
+    ctx = DataContext.get_current()
+    ctx.max_hash_shuffle_aggregators = max(2, cpus // 4)
+
+
+def rename(ds, mapping: dict):
+    """Format-agnostic column rename (Dataset.rename_columns breaks on
+    pandas-format blocks in Ray 2.49)."""
+    def _r(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(n, n) for n in t.schema.names])
+    return ds.map_batches(_r, batch_format="pyarrow")
 
 
 def _t(on):

@@ -1,0 +1,186 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-the-reference ops (task brief): token counting (the reference's
+tokenizer semantics, api/tfidf_index.py:23-28), language-ID by stopword
+n-gram heuristic, quality scoring, and rolling-hash document fingerprints.
+All are stateful ``map_batches`` stages: regexes/tables compile once per
+actor; per-batch work runs over pandas/numpy.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+
+TOKEN_RE = re.compile(r"\b\w+\b", re.UNICODE)
+
+# small, deterministic per-language function-word profiles
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "it", "on", "for",
+           "with", "as", "was", "that", "this"},
+    "de": {"der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine",
+           "zu", "den", "von", "im", "auf", "für"},
+    "fr": {"le", "la", "les", "et", "de", "des", "un", "une", "est", "dans",
+           "que", "pour", "sur", "avec", "pas"},
+}
+_STOPWORDS_EN = _LANG_PROFILES["en"]
+
+
+def tokenize(text: str) -> list[str]:
+    """Reference tokenizer: lowercase ``\\b\\w+\\b`` matches
+    (api/tfidf_index.py:23-28)."""
+    return [t.lower() for t in TOKEN_RE.findall(text or "")]
+
+
+class TokenCount:
+    """(id, text) → + ``n_tokens`` (int64)."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = TOKEN_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch["n_tokens"] = [
+            len(self.re.findall(t or "")) for t in batch[self.text_col]
+        ]
+        return batch
+
+
+class QualityScore:
+    """Heuristic quality features: char length, token count, mean token
+    length, stopword ratio, alpha ratio, punctuation density."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = TOKEN_RE
+        self.stop = _STOPWORDS_EN
+        self.punct = re.compile(r"[.,;:!?]")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        n_chars, n_tok, mean_len, stop_r, alpha_r, punct_d = [], [], [], [], [], []
+        for t in batch[self.text_col]:
+            t = t or ""
+            toks = [x.lower() for x in self.re.findall(t)]
+            n_chars.append(len(t))
+            n_tok.append(len(toks))
+            mean_len.append(sum(map(len, toks)) / len(toks) if toks else 0.0)
+            stop_r.append(sum(x in self.stop for x in toks) / len(toks)
+                          if toks else 0.0)
+            alpha_r.append(sum(c.isalpha() for c in t) / len(t) if t else 0.0)
+            punct_d.append(len(self.punct.findall(t)) / len(t) if t else 0.0)
+        batch["n_chars"] = np.asarray(n_chars, dtype=np.int64)
+        batch["n_tokens"] = np.asarray(n_tok, dtype=np.int64)
+        batch["mean_token_len"] = mean_len
+        batch["stopword_ratio"] = stop_r
+        batch["alpha_ratio"] = alpha_r
+        batch["punct_density"] = punct_d
+        return batch
+
+
+class LanguageId:
+    """Deterministic function-word language ID → ``lang_pred``/``lang_conf``.
+
+    Scores each language by the fraction of tokens found in its profile;
+    argmax with alphabetical tie-break; ``"und"`` when no profile token is
+    seen."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = TOKEN_RE
+        self.profiles = sorted(_LANG_PROFILES.items())
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        preds, confs = [], []
+        for t in batch[self.text_col]:
+            toks = [x.lower() for x in self.re.findall(t or "")]
+            if not toks:
+                preds.append("und")
+                confs.append(0.0)
+                continue
+            best_lang, best = "und", 0.0
+            for lang, prof in self.profiles:
+                score = sum(x in prof for x in toks) / len(toks)
+                if score > best:
+                    best_lang, best = lang, score
+            preds.append(best_lang if best > 0 else "und")
+            confs.append(best)
+        batch["lang_pred"] = preds
+        batch["lang_conf"] = confs
+        return batch
+
+
+_FP_BASE = np.uint64(1099511628211)      # FNV-ish multiplier
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def _fnv1a_bytes(data: bytes) -> int:
+    h = int(_FP_OFFSET)
+    for b in data:
+        h = ((h ^ b) * int(_FP_BASE)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def token_hashes(tokens: list[str]) -> np.ndarray:
+    """Deterministic 64-bit hash per token (FNV-1a over utf-8)."""
+    return np.fromiter((_fnv1a_bytes(t.encode("utf-8")) for t in tokens),
+                       dtype=np.uint64, count=len(tokens))
+
+
+def shingle_hashes(tokens: list[str], k: int = 3) -> np.ndarray:
+    """Rolling k-token shingle fingerprints (polynomial combine of token
+    hashes) — the document-fingerprinting primitive shared by MinHash and
+    winnowing."""
+    th = token_hashes(tokens)
+    if len(th) < k:
+        return np.unique(th)
+    with np.errstate(over="ignore"):
+        acc = th[: len(th) - k + 1].copy()
+        for i in range(1, k):
+            acc = acc * _FP_BASE + th[i: len(th) - k + 1 + i]
+    return np.unique(acc)
+
+
+class Fingerprint:
+    """Whole-document fingerprint (order-sensitive rolling hash) plus a
+    winnowed min-sample of shingle hashes."""
+
+    def __init__(self, text_col: str = "text", k: int = 3, sample: int = 8):
+        self.text_col = text_col
+        self.k = k
+        self.sample = sample
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        fps, mins = [], []
+        for t in batch[self.text_col]:
+            toks = tokenize(t)
+            fps.append(np.int64(np.uint64(
+                _fnv1a_bytes(" ".join(toks).encode("utf-8")))
+                .astype(np.int64)))
+            sh = shingle_hashes(toks, self.k)
+            sel = np.sort(sh)[: self.sample]
+            mins.append(sel.astype(np.int64).tolist())
+        batch["fingerprint"] = np.asarray(fps, dtype=np.int64)
+        batch["min_shingles"] = mins
+        return batch
+
+
+def add_token_counts(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(TokenCount, fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def add_quality_scores(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(QualityScore, fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def add_language_id(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(LanguageId, fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def add_fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
+    return ds.map_batches(Fingerprint, fn_constructor_kwargs={"text_col": text_col},
+                          batch_format="pandas", concurrency=concurrency)

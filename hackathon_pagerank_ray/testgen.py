@@ -259,6 +259,31 @@ def gen_random_edges(n: int, m: int, seed: int = 7) -> np.ndarray:
     return np.array(sorted(edges), dtype=np.int64)
 
 
+def gen_random_edges_fast(n: int, m: int, seed: int = 7,
+                          hub_k: int = 0, hub_frac: float = 0.3) -> np.ndarray:
+    """Vectorized random digraph generator for bench-scale graphs.
+
+    No self-loops (by construction, no rejection loop); unlike
+    :func:`gen_random_edges` duplicates are NOT removed — at bench scales
+    the collision rate is ~m/(n·(n-1)) and multi-edges are handled
+    identically by engine and oracle (both weight by multiplicity).
+    ``hub_k > 0`` routes ``hub_frac`` of destinations to the first
+    ``hub_k`` vertices (in-degree skew exercising the partial-combine
+    path).
+    """
+    rng = np.random.RandomState(seed)
+    u = rng.randint(0, n, size=m, dtype=np.int64)
+    # v = (u + 1 + r) % n with r ∈ [0, n-2] can never equal u → no
+    # self-loops without rejection sampling
+    v = (u + 1 + rng.randint(0, n - 1, size=m, dtype=np.int64)) % n
+    if hub_k:
+        hub_mask = rng.random_sample(m) < hub_frac
+        hubs = rng.randint(0, hub_k, size=int(hub_mask.sum()), dtype=np.int64)
+        v[hub_mask] = np.where(hubs == u[hub_mask],
+                               (hubs + 1) % max(hub_k, 2), hubs)
+    return np.stack([u, v], axis=1)
+
+
 def gen_hub_edges(n: int, m: int, hub_k: int = 4, seed: int = 11) -> np.ndarray:
     """Star-heavy graph: ~30% of edges land on ``hub_k`` hub vertices
     (skew-salting fixture, FIXTURES.md F2 ``hubgraph``)."""

@@ -1,0 +1,125 @@
+"""Sharded-engine tests: skew, dangling, CC/LP exactness, resume."""
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from hackathon_pagerank_ray import oracle
+from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                 connected_components,
+                                                 label_propagation, pagerank)
+from hackathon_pagerank_ray.testgen import (edges_to_table, gen_hub_edges,
+                                            gen_random_edges, load_edge_txt)
+
+
+def _ranks(ds):
+    return ds.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+
+def _labels(ds):
+    return ds.to_pandas().sort_values("vid")["label"].to_numpy()
+
+
+def test_hub_skew_graph_matches_oracle():
+    """FIXTURES.md hubgraph: hub in-degree skew must not change scores."""
+    edges = gen_hub_edges(400, 4000, hub_k=3, seed=5)
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)), num_owners=4)
+    try:
+        r = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.pagerank(edges)
+    assert np.abs(r - ro).max() < 1e-12
+
+
+def test_dangling_heavy_graph():
+    # only vertex 0..2 have out-edges; 3..9 are dangling targets
+    edges = np.array([[0, 3], [0, 4], [1, 5], [2, 6], [2, 7], [0, 9]])
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           n=10, num_owners=3)
+    try:
+        r = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.pagerank(edges, n=10)
+    assert np.abs(r - ro).max() < 1e-12
+    assert abs(r.sum() - 1) < 1e-9
+
+
+def test_connected_components_exact():
+    edges = gen_random_edges(300, 350, seed=21)  # sparse → many components
+    und = np.unique(np.sort(edges, axis=1), axis=0)
+    t = pa.Table.from_arrays([pa.array(und[:, 0]), pa.array(und[:, 1])],
+                             names=["src", "dst"])
+    g = ShardedGraph.build(rd.from_arrow(t), n=300, num_owners=4,
+                           undirected=True)
+    try:
+        labels = _labels(connected_components(g)[0])
+    finally:
+        g.shutdown()
+    assert np.array_equal(labels, oracle.connected_components(edges, n=300))
+
+
+def test_label_propagation_exact():
+    edges = gen_hub_edges(200, 900, hub_k=4, seed=17)
+    und = np.unique(np.sort(edges[edges[:, 0] != edges[:, 1]], axis=1), axis=0)
+    t = pa.Table.from_arrays([pa.array(und[:, 0]), pa.array(und[:, 1])],
+                             names=["src", "dst"])
+    g = ShardedGraph.build(rd.from_arrow(t), n=200, num_owners=4,
+                           undirected=True)
+    try:
+        labels = _labels(label_propagation(g, max_iter=10)[0])
+    finally:
+        g.shutdown()
+    assert np.array_equal(labels,
+                          oracle.label_propagation(edges, n=200, max_iter=10))
+
+
+def test_checkpoint_resume_identical_ranks(tmp_path):
+    """North-rule resume: kill after k sweeps, resume, identical output;
+    an incomplete sweep directory is discarded."""
+    edges = load_edge_txt("/root/reference/backend/data/random_1k_10k.txt")
+    ds = rd.from_arrow(edges_to_table(edges))
+    ck = str(tmp_path / "ck")
+
+    g = ShardedGraph.build(ds, num_owners=4)
+    try:
+        pagerank(g, max_iter=6, checkpoint_dir=ck, normalize=False)
+    finally:
+        g.shutdown()
+    # simulate a mid-sweep crash artifact
+    os.makedirs(ck + "/sweeps/it=6.tmp/ranks", exist_ok=True)
+
+    g = ShardedGraph.build(ds, num_owners=4)
+    try:
+        ranks_ds, info = pagerank(g, checkpoint_dir=ck, resume=True)
+        r = _ranks(ranks_ds)
+    finally:
+        g.shutdown()
+    ro, sweeps, _ = oracle.pagerank(edges)
+    assert info["sweeps"] == sweeps
+    assert info["sweeps_run"] == sweeps - 6     # earlier sweeps not redone
+    assert np.abs(r - ro).max() < 1e-12
+
+    manifest = json.load(
+        open(ck + f"/sweeps/it={sweeps - 1}/manifest.json"))
+    assert manifest["residual_l1"] < 1e-8
+    assert len(manifest["partitions"]) == 4      # per-partition lineage
+    assert len(manifest["edge_shards"]) == 4
+
+
+def test_degenerate_single_partition():
+    edges = np.array([[0, 1], [1, 0], [2, 0]])
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           num_owners=1, num_edge_shards=1)
+    try:
+        r = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.pagerank(edges)
+    assert np.abs(r - ro).max() < 1e-12

@@ -1,0 +1,50 @@
+"""Triangles + Dataset-native PageRank vs oracles."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from hackathon_pagerank_ray import oracle
+from hackathon_pagerank_ray.graph.dataset_pagerank import pagerank_dataset
+from hackathon_pagerank_ray.graph.triangles import triangle_counts
+from hackathon_pagerank_ray.testgen import (edges_to_table, gen_hub_edges,
+                                            gen_random_edges)
+
+
+def test_triangles_exact_with_universe():
+    edges = gen_hub_edges(150, 1000, hub_k=4, seed=13)
+    verts = rd.from_arrow(pa.Table.from_pydict(
+        {"vid": np.arange(150, dtype=np.int64)}))
+    out = (triangle_counts(rd.from_arrow(edges_to_table(edges)), verts,
+                           num_partitions=4)
+           .to_pandas().sort_values("vid"))
+    assert np.array_equal(out["triangles"].to_numpy(),
+                          oracle.triangle_counts(edges, n=150))
+
+
+def test_triangles_handles_reciprocal_and_self_loops():
+    edges = np.array([[0, 1], [1, 0], [1, 2], [2, 0], [2, 2]])
+    out = (triangle_counts(rd.from_arrow(edges_to_table(edges)),
+                           num_partitions=2)
+           .to_pandas().sort_values("vid"))
+    # one triangle {0,1,2}; self-loop ignored; reciprocal edges collapse
+    assert out["triangles"].tolist() == [1, 1, 1]
+
+
+def test_dataset_pagerank_matches_oracle_no_dangling():
+    edges = gen_random_edges(80, 400, seed=9)
+    ranks, info = pagerank_dataset(rd.from_arrow(edges_to_table(edges)),
+                                   num_partitions=2, max_iter=5)
+    r = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    ro, sweeps, _ = oracle.pagerank(edges, max_iter=5)
+    assert info["sweeps"] == sweeps
+    assert np.abs(r - ro).max() < 1e-12
+
+
+def test_dataset_pagerank_with_dangling():
+    edges = np.array([[0, 1], [1, 2], [2, 3], [3, 4], [0, 4]])
+    ranks, _ = pagerank_dataset(rd.from_arrow(edges_to_table(edges)),
+                                n=5, num_partitions=2, max_iter=8)
+    r = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
+    ro, _, _ = oracle.pagerank(edges, n=5, max_iter=8)
+    assert np.abs(r - ro).max() < 1e-12

@@ -1,0 +1,100 @@
+"""Relational / dedup / id-assignment stage tests."""
+
+import datetime
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from hackathon_pagerank_ray.stages.dedup import (dedup_edges,
+                                                 dedup_pages_longer_text,
+                                                 dedup_ranks_max)
+from hackathon_pagerank_ray.stages.degrees import (dangling_vertices,
+                                                   in_degrees, out_degrees)
+from hackathon_pagerank_ray.stages.ids import assign_vertex_ids, edges_to_ids
+from hackathon_pagerank_ray.stages.relational import (anti_join, distinct,
+                                                      inner_join,
+                                                      left_join_coalesce,
+                                                      minmax_normalize,
+                                                      sum_normalize, topk)
+
+
+def _ds(**cols):
+    return rd.from_arrow(pa.Table.from_pydict(cols))
+
+
+def test_distinct_and_dedup_edges():
+    e = _ds(src_url=["a", "a", "b"], dst_url=["b", "b", "c"])
+    out = dedup_edges(e).to_pandas().sort_values(["src_url", "dst_url"])
+    assert out.values.tolist() == [["a", "b"], ["b", "c"]]
+
+
+def test_dedup_pages_longer_text_reference_semantics():
+    ts = [datetime.datetime(2025, 1, 1, 0, 0, s) for s in range(4)]
+    docs = _ds(url=["u", "u", "u", "v"],
+               warc_ts=ts,
+               text=["short", "the longest text", "mid-length!", "only"],
+               lang=["en"] * 4)
+    out = dedup_pages_longer_text(docs).to_pandas().set_index("url")
+    assert out.loc["u", "text"] == "the longest text"
+    assert out.loc["v", "text"] == "only"
+    # tie → first seen wins (api/main.py:73-76 strictly-longer replace)
+    docs2 = _ds(url=["u", "u"], warc_ts=ts[:2], text=["aaaa", "bbbb"],
+                lang=["en"] * 2)
+    assert dedup_pages_longer_text(docs2).to_pandas()["text"].iloc[0] == "aaaa"
+
+
+def test_dedup_ranks_max():
+    r = _ds(url=["u", "u", "v"], score=[0.2, 0.5, 0.1])
+    out = dedup_ranks_max(r).to_pandas().set_index("url")
+    assert out.loc["u", "max(score)"] == 0.5
+
+
+def test_vertex_ids_dense_and_sorted():
+    urls = _ds(url=["b", "a", "c", "a", "b", "c", "c"])
+    v = assign_vertex_ids(urls).to_pandas().sort_values("vid")
+    assert v["vid"].tolist() == [0, 1, 2]
+    assert v["url"].tolist() == ["a", "b", "c"]     # sort-ordered dense ids
+
+
+def test_edges_to_ids_drops_unknown_endpoints():
+    v = assign_vertex_ids(_ds(url=["a", "b", "c"]))
+    e = _ds(src_url=["a", "b", "zz"], dst_url=["b", "c", "a"])
+    out = edges_to_ids(e, v, num_partitions=2).to_pandas()
+    assert sorted(map(tuple, out.values.tolist())) == [(0, 1), (1, 2)]
+
+
+def test_degrees_and_dangling():
+    e = _ds(src=[0, 0, 1], dst=[1, 2, 2])
+    assert out_degrees(e).to_pandas().sort_values("src")["outdeg"].tolist() == [2, 1]
+    assert in_degrees(e).to_pandas().sort_values("dst")["indeg"].tolist() == [1, 2]
+    v = _ds(vid=[0, 1, 2], url=["a", "b", "c"])
+    assert dangling_vertices(v, e, num_partitions=2).to_pandas()["vid"].tolist() == [2]
+
+
+def test_topk_deterministic():
+    ds = _ds(vid=[3, 1, 2, 0], rank=[0.1, 0.4, 0.4, 0.2])
+    out = topk(ds, ["rank", "vid"], 3, descending=[True, False]).to_pandas()
+    assert out["vid"].tolist() == [1, 2, 0]
+
+
+def test_joins():
+    left = _ds(k=[1, 2, 3], a=["x", "y", "z"])
+    right = _ds(k=[2, 3, 4], b=[20.0, 30.0, 40.0])
+    inner = inner_join(left, right, on="k", num_partitions=2).to_pandas()
+    assert sorted(inner["k"].tolist()) == [2, 3]
+    lj = left_join_coalesce(left, right, on="k", fill={"b": 0.0},
+                            num_partitions=2).to_pandas().sort_values("k")
+    assert lj["b"].tolist() == [0.0, 20.0, 30.0]
+    aj = anti_join(left, right, on="k", num_partitions=2).to_pandas()
+    assert aj["k"].tolist() == [1]
+
+
+def test_normalizations():
+    ds = _ds(s=[1.0, 2.0, 3.0])
+    assert minmax_normalize(ds, "s").to_pandas()["s_norm"].tolist() == [0.0, 0.5, 1.0]
+    out = sum_normalize(_ds(s=[1.0, 3.0]), "s").to_pandas()["s"].tolist()
+    assert out == [0.25, 0.75]
+    # reference guard: span = 1.0 when max == min (api/main.py:117-127)
+    flat = minmax_normalize(_ds(s=[2.0, 2.0]), "s").to_pandas()["s_norm"].tolist()
+    assert flat == [0.0, 0.0]
