@@ -102,9 +102,24 @@ def _q_edge_dedup(sf_dir):
 
 
 def _q_dangling(sf_dir):
+    """A2: distinct destinations with no out-edges.  Uses a shifted edge
+    derivation (dst = o_custkey + o_orderkey % 997) so the result is
+    non-empty at every scale factor (an empty Ray dataset loses its schema
+    and can't be compared)."""
     _quiet()
     from hackathon_pagerank_ray.stages.relational import anti_join, distinct
-    e = _edges_ds(sf_dir).materialize()
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _mk(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [pa.array(ck), pa.array(ck + ok % 997, pa.int64())],
+            names=["src", "dst"])
+
+    e = orders.map_batches(_mk, batch_format="pyarrow").materialize()
     dsts = distinct(e, ["dst"], 8)
     srcs = distinct(e, ["src"], 8)
     return anti_join(dsts, srcs, on="dst", right_on="src", num_partitions=8)
@@ -536,8 +551,10 @@ def oracle_sql() -> dict[str, str]:
         "edge_dedup":
             f"{E} SELECT DISTINCT src, dst FROM edges",
         "dangling":
-            f"{E} SELECT DISTINCT dst FROM edges WHERE dst NOT IN "
-            f"(SELECT src FROM edges)",
+            "WITH edges AS (SELECT o_custkey AS src, "
+            "o_custkey + o_orderkey % 997 AS dst FROM orders) "
+            "SELECT DISTINCT dst FROM edges WHERE dst NOT IN "
+            "(SELECT src FROM edges)",
         "topk_customers":
             "SELECT c_custkey, c_acctbal FROM customer "
             "ORDER BY c_acctbal DESC, c_custkey LIMIT 10",

@@ -42,7 +42,8 @@ class ShardedGraph:
     @classmethod
     def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
               num_edge_shards: int | None = None, undirected: bool = False,
-              sort_by_src: bool = True, gather_mode: str = "full"):
+              sort_by_src: bool = True, gather_mode: str = "full",
+              actor_num_cpus: float = 0):
         """Build the actor mesh from an edge Dataset.
 
         ``sort_by_src`` range-partitions edges by source before chunking —
@@ -61,11 +62,19 @@ class ShardedGraph:
         # Create the actor mesh FIRST: after a Ray Data execution the raylet
         # throttles new worker-process starts for several seconds, so actor
         # creation must overlap with (not follow) the shuffle.
+        # ``actor_num_cpus=1`` makes each shard reserve a core for its
+        # lifetime — the honest footprint for scaling measurements (the
+        # mesh must then fit the cluster: P + E <= num_cpus); the default 0
+        # lets small test sessions oversubscribe freely.
+        shard_cls = (EdgeShard.options(num_cpus=actor_num_cpus)
+                     if actor_num_cpus else EdgeShard)
+        owner_cls = (RankOwner.options(num_cpus=actor_num_cpus)
+                     if actor_num_cpus else RankOwner)
         shards = [
-            EdgeShard.remote(e, num_owners, None, undirected, gather_mode)
+            shard_cls.remote(e, num_owners, None, undirected, gather_mode)
             for e in range(E)
         ]
-        owners = [RankOwner.remote(j, num_owners) for j in range(num_owners)]
+        owners = [owner_cls.remote(j, num_owners) for j in range(num_owners)]
 
         if sort_by_src:
             edges_ds = edges_ds.sort("src")
@@ -103,7 +112,14 @@ class ShardedGraph:
 
     # -- shared sweep plumbing --------------------------------------------
     def _partial_refs(self, method: str):
-        """partials[e][j] = edge shard e's partial aggregate for owner j."""
+        """partials[e][j] = edge shard e's partial aggregate for owner j.
+
+        Transfer modes: ``"packed"`` (default with full gather) returns ONE
+        plasma object per shard holding all P partial arrays — owners read
+        their slice zero-copy from shared memory, cutting per-sweep object
+        count from O(E·P) to O(E); ``"split"`` (used with subscribe gather)
+        ships per-owner objects — the multi-node bandwidth-minimal layout.
+        """
         if self.gather_mode == "full":
             full = [ow.get_full_values.remote() for ow in self.owners]
             gathers = [full] * self.E
@@ -112,13 +128,15 @@ class ShardedGraph:
                 [ow.get_values.remote(e) for ow in self.owners]
                 for e in range(self.E)
             ]
+        packed = self.gather_mode == "full"
         partials = []
         for e, sh in enumerate(self.edge_shards):
             fn = getattr(sh, method)
-            if self.P > 1:
-                partials.append(fn.options(num_returns=self.P).remote(*gathers[e]))
+            if packed or self.P == 1:
+                ref = fn.remote(*gathers[e])
+                partials.append([ref] * self.P)   # same packed ref for all
             else:
-                partials.append([fn.remote(*gathers[e])])
+                partials.append(fn.options(num_returns=self.P).remote(*gathers[e]))
         return partials  # partials[e][j]
 
     def collect_metrics(self) -> list[dict]:
@@ -178,18 +196,33 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     t0 = time.perf_counter()
     sweeps_run = 0
     it = start_it - 1
+    dangling_mass = None   # measured by start_pagerank_sweep on sweep 1,
+    #                        then returned fused with each update
+    full_refs = None       # pipelined value-vector refs (full gather mode)
     for it in range(start_it, max_iter):
-        dangling_mass = sum(ray.get(
-            [ow.start_pagerank_sweep.remote() for ow in owners]))
-        if dangling_mode == "teleport":
-            dangling_mass = 0.0
-        partials = graph._partial_refs("pagerank_partials")
-        deltas = ray.get([
+        if dangling_mass is None:
+            dangling_mass = sum(ray.get(
+                [ow.start_pagerank_sweep.remote() for ow in owners]))
+        dm = 0.0 if dangling_mode == "teleport" else dangling_mass
+        if graph.gather_mode == "full":
+            if full_refs is None:
+                full_refs = [ow.get_full_values.remote() for ow in owners]
+            partials = [[sh.pagerank_partials.remote(*full_refs)] * graph.P
+                        for sh in graph.edge_shards]
+        else:
+            partials = graph._partial_refs("pagerank_partials")
+        update_refs = [
             ow.apply_pagerank_update.remote(
-                alpha, dangling_mass, *[partials[e][j] for e in range(graph.E)])
+                alpha, dm, *[partials[e][j] for e in range(graph.E)])
             for j, ow in enumerate(owners)
-        ])
-        residual = float(sum(deltas))
+        ]
+        if graph.gather_mode == "full":
+            # queued behind each owner's update → results are ready the
+            # moment the driver schedules the next sweep (hides one wave)
+            full_refs = [ow.get_full_values.remote() for ow in owners]
+        results = ray.get(update_refs)
+        residual = float(sum(d for d, _ in results))
+        dangling_mass = float(sum(m for _, m in results))
         sweeps_run += 1
         if checkpoint_dir and (it % checkpoint_every == 0 or residual < tol):
             _checkpoint(graph, checkpoint_dir, it, "ranks", {

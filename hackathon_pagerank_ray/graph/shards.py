@@ -134,20 +134,30 @@ class RankOwner:
         return out
 
     def apply_pagerank_update(self, alpha: float, dangling_mass: float,
-                              *partials: np.ndarray) -> float:
+                              *partials: np.ndarray):
         """Reduce edge-shard partials (fixed shard order → deterministic),
-        apply ``r' = α·(y + dm/n) + (1-α)/n``, return the L1 residual part."""
+        apply ``r' = α·(y + dm/n) + (1-α)/n``.
+
+        Returns ``(L1 residual part, next sweep's dangling-mass part)`` and
+        eagerly prepares the next sweep's value vector ``r'/outdeg`` — the
+        fusion removes one driver round-trip barrier per sweep (the
+        reference pays the same fused device→host copy each iteration,
+        pagerank_gpu.cu:279-305)."""
         t0 = time.perf_counter()
         y = np.zeros(self.n_local)
         for e_id in sorted(self.dst_maps):
             part = partials[e_id]
+            if isinstance(part, tuple):      # packed transfer: pick own slice
+                part = part[self.j]
             if part is not None and len(part):
                 np.add.at(y, self.dst_maps[e_id], part)
         r_new = alpha * (y + dangling_mass / self.n) + (1.0 - alpha) / self.n
         delta = float(np.abs(r_new - self.r).sum())
         self.r = r_new
+        self._vals = r_new * self.inv_out
+        dm_next = float(r_new[self.dangling].sum())
         self.metrics["sweep_seconds"] += time.perf_counter() - t0
-        return delta
+        return delta, dm_next
 
     def rank_sum(self) -> float:
         return float(self.r.sum())
@@ -177,6 +187,8 @@ class RankOwner:
         new = self.labels.copy()
         for e_id in sorted(self.dst_maps):
             part = partial_mins[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
             if part is not None and len(part):
                 np.minimum.at(new, self.dst_maps[e_id], part.astype(np.int64))
         changed = int((new != self.labels).sum())
@@ -191,6 +203,9 @@ class RankOwner:
         for part in partial_counts:
             if part is None:
                 continue
+            if isinstance(part, tuple) and len(part) == self.P and \
+                    isinstance(part[0], tuple):   # packed transfer
+                part = part[self.j]
             i, l, c = part
             if len(i):
                 idx_parts.append(np.asarray(i, dtype=np.int64))
