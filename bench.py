@@ -84,7 +84,14 @@ def run_pagerank_bench(num_cpus: int) -> dict:
     # slower than warm memory — two untimed sweeps let every actor allocate
     # its working buffers before the timed run
     pagerank(graph, tol=0, max_iter=2, checkpoint_dir=None, normalize=False)
-    ranks, info = pagerank(graph, tol=1e-6, max_iter=40, checkpoint_dir=None)
+    timed_sweeps = int(os.environ.get("GRAFT_BENCH_SWEEPS", "0"))
+    if timed_sweeps:
+        # fixed sweep count (tol=0) for scaling comparisons
+        ranks, info = pagerank(graph, tol=0, max_iter=timed_sweeps,
+                               checkpoint_dir=None)
+    else:
+        ranks, info = pagerank(graph, tol=1e-6, max_iter=40,
+                               checkpoint_dir=None)
     graph.shutdown()
     return {
         "build_sec": round(build_sec, 2),
@@ -93,6 +100,9 @@ def run_pagerank_bench(num_cpus: int) -> dict:
         "converged": info["converged"],
         "edges": graph.m,
         "edges_per_sec_per_sweep": round(info["edges_per_sec_per_sweep"] or 0),
+        "edges_per_sec_per_sweep_median":
+            round(info.get("edges_per_sec_per_sweep_median") or 0),
+        "median_sweep_sec": round(info.get("median_sweep_sec") or 0, 4),
         "mesh": mesh,
     }
 
@@ -177,12 +187,13 @@ def scaling():
                 cmd, env=env, capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
             r = json.loads(out.stdout.strip().splitlines()[-1])
-            if (best is None or r["pagerank"]["edges_per_sec_per_sweep"]
-                    > best["pagerank"]["edges_per_sec_per_sweep"]):
+            if (best is None
+                    or r["pagerank"]["edges_per_sec_per_sweep_median"]
+                    > best["pagerank"]["edges_per_sec_per_sweep_median"]):
                 best = r
         results[ncpu] = best
-    eps_lo = results[lo]["pagerank"]["edges_per_sec_per_sweep"]
-    eps_hi = results[hi]["pagerank"]["edges_per_sec_per_sweep"]
+    eps_lo = results[lo]["pagerank"]["edges_per_sec_per_sweep_median"]
+    eps_hi = results[hi]["pagerank"]["edges_per_sec_per_sweep_median"]
     eff = (eps_hi / eps_lo) / (hi / lo)
     print(json.dumps({
         "metric": "pagerank_scaling_efficiency",

@@ -199,7 +199,9 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     dangling_mass = None   # measured by start_pagerank_sweep on sweep 1,
     #                        then returned fused with each update
     full_refs = None       # pipelined value-vector refs (full gather mode)
+    sweep_times = []
     for it in range(start_it, max_iter):
+        t_sweep = time.perf_counter()
         if dangling_mass is None:
             dangling_mass = sum(ray.get(
                 [ow.start_pagerank_sweep.remote() for ow in owners]))
@@ -223,6 +225,7 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         results = ray.get(update_refs)
         residual = float(sum(d for d, _ in results))
         dangling_mass = float(sum(m for _, m in results))
+        sweep_times.append(time.perf_counter() - t_sweep)
         sweeps_run += 1
         if checkpoint_dir and (it % checkpoint_every == 0 or residual < tol):
             _checkpoint(graph, checkpoint_dir, it, "ranks", {
@@ -237,6 +240,8 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         if total > 0:
             ray.get([ow.scale_ranks.remote(1.0 / total) for ow in owners])
 
+    median_sweep = (sorted(sweep_times)[len(sweep_times) // 2]
+                    if sweep_times else None)
     info = {
         "sweeps": it + 1,
         "sweeps_run": sweeps_run,
@@ -245,8 +250,14 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         "n": graph.n,
         "m": graph.m,
         "elapsed_sec": elapsed,
+        "sweep_times": [round(t, 4) for t in sweep_times],
+        "median_sweep_sec": median_sweep,
         "edges_per_sec_per_sweep":
             graph.m * sweeps_run / elapsed if elapsed > 0 and sweeps_run else None,
+        # median-sweep throughput is robust to this host's intermittent
+        # page-fault storms — the scaling evidence uses it
+        "edges_per_sec_per_sweep_median":
+            graph.m / median_sweep if median_sweep else None,
     }
     return graph.ranks_dataset(), info
 

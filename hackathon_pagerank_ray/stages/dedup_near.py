@@ -52,7 +52,7 @@ class MinHasher:
 
 
 def minhash_signatures(docs_ds, text_col="text", k=3, num_perm=64,
-                       seed=1234, concurrency=(1, 8)):
+                       seed=1234, concurrency=4):
     return docs_ds.map_batches(
         MinHasher, fn_constructor_kwargs=dict(text_col=text_col, k=k,
                                               num_perm=num_perm, seed=seed),
@@ -211,7 +211,7 @@ class SimHasher:
         return batch
 
 
-def simhash_signatures(docs_ds, text_col="text", concurrency=(1, 8)):
+def simhash_signatures(docs_ds, text_col="text", concurrency=4):
     return docs_ds.map_batches(SimHasher,
                                fn_constructor_kwargs={"text_col": text_col},
                                batch_format="pandas", concurrency=concurrency)

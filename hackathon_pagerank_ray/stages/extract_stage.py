@@ -92,16 +92,15 @@ def parse_pages(pages_ds, target_lang: str | None = None, concurrency=None,
     """pages Dataset → parsed Dataset (PARSED_SCHEMA).
 
     ``batch_size`` is small because html rows can be up to 2 MB each;
-    `concurrency=None` lets Ray autoscale the task pool — pass an int (or
-    ``(min, max)``) to pin an actor pool.
+    ``concurrency=None`` picks a fixed actor pool sized to the cluster.
     """
     if concurrency is None:
-        # autoscaling actor pool up to the cluster CPU count — parsing is
-        # the CPU-heavy stage, but leave the floor low so small inputs
-        # don't pay 32 actor startups
+        # FIXED actor pool sized to the cluster: Ray's autoscaling pools
+        # ramp up so slowly here that a (1, N) pool parses ~10x slower
+        # than a fixed pool (measured 130 vs 1360 pages/sec)
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = (1, max(2, ncpu))
+        concurrency = max(2, min(ncpu, 16))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
                   num_cpus=num_cpus, concurrency=concurrency)
     return pages_ds.map_batches(ExtractPages,

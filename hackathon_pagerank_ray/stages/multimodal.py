@@ -74,7 +74,7 @@ class DecodeMedia:
 
 def decode_and_featurize(media_ds, decoder: str = "fake",
                          target=(32, 32), batch_size: int = 16,
-                         concurrency=(1, 4)):
+                         concurrency=2):
     """Actor-pool decode/resize/feature stage over a media table."""
     return media_ds.map_batches(
         DecodeMedia,
@@ -84,7 +84,7 @@ def decode_and_featurize(media_ds, decoder: str = "fake",
 
 
 def frame_sample(media_ds, every_ms: int = 1000, batch_size: int = 16,
-                 concurrency=(1, 4)):
+                 concurrency=2):
     """Video frame-sampling plumbing: one output row per sampled timestamp
     (decode itself uses the same stub)."""
     def _sample(batch: pd.DataFrame) -> pd.DataFrame:

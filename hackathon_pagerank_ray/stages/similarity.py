@@ -52,7 +52,7 @@ class _BruteForcePartial:
 
 def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
                      id_col: str = "vec_id", emb_col: str = "embedding",
-                     concurrency=(1, 8)):
+                     concurrency=4):
     """Exact cosine top-k per query row of ``queries`` (nq × d).
 
     Returns (query_id, id, cosine), exactly k rows per query (ties broken
@@ -78,7 +78,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
 def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
                   id_col: str = "vec_id", emb_col: str = "embedding",
                   num_planes: int = 6, probes: int = 2, seed: int = 5,
-                  concurrency=(1, 8)):
+                  concurrency=4):
     """Approximate top-k: search only vectors whose hyperplane-sign bucket
     is within ``probes`` bit-flips of the query's bucket (multi-probe LSH).
     At corpus scale this touches ~``(Σ C(planes, i≤probes)) / 2^planes``

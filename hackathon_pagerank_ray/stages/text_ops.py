@@ -166,21 +166,21 @@ class Fingerprint:
         return batch
 
 
-def add_token_counts(ds, text_col: str = "text", concurrency=(1, 8)):
+def add_token_counts(ds, text_col: str = "text", concurrency=4):
     return ds.map_batches(TokenCount, fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pandas", concurrency=concurrency)
 
 
-def add_quality_scores(ds, text_col: str = "text", concurrency=(1, 8)):
+def add_quality_scores(ds, text_col: str = "text", concurrency=4):
     return ds.map_batches(QualityScore, fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pandas", concurrency=concurrency)
 
 
-def add_language_id(ds, text_col: str = "text", concurrency=(1, 8)):
+def add_language_id(ds, text_col: str = "text", concurrency=4):
     return ds.map_batches(LanguageId, fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pandas", concurrency=concurrency)
 
 
-def add_fingerprints(ds, text_col: str = "text", concurrency=(1, 8)):
+def add_fingerprints(ds, text_col: str = "text", concurrency=4):
     return ds.map_batches(Fingerprint, fn_constructor_kwargs={"text_col": text_col},
                           batch_format="pandas", concurrency=concurrency)
