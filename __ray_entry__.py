@@ -358,20 +358,48 @@ def _q_ann_topk(sf_dir):
         _round, batch_format="pyarrow")
 
 
+def _q_bucketed_topk(sf_dir):
+    """Approximate (multi-probe LSH) top-k, quantified against the exact
+    brute-force top-k in the same query: returns one row
+    (k, hits, recall).  The LSH is seeded, so the value is deterministic —
+    rows-only in the driver, asserted ≥0.5 in tests/test_stages.py."""
+    _quiet()
+    import pandas as pd
+    import pyarrow.parquet as pq
+    from hackathon_pagerank_ray.stages.similarity import (brute_force_topk,
+                                                          bucketed_topk)
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    q = np.asarray([q0])
+    exact = set(brute_force_topk(emb, q, k=10, concurrency=2)
+                .to_pandas()["vec_id"])
+    approx = set(bucketed_topk(emb, q, k=10, num_planes=6, probes=2,
+                               concurrency=2).to_pandas()["vec_id"])
+    hits = len(exact & approx)
+    return pd.DataFrame({"k": [10], "hits": [hits],
+                         "recall": [hits / 10.0]})
+
+
 def _q_triangle_counts(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.graph.triangles import triangle_counts
     return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
 
 
-# -- rows-only (non-SQL-expressible: iterative / hash-seeded) ---------------
+# -- iterative graph ops (oracle: unrolled / recursive CTE SQL) -------------
+
+_PR_SWEEPS = 20
+
 
 def _q_pagerank(sf_dir):
+    """Fixed-sweep PageRank (tol=0, 20 sweeps, final normalize) so the
+    DuckDB oracle can unroll exactly the same iteration count."""
     _quiet()
     from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
     g = ShardedGraph.build(_edges_ds(sf_dir), num_owners=4)
     try:
-        ranks, _ = pagerank(g)
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
         return ranks.materialize()
     finally:
         g.shutdown()
@@ -525,8 +553,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_text_dedup": _q_exact_text_dedup,
         "doc_dedup_longest": _q_doc_dedup_longest,
         "ann_topk": _q_ann_topk,
+        "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
-        # rows-only (iterative / hash-seeded, not cleanly SQL-expressible)
+        # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
@@ -540,10 +569,186 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
+    """Unrolled fixed-sweep power iteration (pagerank_gpu.cu:137-191
+    semantics: dangling mass on the in-vector, distribute mode, final
+    sum-normalize).  ``AS MATERIALIZED`` is required — DuckDB inlines CTEs
+    by default and each sweep references the previous one three times,
+    which would blow up exponentially."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) "
+             "AS outdeg FROM edges GROUP BY src)",
+             "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM p) AS r "
+             "FROM verts)"]
+    for k in range(1, sweeps + 1):
+        prev = f"r{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(pr.r / od.outdeg) AS s FROM edges e "
+            f"JOIN {prev} pr ON pr.vid = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0.0) AS dm "
+            f"FROM {prev} WHERE vid NOT IN (SELECT src FROM edges))")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, {alpha} * "
+            f"(COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) "
+            f"/ (SELECT n FROM p)) + {1.0 - alpha} / (SELECT n FROM p) AS r "
+            f"FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
+            f"FROM r{sweeps}")
+
+
+_CC_ORACLE_SQL = f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM edges WHERE src <> dst),
+p AS MATERIALIZED (SELECT MAX(v) + 1 AS n FROM e),
+und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid FROM p),
+reach(vid, lab) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT und.v, reach.lab FROM reach JOIN und ON und.u = reach.vid
+)
+SELECT vid, MIN(lab) AS label FROM reach GROUP BY vid
+"""
+
+
+def _lp_oracle_sql(sweeps: int = 10) -> str:
+    """Unrolled synchronous label propagation: per sweep every vertex with
+    ≥1 neighbor adopts the most frequent previous-sweep neighbor label,
+    ties broken by MIN label (oracle.label_propagation contract).  LP is
+    idempotent at its fixpoint, so running all ``sweeps`` unrolled matches
+    the engine's early-exit exactly."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+             "GREATEST(src, dst) AS v FROM edges WHERE src <> dst)",
+             "p AS MATERIALIZED (SELECT MAX(v) + 1 AS n FROM e)",
+             "und AS MATERIALIZED (SELECT u, v FROM e "
+             "UNION ALL SELECT v, u FROM e)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM verts)"]
+    for k in range(1, sweeps + 1):
+        prev = f"l{k-1}"
+        parts.append(
+            f"nb{k} AS MATERIALIZED (SELECT und.v AS vid, pr.lab AS lab, "
+            f"COUNT(*) AS c FROM und JOIN {prev} pr ON pr.vid = und.u "
+            f"GROUP BY und.v, pr.lab)")
+        parts.append(
+            f"w{k} AS MATERIALIZED (SELECT vid, lab FROM nb{k} "
+            f"QUALIFY ROW_NUMBER() OVER (PARTITION BY vid "
+            f"ORDER BY c DESC, lab ASC) = 1)")
+        parts.append(
+            f"l{k} AS MATERIALIZED (SELECT v.vid, COALESCE(w.lab, pr.lab) "
+            f"AS lab FROM verts v JOIN {prev} pr ON pr.vid = v.vid "
+            f"LEFT JOIN w{k} w ON w.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vid, lab AS label FROM l{sweeps}")
+
+
+# FNV-1a 64 over the lowercase-token join — byte-for-byte the fold in
+# stages/text_ops._fnv1a_bytes (corpus text is ASCII, so ord(char) == byte)
+_FP_ORACLE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id,
+         array_to_string(list_transform(regexp_extract_all(text, '\w+'),
+                                        x -> lower(x)), ' ') AS joined
+  FROM documents)
+SELECT doc_id,
+  CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+            THEN h - 18446744073709551616::HUGEINT ELSE h END
+       AS BIGINT) AS fingerprint
+FROM (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::HUGEINT,
+      list_transform(range(1, length(joined) + 1),
+                     i -> ord(joined[i])::HUGEINT)),
+    (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT
+               * 1099511628211::HUGEINT)
+              % 18446744073709551616::HUGEINT) AS h
+  FROM tok)
+"""
+
+_LANG_LISTS = {
+    "de": "['der','die','das','und','ist','nicht','mit','ein','eine','zu',"
+          "'den','von','im','auf','für']",
+    "en": "['the','and','of','to','a','in','is','it','on','for','with',"
+          "'as','was','that','this']",
+    "fr": "['le','la','les','et','de','des','un','une','est','dans','que',"
+          "'pour','sur','avec','pas']",
+}
+
+# argmax with ALPHABETICAL tie-break (de < en < fr), matching
+# text_ops.LanguageId's strict-> scan over sorted profiles
+_LANG_ORACLE_SQL = rf"""
+WITH tok AS (
+  SELECT doc_id, list_transform(regexp_extract_all(text, '\w+'),
+                                x -> lower(x)) AS toks FROM documents),
+sc AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks,
+      x -> list_contains({_LANG_LISTS['de']}, x))) AS DOUBLE) / len(toks)
+      END AS s_de,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks,
+      x -> list_contains({_LANG_LISTS['en']}, x))) AS DOUBLE) / len(toks)
+      END AS s_en,
+    CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks,
+      x -> list_contains({_LANG_LISTS['fr']}, x))) AS DOUBLE) / len(toks)
+      END AS s_fr
+  FROM tok)
+SELECT doc_id,
+  CASE WHEN greatest(s_de, s_en, s_fr) <= 0 THEN 'und'
+       WHEN s_de = greatest(s_de, s_en, s_fr) THEN 'de'
+       WHEN s_en = greatest(s_de, s_en, s_fr) THEN 'en'
+       ELSE 'fr' END AS lang_pred
+FROM sc
+"""
+
+# full TF-IDF build + cosine scoring for the fixed query
+# "data table query fast" (api/tfidf_index.py:50-132 formulas)
+_TFIDF_ORACLE_SQL = r"""
+WITH tok AS (SELECT doc_id, unnest(list_transform(
+    regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf FROM tok
+  GROUP BY doc_id, term),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+idf AS (SELECT term, ln((1.0 + (SELECT n FROM nn)) / (1.0 + df)) + 1.0
+  AS idf FROM df),
+post AS (SELECT tf.doc_id, tf.term, tf.tf * idf.idf AS w FROM tf
+  JOIN idf USING (term)),
+norms AS (SELECT doc_id, sqrt(SUM(w * w)) AS norm FROM post
+  GROUP BY doc_id),
+qterms AS (SELECT unnest(['data', 'table', 'query', 'fast']) AS term),
+qw AS (SELECT q.term, idf.idf AS w FROM qterms q JOIN idf USING (term)),
+qn AS (SELECT sqrt(SUM(w * w)) AS qnorm FROM qw),
+dots AS (SELECT p.doc_id, SUM(p.w * qw.w) AS dot FROM post p
+  JOIN qw USING (term) GROUP BY p.doc_id),
+scored AS (SELECT d.doc_id, d.dot / ((SELECT qnorm FROM qn) * n.norm)
+  AS tfidf_score FROM dots d JOIN norms n USING (doc_id))
+SELECT doc_id, tfidf_score FROM scored
+ORDER BY tfidf_score DESC, doc_id LIMIT 10
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = f"WITH edges AS ({_EDGE_SQL})"
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
     return {
+        "pagerank": _pagerank_oracle_sql(),
+        "connected_components": _CC_ORACLE_SQL,
+        "label_propagation": _lp_oracle_sql(),
+        "language_id": _LANG_ORACLE_SQL,
+        "fingerprints": _FP_ORACLE_SQL,
+        "tfidf_search": _TFIDF_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
         "in_degrees":

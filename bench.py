@@ -62,9 +62,13 @@ def _corpus_parquet() -> str:
     return path
 
 
-def run_pagerank_bench(num_cpus: int) -> dict:
+def run_pagerank_bench(num_cpus: int, gather_mode: str = "full") -> dict:
     """Headline: power-iteration PageRank on the bench graph; reports
-    edges-processed/sec/sweep at tol=1e-6 (north metric)."""
+    edges-processed/sec/sweep at tol=1e-6 (north metric).
+
+    ``gather_mode="subscribe"`` benches the multi-node bandwidth-minimal
+    gather (each shard receives only its subscribed value slice) so the
+    mode a real cluster needs has its own throughput line."""
     _init_ray(num_cpus)
     import ray.data as rd
 
@@ -76,6 +80,7 @@ def run_pagerank_bench(num_cpus: int) -> dict:
     t0 = time.perf_counter()
     graph = ShardedGraph.build(
         edges, n=BENCH_N, num_owners=mesh, num_edge_shards=mesh,
+        gather_mode=gather_mode,
         # full-vector gather doesn't profit from src-sorted shards, and the
         # Ray Data sort dominates build time at bench scale
         sort_by_src=os.environ.get("GRAFT_BENCH_SORT", "0") == "1")
@@ -104,6 +109,7 @@ def run_pagerank_bench(num_cpus: int) -> dict:
             round(info.get("edges_per_sec_per_sweep_median") or 0),
         "median_sweep_sec": round(info.get("median_sweep_sec") or 0, 4),
         "mesh": mesh,
+        "gather_mode": gather_mode,
     }
 
 
@@ -148,6 +154,7 @@ def run_extract_bench() -> dict:
 def main():
     ray = _init_ray(NUM_CPUS)
     pr = run_pagerank_bench(NUM_CPUS)
+    pr_sub = run_pagerank_bench(NUM_CPUS, gather_mode="subscribe")
     ex = run_extract_bench()
     queries = run_queries(SF_DIR)
     total_query_sec = sum(v for v in queries.values()
@@ -161,6 +168,7 @@ def main():
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
         "pagerank": pr,
+        "pagerank_subscribe": pr_sub,
         "extract": ex,
     }
     print(json.dumps(out))
@@ -208,7 +216,8 @@ def scaling():
 
 def pagerank_only():
     ray = _init_ray(NUM_CPUS)
-    pr = run_pagerank_bench(NUM_CPUS)
+    pr = run_pagerank_bench(
+        NUM_CPUS, gather_mode=os.environ.get("GRAFT_BENCH_GATHER", "full"))
     print(json.dumps({"metric": "pagerank_only", "value": pr["pagerank_sec"],
                       "unit": "sec", "num_cpus": NUM_CPUS, "pagerank": pr}))
     ray.shutdown()

@@ -107,7 +107,14 @@ def search(postings_ds, norms_ds, df_ds, N, query: str, top_k: int = 10,
     → groupby(doc).sum(dot) → normalize → top-k."""
     import ray
 
-    df_map = {r["term"]: r["df"] for r in df_ds.take_all()}
+    # fetch df for ONLY the query's terms (a handful of rows) — never the
+    # whole vocabulary (ADVICE r1: take_all() here was a driver OOM at
+    # web-corpus scale)
+    q_terms = set(tokenize(query))
+    df_small = df_ds.map_batches(
+        lambda b, _t=q_terms: b[b["term"].isin(_t)],
+        batch_format="pandas")
+    df_map = {r["term"]: r["df"] for r in df_small.take_all()}
     weights, q_norm = query_weights(query, df_map, N)
     if not weights:
         return None

@@ -42,14 +42,17 @@ class ShardedGraph:
     @classmethod
     def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
               num_edge_shards: int | None = None, undirected: bool = False,
-              sort_by_src: bool = True, gather_mode: str = "full",
+              sort_by_src: bool = False, gather_mode: str = "full",
               actor_num_cpus: float = 0):
         """Build the actor mesh from an edge Dataset.
 
-        ``sort_by_src`` range-partitions edges by source before chunking —
-        this shrinks each shard's gather subscription (locality) and splits
-        out-degree hubs across shards by construction.  ``n`` defaults to
-        the reference convention ``max_id + 1``
+        ``sort_by_src`` (opt-in) range-partitions edges by source before
+        chunking — this shrinks each shard's gather subscription (locality
+        for the multi-node ``"subscribe"`` gather) and splits out-degree
+        hubs across shards by construction; the full Dataset sort it costs
+        dominated build time at bench scale, so the cheap unsorted path is
+        the default (full-vector gather doesn't profit from locality).
+        ``n`` defaults to the reference convention ``max_id + 1``
         (backend/cuda/pagerank_gpu.cu:65).
 
         ``gather_mode``: ``"full"`` ships each owner's whole value vector
@@ -77,10 +80,16 @@ class ShardedGraph:
         owners = [owner_cls.remote(j, num_owners) for j in range(num_owners)]
 
         if sort_by_src:
-            edges_ds = edges_ds.sort("src")
-        edges_ds = edges_ds.repartition(E).materialize()
+            edges_ds = edges_ds.sort("src").repartition(E)
+        edges_ds = edges_ds.materialize()
         m = edges_ds.count()
         refs = edges_ds.to_arrow_refs()
+        if len(refs) < E and not sort_by_src:
+            # too few natural blocks to feed every shard — one extra split;
+            # when blocks >= E we reuse the reader's blocks as-is (the
+            # repartition here used to dominate build time, VERDICT r1)
+            edges_ds = edges_ds.repartition(E).materialize()
+            refs = edges_ds.to_arrow_refs()
         # round-robin block refs over E shards (blocks stay in object store)
         per_shard: list[list] = [[] for _ in range(E)]
         for i, r in enumerate(refs):
@@ -171,6 +180,14 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     """
     if dangling_mode not in ("distribute", "teleport"):
         raise ValueError(dangling_mode)
+    if graph.n == 0:
+        ray.get([ow.init_ranks.remote() for ow in graph.owners])
+        return graph.ranks_dataset(), {
+            "sweeps": 0, "sweeps_run": 0, "residual_l1": 0.0,
+            "converged": True, "n": 0, "m": 0, "elapsed_sec": 0.0,
+            "sweep_times": [], "median_sweep_sec": None,
+            "edges_per_sec_per_sweep": None,
+            "edges_per_sec_per_sweep_median": None}
     owners = graph.owners
     start_it = 0
     residual = math.inf
@@ -178,12 +195,22 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         last = latest_sweep(checkpoint_dir)
         if last is not None:
             it, manifest = last
+            _validate_resume(graph, manifest, alpha)
             ray.get([ow.load_state_part.remote(
                 f"{sweep_dir(checkpoint_dir, it)}/ranks", "ranks")
                 for ow in owners])
             start_it = it + 1
             residual = manifest["residual_l1"]
             if residual < tol:
+                # checkpoints store PRE-normalization ranks: apply the same
+                # final normalize as every other exit path so a resumed-
+                # converged run returns identically scaled ranks
+                if normalize:
+                    total = sum(ray.get([ow.rank_sum.remote()
+                                         for ow in owners]))
+                    if total > 0:
+                        ray.get([ow.scale_ranks.remote(1.0 / total)
+                                 for ow in owners])
                 return graph.ranks_dataset(), {
                     "sweeps": start_it, "residual_l1": residual,
                     "resumed_at": it, "converged": True,
@@ -230,7 +257,8 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         if checkpoint_dir and (it % checkpoint_every == 0 or residual < tol):
             _checkpoint(graph, checkpoint_dir, it, "ranks", {
                 "residual_l1": residual, "dangling_mass": dangling_mass,
-                "alpha": alpha, "tol": tol})
+                "alpha": alpha, "tol": tol,
+                "num_owners": graph.P, "n": graph.n})
         if residual < tol:
             break
     elapsed = time.perf_counter() - t0
@@ -262,6 +290,20 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     return graph.ranks_dataset(), info
 
 
+def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float):
+    """Fail fast when a checkpoint was written by a differently-shaped run —
+    ``load_state_part`` loads per-owner part files, so a mesh/n/alpha
+    mismatch would silently assign wrong vertex state (ADVICE r1)."""
+    for key, current in (("num_owners", graph.P), ("n", graph.n),
+                         ("alpha", alpha)):
+        recorded = manifest.get(key)
+        if recorded is not None and recorded != current:
+            raise ValueError(
+                f"checkpoint/resume mismatch: manifest {key}={recorded} but "
+                f"current run has {key}={current}; rebuild with the "
+                f"checkpointing run's configuration or start a fresh run")
+
+
 def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
                          checkpoint_dir: str | None = None,
                          checkpoint_every: int = 5):
@@ -269,6 +311,8 @@ def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
     with ``undirected=True``.  Labels converge to min vid per component."""
     owners = graph.owners
     ray.get([ow.init_labels.remote() for ow in owners])
+    if graph.n == 0:
+        return graph.labels_dataset(), {"sweeps": 0}
     it = -1
     for it in range(max_iter):
         ray.get([ow.start_label_sweep.remote() for ow in owners])
@@ -292,6 +336,8 @@ def label_propagation(graph: ShardedGraph, max_iter: int = 10):
     on the canonical simple edge set."""
     owners = graph.owners
     ray.get([ow.init_labels.remote() for ow in owners])
+    if graph.n == 0:
+        return graph.labels_dataset(), {"sweeps": 0}
     it = -1
     for it in range(max_iter):
         ray.get([ow.start_label_sweep.remote() for ow in owners])

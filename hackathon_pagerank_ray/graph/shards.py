@@ -113,7 +113,9 @@ class RankOwner:
 
     # -- PageRank ----------------------------------------------------------
     def init_ranks(self, value: float | None = None) -> None:
-        self.r = np.full(self.n_local, value if value is not None else 1.0 / self.n)
+        if value is None:
+            value = 1.0 / self.n if self.n else 0.0
+        self.r = np.full(self.n_local, value)
 
     def set_ranks(self, ranks: np.ndarray) -> None:
         self.r = np.asarray(ranks, dtype=np.float64).copy()
@@ -150,7 +152,10 @@ class RankOwner:
             if isinstance(part, tuple):      # packed transfer: pick own slice
                 part = part[self.j]
             if part is not None and len(part):
-                np.add.at(y, self.dst_maps[e_id], part)
+                # dst_maps entries are UNIQUE per shard (uniq_dst_local) —
+                # plain fancy-index add is several times faster than
+                # np.add.at on the per-sweep hot path
+                y[self.dst_maps[e_id]] += part
         r_new = alpha * (y + dangling_mass / self.n) + (1.0 - alpha) / self.n
         delta = float(np.abs(r_new - self.r).sum())
         self.r = r_new
@@ -190,7 +195,8 @@ class RankOwner:
             if isinstance(part, tuple):
                 part = part[self.j]
             if part is not None and len(part):
-                np.minimum.at(new, self.dst_maps[e_id], part.astype(np.int64))
+                idx = self.dst_maps[e_id]          # unique per shard
+                new[idx] = np.minimum(new[idx], part.astype(np.int64))
         changed = int((new != self.labels).sum())
         self.labels = new
         return changed
@@ -258,12 +264,28 @@ class RankOwner:
                 "file": out, **self.metrics}
 
     def load_state_part(self, path: str, kind: str) -> None:
+        """Load this owner's checkpoint part, remapping rows BY VID (not
+        positionally) and failing fast if any vid belongs to a different
+        owner — catches resumes against a checkpoint written with another
+        mesh shape (ADVICE r1; the manifest check in the engine is the
+        first line of defense, this is the per-part one)."""
         import pyarrow.parquet as pq
         table = pq.read_table(f"{path}/part-{self.j:05d}.parquet")
+        vids = _to_numpy(table["vid"]).astype(np.int64)
+        if len(vids) != self.n_local or (len(vids) and (
+                (vids % self.P != self.j).any() or vids.max() >= self.n)):
+            raise ValueError(
+                f"checkpoint part {path}/part-{self.j:05d}.parquet does not "
+                f"match owner {self.j}/{self.P} with n={self.n} "
+                f"(part has {len(vids)} rows)")
+        local = vids // self.P
+        vals = _to_numpy(table["rank" if kind == "ranks" else "label"])
+        out = np.empty(self.n_local, dtype=vals.dtype)
+        out[local] = vals
         if kind == "ranks":
-            self.set_ranks(_to_numpy(table["rank"]))
+            self.set_ranks(out)
         else:
-            self.set_labels(_to_numpy(table["label"]))
+            self.set_labels(out)
 
 
 @ray.remote

@@ -95,9 +95,23 @@ def write_pagerank_json(ranks_ds, vertices_ds, path: str,
     joined = inner_join(ranks_ds, vertices_ds, on="vid",
                         num_partitions=num_partitions)
     joined = sum_normalize(joined, "rank").materialize()
-    rows = joined.sort(["rank", "vid"], descending=[True, False]).to_pandas()
-    payload = [{"id": int(r["vid"]), "url": r["url"], "score": float(r["rank"])}
-               for _, r in rows.iterrows()]
+    ordered = joined.sort(["rank", "vid"], descending=[True, False])
+    # stream the sorted table — the artifact IS the whole ranked table
+    # (backend/data/parse_pagerank.py:51-68), so the writer must not hold
+    # it in a driver list
+    n = 0
     with open(path, "w", encoding="utf-8") as f:
-        json.dump(payload, f, ensure_ascii=False, indent=2)
-    return len(payload)
+        f.write("[")
+        for batch in ordered.iter_batches(batch_size=65536,
+                                          batch_format="pyarrow"):
+            vids = batch["vid"].to_pylist()
+            urls = batch["url"].to_pylist()
+            scores = batch["rank"].to_pylist()
+            for vid, url, score in zip(vids, urls, scores):
+                prefix = ",\n  " if n else "\n  "
+                f.write(prefix + json.dumps(
+                    {"id": int(vid), "url": url, "score": float(score)},
+                    ensure_ascii=False))
+                n += 1
+        f.write("\n]")
+    return n

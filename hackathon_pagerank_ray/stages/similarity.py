@@ -105,7 +105,8 @@ def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
                     buckets.add(base ^ (1 << b1) ^ (1 << b2))
         probe_sets.append(buckets)
     wanted = set().union(*probe_sets) if probe_sets else set()
-    wanted_ref = ray.put(wanted)
+    wanted_ref = ray.put(np.fromiter(sorted(wanted), dtype=np.uint64,
+                                     count=len(wanted)))
     planes_ref = ray.put(planes)
 
     def _filter(batch: pd.DataFrame) -> pd.DataFrame:
@@ -115,7 +116,7 @@ def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
                           for v in batch[emb_col]])
         bucket = ((mat @ pl > 0).astype(np.uint64) <<
                   np.arange(num_planes, dtype=np.uint64)).sum(axis=1)
-        keep = np.asarray([int(b) in want for b in bucket])
+        keep = np.isin(bucket, want)
         return batch[keep]
 
     candidates = emb_ds.map_batches(_filter, batch_format="pandas")

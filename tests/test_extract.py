@@ -100,3 +100,71 @@ def test_malformed_html_no_crash():
         "<a href='/x'>l</a></p>", "https://ex.org/p/")
     assert text == "a & b c l" and links == ["https://ex.org/x"]
     assert parse_page("", "https://ex.org")[1] == ""
+
+
+# -- malformed-HTML goldens (round 2) ---------------------------------------
+# bs4 cannot be installed in this container, so these goldens ENCODE the
+# documented behaviours of BeautifulSoup's "html.parser" tree-builder on
+# malformed markup (the builder html_dom mirrors):
+#   B1 no implied end tags: "<p>one<p>two" nests the second <p> inside the
+#      first (bs4 docs, "Differences between parsers")
+#   B2 end tag pops to the nearest matching open ancestor, implicitly
+#      closing everything above it (BeautifulSoup._popToTag)
+#   B3 unmatched end tags are ignored (bs4 docs: '<a></p>' -> '<a></a>')
+#   B4 no foster-parenting: text directly inside <table> stays there
+#   B5 script/style content is CDATA (stdlib parser behaviour shared by
+#      both builders): tags inside are not parsed
+#   B6 duplicate attributes: the LAST value wins (bs4 on_duplicate_attribute
+#      default 'replace')
+# Each case runs the full reference extraction chain (decompose ->
+# main-select -> get_text(" ", strip=True) -> whitespace collapse).
+
+MALFORMED_GOLDENS = [
+    # (name, html, expected_text, expected_link_paths)
+    ("unclosed_p_nests",                                          # B1
+     "<html><body><p>first para<p>second para</body></html>",
+     "first para second para", []),
+    ("unclosed_li",                                               # B1/B2
+     "<html><body><ul><li>one<li>two<li>three</ul>tail</body></html>",
+     "one two three tail", []),
+    ("misnested_inline",                                          # B2/B3
+     "<html><body><b>bold <i>both</b> italic</i> tail</body></html>",
+     "bold both italic tail", []),
+    ("stray_end_tags",                                            # B3
+     "<html><body></p><div>content</div></section></body></html>",
+     "content", []),
+    ("table_loose_text",                                          # B4
+     "<html><body><table>loose<tr><td>cell</td></tr></table>after"
+     "</body></html>",
+     "loose cell after", []),
+    ("script_cdata",                                              # B5
+     "<html><body><script>var a = \"<p>not text</p>\";</script>visible"
+     "</body></html>",
+     "visible", []),
+    ("unclosed_div_content_class",                                # B1/B2
+     "<html><body><header>site nav</header><div class=\"content\">real "
+     "<b>stuff\n<p>more</body></html>",
+     "real stuff more", []),
+    ("duplicate_attr_last_wins",                                  # B6
+     "<html><body>outside <div class=\"content\" class=\"x\">inner</div>"
+     "</body></html>",
+     "outside inner", []),
+    ("unclosed_main_swallows_footer",                             # B1
+     "<html><body><main>core text<footer>foot</footer></body></html>",
+     "core text", []),
+    ("end_tag_implicit_close",                                    # B2/B3
+     "<html><body><div>a<span>b</div>c</span></body></html>",
+     "a b c", []),
+    ("unclosed_nav_swallows_links",                               # B1
+     "<html><body><nav><a href=\"/x\">x</a><div><a href=\"/y\">y</a>"
+     "</body></html>",
+     "", []),
+]
+
+
+def test_malformed_html_goldens():
+    for name, html, want_text, want_paths in MALFORMED_GOLDENS:
+        _, text, links, _ = parse_page(html, "https://www.ex.org/p")
+        assert text == want_text, f"{name}: {text!r} != {want_text!r}"
+        got_paths = [l.replace("https://www.ex.org", "") for l in links]
+        assert got_paths == want_paths, f"{name}: links {got_paths}"

@@ -253,3 +253,71 @@ def test_frame_sample():
     out = MM.frame_sample(media, every_ms=1000, concurrency=2).to_pandas()
     durations = MM.synthetic_media_table(4)["duration_ms"].to_pylist()
     assert len(out) == sum(max(1, d // 1000) for d in durations)
+
+
+# -- hot-bucket / recall hardening (round 2) --------------------------------
+
+def test_hot_bucket_star_cap_mass_duplicates():
+    """10k identical docs put every one of them in the same LSH bucket in
+    every band: candidate generation must stay LINEAR (star pairing), the
+    verify pass must confirm jaccard 1.0, and CC must recover ONE group."""
+    n = 3000
+    texts = ["same boilerplate text repeated everywhere forever"] * n
+    texts += ["one genuinely unique document about ray data"]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    pairs = DN.minhash_dedup(ds, threshold=0.9, num_partitions=2)
+    groups = DN.near_dup_groups(pairs, num_owners=2).to_pandas()
+    g = dict(zip(groups["doc_id"], groups["group"]))
+    assert all(g[i] == 0 for i in range(n))          # one cluster, min id 0
+    assert g.get(n, n) != 0 or n not in g            # unique doc not joined
+
+
+def test_bucket_pairs_bounds():
+    ids = np.arange(1000)
+    a, b = DN._bucket_pairs(ids, max_bucket=256)
+    assert len(a) == 999 and (a == 0).all()          # star, linear
+    a2, b2 = DN._bucket_pairs(np.arange(10), max_bucket=256)
+    assert len(a2) == 45                             # exhaustive below cap
+    assert (a2 < b2).all()
+
+
+def test_embedding_near_dups_recall_vs_brute_force():
+    """Banded sign-LSH recall at threshold 0.98 must be ≥0.95 against the
+    exact all-pairs result (seeded, deterministic).  Pairs are planted at
+    cosine ≈0.985 — just above threshold, the hard case for LSH."""
+    rng = np.random.RandomState(11)
+    dim, n_base = 32, 150
+    base = rng.standard_normal((n_base, dim))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    target = 0.985
+    vecs, ids = [], []
+    for i in range(n_base):
+        vecs.append(base[i])
+        ids.append(i)
+        w = rng.standard_normal(dim)
+        w -= w @ base[i] * base[i]
+        w /= np.linalg.norm(w)
+        vecs.append(target * base[i] + math.sqrt(1 - target ** 2) * w)
+        ids.append(i + 10_000)
+    mat = np.asarray(vecs)
+    sims = mat @ mat.T
+    iu, ju = np.triu_indices(len(ids), k=1)
+    ids_arr = np.asarray(ids)
+    true_pairs = {(min(ids_arr[x], ids_arr[y]), max(ids_arr[x], ids_arr[y]))
+                  for x, y in zip(iu[sims[iu, ju] >= 0.98],
+                                  ju[sims[iu, ju] >= 0.98])}
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"vec_id": ids, "embedding": [v.tolist() for v in mat]}))
+    got = DN.embedding_near_dups(ds, threshold=0.98).to_pandas()
+    got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
+    assert got_pairs <= true_pairs                   # verify = no false pos
+    recall = len(got_pairs & true_pairs) / max(1, len(true_pairs))
+    assert recall >= 0.95, f"recall {recall:.3f} over {len(true_pairs)} pairs"
+
+
+def test_bucketed_topk_recall_query_entry():
+    import __ray_entry__ as entrymod
+    row = entrymod.queries()["bucketed_topk"]("/root/testdata/sf0.001")
+    assert row["k"][0] == 10
+    assert row["recall"][0] >= 0.5
