@@ -35,8 +35,14 @@ def pagerank_dataset(edges_ds, n: int | None = None, alpha: float = 0.85,
 
     edges_ds = edges_ds.materialize()
     if n is None:
-        mx = edges_ds.max(["src", "dst"])
-        n = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+        if edges_ds.count() == 0:
+            n = 0                      # max() returns None on empty input
+        else:
+            mx = edges_ds.max(["src", "dst"])
+            n = int(max(mx["max(src)"], mx["max(dst)"])) + 1
+    if n == 0:
+        return (rd.from_arrow(_RANKS.empty_table()),
+                {"sweeps": 0, "residual_l1": 0.0, "n": 0})
 
     # materialized: consumed by two downstream plans (1/outdeg join and the
     # dangling anti-join) — reusing a lazy Dataset object across separately

@@ -366,6 +366,10 @@ class EdgeShard:
             self.dst_compact[soffs[j]:soffs[j + 1]] = compact
             self.uniq_dst_local.append(uniq // num_owners)
         self.soffs = soffs
+        # fuse the two per-sweep gathers (vals[src_pos] then [scatter_order])
+        # into ONE build-time composed index — halves the random-access
+        # traffic on the sweep hot path
+        self.src_pos_scattered = self.src_pos[self.scatter_order]
         self.metrics["edges"] = self.m
         self.metrics["uniq_src"] = len(self.uniq_src)
         return int(max(src.max(initial=-1), dst.max(initial=-1)))
@@ -413,7 +417,7 @@ class EdgeShard:
         destination owner (aligned with uniq_dst_local)."""
         t0 = time.perf_counter()
         vals = self._gathered(value_slices)
-        contrib = vals[self.src_pos][self.scatter_order]
+        contrib = vals[self.src_pos_scattered]
         out = []
         for j in range(self.P):
             seg = slice(self.soffs[j], self.soffs[j + 1])
@@ -428,7 +432,7 @@ class EdgeShard:
     def min_label_partials(self, *label_slices: np.ndarray):
         """per-dst minimum of source labels, per destination owner."""
         labels = self._gathered(label_slices).astype(np.int64)
-        vals = labels[self.src_pos][self.scatter_order]
+        vals = labels[self.src_pos_scattered]
         out = []
         for j in range(self.P):
             seg = slice(self.soffs[j], self.soffs[j + 1])
@@ -445,7 +449,7 @@ class EdgeShard:
         """(dst_local_idx, label, count) triplets per destination owner —
         the pre-aggregated histogram shuffle for label propagation."""
         labels = self._gathered(label_slices).astype(np.int64)
-        vals = labels[self.src_pos][self.scatter_order]
+        vals = labels[self.src_pos_scattered]
         out = []
         for j in range(self.P):
             seg = slice(self.soffs[j], self.soffs[j + 1])
