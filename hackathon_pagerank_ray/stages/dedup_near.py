@@ -51,12 +51,26 @@ class MinHasher:
         return batch
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=8)
+def _cached_minhasher(text_col: str, k: int, num_perm: int, seed: int):
+    return MinHasher(text_col, k, num_perm, seed)
+
+
 def minhash_signatures(docs_ds, text_col="text", k=3, num_perm=64,
-                       seed=1234, concurrency=4):
-    return docs_ds.map_batches(
-        MinHasher, fn_constructor_kwargs=dict(text_col=text_col, k=k,
-                                              num_perm=num_perm, seed=seed),
-        batch_format="pandas", concurrency=concurrency)
+                       seed=1234, concurrency=None):
+    """Plain-task stage with worker-process-cached hasher state: the
+    MinHash permutation table is tiny, and Ray throttles NEW actor starts
+    for seconds after any Dataset execution, so an actor pool here costs
+    more to spin up than the whole stage — tasks reuse already-warm
+    workers.  (Actor pools stay the right shape for HEAVY state: models,
+    big lookup tables — see stages/extract_stage.)"""
+    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+        return _cached_minhasher(text_col, k, num_perm, seed)(batch)
+
+    return docs_ds.map_batches(_sig, batch_format="pandas")
 
 
 def lsh_band_table(sig_ds, id_col="doc_id", num_perm=64, bands=16):
@@ -101,12 +115,46 @@ def _bucket_pairs(ids: np.ndarray, max_bucket: int):
     return np.full(len(ids) - 1, ids[0]), ids[1:]
 
 
-def candidate_pairs(band_ds, id_col="doc_id", max_bucket: int = 256):
+def candidate_pairs(band_ds, id_col="doc_id", max_bucket: int = 256,
+                    small_threshold: int = 500_000):
     """groupby(band, bucket) → in-bucket pairs (a < b), deduped.
 
     Bounded per bucket: a hot bucket (identical signatures, boilerplate)
     degrades to linear star pairing instead of a quadratic
-    ``triu_indices`` blow-up in a single ``map_groups`` task."""
+    ``triu_indices`` blow-up in a single ``map_groups`` task.
+
+    Adaptive execution: a band table under ``small_threshold`` rows skips
+    the distributed hash shuffle (whose aggregator-pool spin-up costs
+    seconds regardless of data size) and runs the groupby in one task;
+    the distributed path is the default shape at corpus scale."""
+    band_ds = band_ds.materialize()
+    if band_ds.count() <= small_threshold:
+        def _all_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            bnd = df["band"].to_numpy()
+            bkt = df["bucket"].to_numpy()
+            ids = df[id_col].to_numpy()
+            order = np.lexsort((ids, bkt, bnd))
+            bnd, bkt, ids = bnd[order], bkt[order], ids[order]
+            boundary = np.ones(len(bnd), dtype=bool)
+            boundary[1:] = (bnd[1:] != bnd[:-1]) | (bkt[1:] != bkt[:-1])
+            gstart = np.flatnonzero(boundary)
+            gend = np.append(gstart[1:], len(bnd))
+            keep = (gend - gstart) >= 2      # singleton buckets never pair
+            outs_a, outs_b = [], []
+            for s, e in zip(gstart[keep], gend[keep]):
+                pa_, pb_ = _bucket_pairs(ids[s:e], max_bucket)
+                outs_a.append(pa_)
+                outs_b.append(pb_)
+            if not outs_a:
+                e64 = pd.Series(dtype="int64")
+                return pd.DataFrame({"a": e64, "b": e64})
+            out = pd.DataFrame({"a": np.concatenate(outs_a),
+                                "b": np.concatenate(outs_b)})
+            return out.drop_duplicates(["a", "b"], ignore_index=True)
+
+        return band_ds.repartition(1).map_batches(
+            _all_pairs, batch_format="pandas", batch_size=None)
+
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = _bucket_pairs(g[id_col].to_numpy(), max_bucket)
         return pd.DataFrame({"a": a, "b": b})
@@ -128,10 +176,39 @@ def _jaccard(t1: str, t2: str, k: int) -> float:
 
 
 def verify_pairs_jaccard(pairs_ds, docs_ds, id_col="doc_id", text_col="text",
-                         k=3, threshold=0.7, num_partitions=16):
+                         k=3, threshold=0.7, num_partitions=16,
+                         broadcast_threshold: int = 100_000):
     """Join candidate texts back and compute exact n-gram Jaccard — keeps
-    pairs ≥ threshold.  Two hash joins (a then b), verification vectorized
-    per pair batch."""
+    pairs ≥ threshold.
+
+    Adaptive: when the candidate set is small (≤ ``broadcast_threshold``
+    pairs — the common case after LSH banding), the candidate ids are
+    broadcast with ``ray.put`` and the texts arrive via a shuffle-free
+    ``isin`` filter; at scale it falls back to two hash joins (a then b).
+    Verification is vectorized per pair batch either way."""
+    import ray
+
+    pairs_ds = pairs_ds.materialize()
+    if pairs_ds.count() <= broadcast_threshold:
+        pair_df = pairs_ds.to_pandas()
+        need = np.unique(np.concatenate([pair_df["a"].to_numpy(),
+                                         pair_df["b"].to_numpy()]))
+        need_ref = ray.put(need)
+        texts = docs_ds.map_batches(
+            lambda b: b[b[id_col].isin(ray.get(need_ref))],
+            batch_format="pandas").to_pandas()
+        lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
+
+        def _verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            lut = ray.get(lookup_ref)
+            jac = [_jaccard(lut.get(x, ""), lut.get(y, ""), k)
+                   for x, y in zip(batch["a"], batch["b"])]
+            out = batch[["a", "b"]].copy()
+            out["jaccard"] = jac
+            return out[out["jaccard"] >= threshold]
+
+        return pairs_ds.map_batches(_verify_bc, batch_format="pandas")
+
     from .relational import inner_join
     d_a = docs_ds.select_columns([id_col, text_col]).rename_columns(
         {id_col: "a", text_col: "text_a"})
@@ -234,10 +311,17 @@ class SimHasher:
         return batch
 
 
-def simhash_signatures(docs_ds, text_col="text", concurrency=4):
-    return docs_ds.map_batches(SimHasher,
-                               fn_constructor_kwargs={"text_col": text_col},
-                               batch_format="pandas", concurrency=concurrency)
+@lru_cache(maxsize=8)
+def _cached_simhasher(text_col: str):
+    return SimHasher(text_col)
+
+
+def simhash_signatures(docs_ds, text_col="text", concurrency=None):
+    """Plain-task stage, worker-cached hasher (see minhash_signatures)."""
+    def _sig(batch: pd.DataFrame) -> pd.DataFrame:
+        return _cached_simhasher(text_col)(batch)
+
+    return docs_ds.map_batches(_sig, batch_format="pandas")
 
 
 def simhash_candidates(sig_ds, id_col="doc_id", max_hamming=3,
@@ -251,8 +335,49 @@ def simhash_candidates(sig_ds, id_col="doc_id", max_hamming=3,
     import pandas as pd
 
     # one signature pass feeds four band-groupbys — materialize or each
-    # branch re-runs the SimHasher actor pool
+    # branch re-runs the SimHasher stage
     sig_ds = sig_ds.materialize()
+    if sig_ds.count() <= 500_000:
+        # adaptive small path: all four band-bucketings + hamming verify in
+        # one task — skips 4 hash shuffles + a union + a distinct whose
+        # fixed spin-up dwarfs the data (distributed path below at scale)
+        def _small(df: pd.DataFrame) -> pd.DataFrame:
+            sub = df.drop_duplicates(id_col).sort_values(id_col)
+            ids = sub[id_col].to_numpy()
+            hs = sub["simhash"].to_numpy()
+            outs_a, outs_b = [], []
+            for band in range(4):
+                bb = sub[f"sh_band{band}"].to_numpy()
+                order = np.argsort(bb, kind="stable")
+                sb = bb[order]
+                boundary = np.ones(len(sb), dtype=bool)
+                boundary[1:] = sb[1:] != sb[:-1]
+                gstart = np.flatnonzero(boundary)
+                gend = np.append(gstart[1:], len(sb))
+                for s, e in zip(gstart[gend - gstart >= 2],
+                                gend[gend - gstart >= 2]):
+                    pa_, pb_ = _bucket_pairs(ids[order[s:e]], max_bucket)
+                    outs_a.append(pa_)
+                    outs_b.append(pb_)
+            if not outs_a:
+                e64 = pd.Series(dtype="int64")
+                return pd.DataFrame({"a": e64, "b": e64})
+            cand = pd.DataFrame({"a": np.concatenate(outs_a),
+                                 "b": np.concatenate(outs_b)})
+            cand = cand.drop_duplicates(["a", "b"], ignore_index=True)
+            lut = dict(zip(ids, hs.astype(np.uint64)))
+            x = (cand["a"].map(lut).to_numpy().astype(np.uint64)
+                 ^ cand["b"].map(lut).to_numpy().astype(np.uint64))
+            ham = np.zeros(len(x), dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            cand["hamming"] = ham
+            return cand[cand["hamming"] <= max_hamming][["a", "b"]
+                                                        ].reset_index(drop=True)
+
+        return sig_ds.repartition(1).map_batches(
+            _small, batch_format="pandas", batch_size=None)
     frames = []
     for band in range(4):
         def _pairs(g: pd.DataFrame, _band=band) -> pd.DataFrame:

@@ -166,21 +166,40 @@ class Fingerprint:
         return batch
 
 
-def add_token_counts(ds, text_col: str = "text", concurrency=4):
-    return ds.map_batches(TokenCount, fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pandas", concurrency=concurrency)
+# These stages are plain-task map_batches with worker-process-cached
+# operator state (functools.lru_cache): the state here is a compiled regex
+# and a few small sets, and Ray throttles NEW actor starts for seconds
+# after any Dataset execution, so a per-query actor pool costs more to
+# spin up than the whole stage runs.  Actor pools remain the right shape
+# for HEAVY state (models, parsers) — see stages/extract_stage.py.
+
+from functools import lru_cache
 
 
-def add_quality_scores(ds, text_col: str = "text", concurrency=4):
-    return ds.map_batches(QualityScore, fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pandas", concurrency=concurrency)
+@lru_cache(maxsize=16)
+def _cached_op(cls_name: str, text_col: str):
+    cls = {"TokenCount": TokenCount, "QualityScore": QualityScore,
+           "LanguageId": LanguageId, "Fingerprint": Fingerprint}[cls_name]
+    return cls(text_col)
 
 
-def add_language_id(ds, text_col: str = "text", concurrency=4):
-    return ds.map_batches(LanguageId, fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pandas", concurrency=concurrency)
+def _task_stage(ds, cls_name: str, text_col: str):
+    def _fn(batch: pd.DataFrame) -> pd.DataFrame:
+        return _cached_op(cls_name, text_col)(batch)
+    return ds.map_batches(_fn, batch_format="pandas")
 
 
-def add_fingerprints(ds, text_col: str = "text", concurrency=4):
-    return ds.map_batches(Fingerprint, fn_constructor_kwargs={"text_col": text_col},
-                          batch_format="pandas", concurrency=concurrency)
+def add_token_counts(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "TokenCount", text_col)
+
+
+def add_quality_scores(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "QualityScore", text_col)
+
+
+def add_language_id(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "LanguageId", text_col)
+
+
+def add_fingerprints(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "Fingerprint", text_col)
