@@ -48,3 +48,17 @@ def test_dataset_pagerank_with_dangling():
     r = ranks.to_pandas().sort_values("vid")["rank"].to_numpy()
     ro, _, _ = oracle.pagerank(edges, n=5, max_iter=8)
     assert np.abs(r - ro).max() < 1e-12
+
+
+def test_triangles_distributed_path_matches_oracle():
+    """Force the distributed wedge-join plan (small_threshold=0) — the
+    at-scale shape must stay exact even though small inputs normally take
+    the single-task path."""
+    edges = gen_hub_edges(120, 800, hub_k=4, seed=29)
+    verts = rd.from_arrow(pa.Table.from_pydict(
+        {"vid": np.arange(120, dtype=np.int64)}))
+    out = (triangle_counts(rd.from_arrow(edges_to_table(edges)), verts,
+                           num_partitions=4, small_threshold=0)
+           .to_pandas().sort_values("vid"))
+    assert np.array_equal(out["triangles"].to_numpy(),
+                          oracle.triangle_counts(edges, n=120))
