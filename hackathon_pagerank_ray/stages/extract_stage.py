@@ -97,10 +97,15 @@ def parse_pages(pages_ds, target_lang: str | None = None, concurrency=None,
     if concurrency is None:
         # FIXED actor pool sized to the cluster: Ray's autoscaling pools
         # ramp up so slowly here that a (1, N) pool parses ~10x slower
-        # than a fixed pool (measured 130 vs 1360 pages/sec)
+        # than a fixed pool (measured 130 vs 1360 pages/sec).
+        # Leave >=2 CPUs of headroom for the upstream read tasks: a fixed
+        # pool that claims EVERY cluster CPU deadlocks when the actors are
+        # placed before the 1-CPU ReadParquet tasks get scheduled (actors
+        # starve the reads; reads never feed the actors) — observed as a
+        # permanent hang at 8 CPUs in a fresh session.
         import ray
         ncpu = int(ray.cluster_resources().get("CPU", 8))
-        concurrency = max(2, min(ncpu, 16))
+        concurrency = max(2, min(ncpu - 2, 16))
     kwargs = dict(batch_format="pyarrow", batch_size=batch_size,
                   num_cpus=num_cpus, concurrency=concurrency)
     return pages_ds.map_batches(ExtractPages,
