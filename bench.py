@@ -76,14 +76,18 @@ def run_pagerank_bench(num_cpus: int, gather_mode: str = "full") -> dict:
 
     mesh = MESH or max(2, num_cpus // 2)
     path = _bench_edges_parquet()
-    edges = rd.read_parquet(path)
+    sort = os.environ.get("GRAFT_BENCH_SORT", "0") == "1"
+    # default: parquet fragments straight to the shards (column-pruned,
+    # no driver materialize / plasma copy); the Dataset route only when
+    # the opt-in src-sort is requested
+    edges = rd.read_parquet(path) if sort else path
     t0 = time.perf_counter()
     graph = ShardedGraph.build(
         edges, n=BENCH_N, num_owners=mesh, num_edge_shards=mesh,
         gather_mode=gather_mode,
         # full-vector gather doesn't profit from src-sorted shards, and the
         # Ray Data sort dominates build time at bench scale
-        sort_by_src=os.environ.get("GRAFT_BENCH_SORT", "0") == "1")
+        sort_by_src=sort)
     build_sec = time.perf_counter() - t0
     # warmup: this VM's first-touch page faults are intermittently ~1000x
     # slower than warm memory — two untimed sweeps let every actor allocate

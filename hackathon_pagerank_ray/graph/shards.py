@@ -36,6 +36,7 @@ import time
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 import ray
 
 
@@ -325,14 +326,24 @@ class EdgeShard:
     def set_edges(self, edge_tables, undirected: bool = False) -> int:
         """Load this shard's edge chunk and build the local CSR-style
         indexes (once).  Returns the shard's max vertex id (-1 if empty) so
-        the driver can derive ``n = max_id + 1`` without a Dataset pass."""
+        the driver can derive ``n = max_id + 1`` without a Dataset pass.
+
+        ``edge_tables`` entries may be Arrow tables, plasma refs to Arrow
+        tables, or parquet file paths (str) — the path form is the at-scale
+        build: each shard reads only its own fragments, column-pruned to
+        src/dst, with no driver-side materialization or plasma copy of the
+        edge table."""
         num_owners = self.P
-        if isinstance(edge_tables, pa.Table):
+        if isinstance(edge_tables, (pa.Table, str)):
             edge_tables = [edge_tables]
         # refs nested in a list are not auto-resolved by Ray — fetch here
-        # (zero-copy reads from the local object store)
-        edge_tables = [ray.get(t) if isinstance(t, ray.ObjectRef) else t
-                       for t in edge_tables]
+        # (zero-copy reads from the local object store); str entries are
+        # parquet fragment paths read directly (pruned to src/dst)
+        edge_tables = [
+            pq.read_table(t, columns=["src", "dst"]) if isinstance(t, str)
+            else (ray.get(t) if isinstance(t, ray.ObjectRef) else t)
+            for t in edge_tables
+        ]
         # sort/repartition can emit empty blocks with an EMPTY schema —
         # drop anything that doesn't carry the edge columns
         edge_tables = [t for t in edge_tables
@@ -341,21 +352,27 @@ class EdgeShard:
             edge_table = pa.concat_tables(
                 [t.select(["src", "dst"]) for t in edge_tables]
             )
-            src = _to_numpy(edge_table["src"]).astype(np.int64)
-            dst = _to_numpy(edge_table["dst"]).astype(np.int64)
+            src = _to_numpy(edge_table["src"]).astype(np.int64, copy=False)
+            dst = _to_numpy(edge_table["dst"]).astype(np.int64, copy=False)
         else:
             src = np.zeros(0, dtype=np.int64)
             dst = np.zeros(0, dtype=np.int64)
+        # canonical (pre-doubling) row count — what Dataset.count() reports
+        self.m_input = len(src)
         if undirected:
             # treat each stored canonical edge as both directions
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
         self.src = src
         self.dst = dst
         self.m = len(src)
+        self._od_cache = None
 
+        _t = time.perf_counter()
         # gather side: unique vertices whose values this shard needs
         self.uniq_src = np.unique(src)                       # sorted
         self.src_pos = np.searchsorted(self.uniq_src, src)   # edge → gather slot
+        self.metrics["build_gather_sec"] = round(time.perf_counter() - _t, 3)
+        _t = time.perf_counter()
         # received value vectors are concatenated in owner order; compute the
         # offset of each owner's slice within the gather vector
         owner_of_uniq = self.uniq_src % num_owners
@@ -372,6 +389,8 @@ class EdgeShard:
             uniq_sorted[offs[j]:offs[j + 1]] // num_owners for j in range(num_owners)
         ]
 
+        self.metrics["build_sub_sec"] = round(time.perf_counter() - _t, 3)
+        _t = time.perf_counter()
         # scatter side: per destination owner, a compacted dst index
         dst_owner = dst % num_owners
         self.scatter_order = np.argsort(dst_owner, kind="stable")
@@ -398,31 +417,60 @@ class EdgeShard:
             [[0], np.cumsum(self.owner_slice_counts)])
         self._vals_buf = np.empty(len(self.uniq_src))
         self._contrib_buf = np.empty(self.m)
+        self.metrics["build_scatter_sec"] = round(time.perf_counter() - _t, 3)
         self.metrics["edges"] = self.m
         self.metrics["uniq_src"] = len(self.uniq_src)
         return int(max(src.max(initial=-1), dst.max(initial=-1)))
 
     # -- build helpers ------------------------------------------------------
+    def get_m(self) -> int:
+        """Canonical edge-row count of this shard (pre-undirected-doubling),
+        matching what ``Dataset.count()`` reports on the build input."""
+        return int(getattr(self, "m_input", self.m))
+
     def subscription(self, owner_id: int):
         return self.sub_local[owner_id], self.uniq_dst_local[owner_id]
 
     def outdeg_contrib(self, owner_id: int):
         """(local_idx, counts) of this shard's edges per source vertex."""
-        mask = (self.src % self.P) == owner_id
-        if not mask.any():
-            return np.zeros(0, dtype=np.int64), np.zeros(0, dtype=np.int64)
-        vids, counts = np.unique(self.src[mask], return_counts=True)
-        return vids // self.P, counts
+        vids, counts = self._outdeg_by_owner()[owner_id]
+        return vids, counts
+
+    def _outdeg_by_owner(self):
+        """One unique pass over src, then split by owner (not P masked
+        passes); cached for the duration of the build."""
+        if getattr(self, "_od_cache", None) is None:
+            vids, counts = np.unique(self.src, return_counts=True)
+            owner = vids % self.P
+            order = np.argsort(owner, kind="stable")
+            vids, counts, owner = vids[order], counts[order], owner[order]
+            per = np.bincount(owner, minlength=self.P)
+            offs = np.concatenate([[0], np.cumsum(per)])
+            self._od_cache = [
+                (vids[offs[j]:offs[j + 1]] // self.P,
+                 counts[offs[j]:offs[j + 1]])
+                for j in range(self.P)
+            ]
+        return self._od_cache
 
     def build_owner_payloads(self):
         """All per-owner wiring payloads in one call (used with
         ``options(num_returns=P)`` so each owner fetches only its own)."""
+        od = self._outdeg_by_owner()
         out = []
         for j in range(self.P):
-            od_idx, od_cnt = self.outdeg_contrib(j)
             out.append((self.sub_local[j], self.uniq_dst_local[j],
-                        od_idx, od_cnt))
+                        od[j][0], od[j][1]))
         return tuple(out) if self.P > 1 else out[0]
+
+    def release_raw_edges(self) -> None:
+        """Drop the raw src/dst arrays (and the build-time out-degree
+        cache) once owner wiring is done — sweeps only touch the composed
+        indexes, and the freed ~16 bytes/edge matters on memory-ballooned
+        hosts and at 10^9-edge shard sizes."""
+        self.src = None
+        self.dst = None
+        self._od_cache = None
 
     def get_metrics(self) -> dict:
         return {"shard": self.e, **self.metrics}

@@ -123,3 +123,28 @@ def test_degenerate_single_partition():
         g.shutdown()
     ro, _, _ = oracle.pagerank(edges)
     assert np.abs(r - ro).max() < 1e-12
+
+
+def test_build_from_parquet_paths(tmp_path):
+    """Direct-parquet build (fragments straight to shards, no driver
+    materialize) must produce identical ranks to the Dataset build and
+    report the same canonical m."""
+    from hackathon_pagerank_ray.testgen import write_edges_parquet
+
+    edges = gen_random_edges(300, 3000, seed=11)
+    pdir = write_edges_parquet(edges, str(tmp_path / "edges"), n_shards=5)
+    g1 = ShardedGraph.build(pdir, num_owners=4)
+    try:
+        r1 = _ranks(pagerank(g1)[0])
+        m1, n1 = g1.m, g1.n
+    finally:
+        g1.shutdown()
+    g2 = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)), num_owners=4)
+    try:
+        r2 = _ranks(pagerank(g2)[0])
+        assert g2.m == m1 == len(edges)
+        assert g2.n == n1
+    finally:
+        g2.shutdown()
+    # different shard groupings reorder float additions — identical up to ulp
+    assert np.abs(r1 - r2).max() < 1e-15
