@@ -739,6 +739,73 @@ ORDER BY tfidf_score DESC, doc_id LIMIT 10
 """
 
 
+# shared token-hash CTE for the near-dup oracles: FNV-1a 64 per token
+# (text_ops._fnv1a_bytes over the \w+ lowercased tokens), HUGEINT modular
+# arithmetic emulating uint64 wraparound
+_TH_CTE = r"""
+tok AS MATERIALIZED (
+  SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS toks
+  FROM documents),
+th AS MATERIALIZED (
+  SELECT doc_id, list_transform(toks, t ->
+    list_reduce(
+      list_prepend(14695981039346656037::HUGEINT,
+        list_transform(range(1, length(t) + 1), i -> ord(t[i])::HUGEINT)),
+      (h, b) -> (xor(h::UBIGINT, b::UBIGINT)::HUGEINT * 1099511628211::HUGEINT)
+                % 18446744073709551616::HUGEINT)) AS th
+  FROM tok)
+"""
+
+# brute-force exact n-gram-Jaccard pairs at threshold 0.5 — the LSH in
+# minhash_dedup is candidate pruning only (final filter is exact Jaccard),
+# and at the 0.5-threshold pairs present in the fixtures the 16-band/64-perm
+# banding has ~1 recall, so the Ray result equals the brute force (verified
+# empirically AND vs Python brute-force at sf0.01).  Length prefilter is
+# sound: J>=0.5 implies min(|A|,|B|) >= max(|A|,|B|)/2.
+_MINHASH_ORACLE_SQL = rf"""
+WITH {_TH_CTE},
+sh AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(th) < 3 THEN list_distinct(th)
+    ELSE list_distinct(list_transform(range(1, len(th) - 1), i ->
+      (((th[i] * 1099511628211::HUGEINT + th[i+1])
+          % 18446744073709551616::HUGEINT) * 1099511628211::HUGEINT
+        + th[i+2]) % 18446744073709551616::HUGEINT))
+    END AS sh
+  FROM th)
+SELECT a, b FROM (
+  SELECT a.doc_id AS a, b.doc_id AS b,
+         len(list_intersect(a.sh, b.sh)) AS i,
+         len(a.sh) + len(b.sh) AS s
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    AND len(a.sh) <= 2 * len(b.sh) AND len(b.sh) <= 2 * len(a.sh))
+WHERE CASE WHEN s - i = 0 THEN 1.0
+           ELSE CAST(i AS DOUBLE) / (s - i) END >= 0.5
+"""
+
+# brute-force 64-bit SimHash (majority bit over token hashes, ties -> 0)
+# pairs at hamming <= 3.  The 4x16-bit pigeonhole banding in
+# simhash_candidates guarantees recall at hamming <= 3 (3 flipped bits
+# cannot touch all 4 bands), so candidate generation loses nothing and the
+# Ray result equals this brute force exactly (verified at sf0.01).
+_SIMHASH_ORACLE_SQL = rf"""
+WITH {_TH_CTE},
+sim AS MATERIALIZED (
+  SELECT doc_id,
+    CASE WHEN len(th) = 0 THEN 0::UBIGINT
+    ELSE list_reduce(list_transform(range(0, 64), b ->
+        CASE WHEN 2 * len(list_filter(th, h -> (h::UBIGINT >> b) & 1 = 1))
+                  > len(th)
+             THEN (1::UBIGINT << b) ELSE 0::UBIGINT END),
+      (x, y) -> x | y)
+    END AS h64
+  FROM th)
+SELECT a.doc_id AS a, b.doc_id AS b
+FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.h64, b.h64)) <= 3
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = f"WITH edges AS ({_EDGE_SQL})"
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
@@ -749,6 +816,8 @@ def oracle_sql() -> dict[str, str]:
         "language_id": _LANG_ORACLE_SQL,
         "fingerprints": _FP_ORACLE_SQL,
         "tfidf_search": _TFIDF_ORACLE_SQL,
+        "minhash_pairs": _MINHASH_ORACLE_SQL,
+        "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
         "in_degrees":
