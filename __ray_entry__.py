@@ -469,14 +469,19 @@ def _q_embedding_near_dups(sf_dir):
     from hackathon_pagerank_ray.stages.dedup_near import embedding_near_dups
     rd = _rd()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
-    base = pq.read_table(f"{sf_dir}/embeddings.parquet").slice(0, 32)
-    rng = np.random.RandomState(7)
+    tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    base = tbl.filter(pa.compute.less(tbl["vec_id"], 32))
+    # arithmetic jitter (1e-3*sin(id*131 + dim)) instead of an RNG so the
+    # DuckDB oracle can reconstruct the identical planted vectors
     jittered = pa.Table.from_pydict({
         "vec_id": [int(i) + 1_000_000 for i in base["vec_id"].to_pylist()],
         "embedding": [
             (np.asarray(v, dtype=np.float32)
-             + 1e-3 * rng.standard_normal(len(v)).astype(np.float32)).tolist()
-            for v in base["embedding"].to_pylist()],
+             + (1e-3 * np.sin(int(i) * 131.0
+                              + np.arange(1, len(v) + 1, dtype=np.float64))
+                ).astype(np.float32)).tolist()
+            for i, v in zip(base["vec_id"].to_pylist(),
+                            base["embedding"].to_pylist())],
         "label": base["label"].to_pylist(),
     })
     both = emb.union(rd.from_arrow(jittered))
@@ -806,6 +811,29 @@ WHERE bit_count(xor(a.h64, b.h64)) <= 3
 """
 
 
+# brute-force cosine>=0.99 pairs over the embeddings table unioned with
+# the SAME planted jittered copies _q_embedding_near_dups builds (the
+# sin-based jitter is bit-reproducible in SQL: double-precision add, one
+# rounding to FLOAT).  Natural pair cosines top out ~0.48 and planted pairs
+# sit at ~0.99998, so the float32-vs-double cosine difference cannot flip a
+# threshold decision; the multiprobe LSH finds every planted pair.
+_EMB_ORACLE_SQL = r"""
+WITH jit AS (
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, len(embedding) + 1), j ->
+      CAST(CAST(embedding[j] AS DOUBLE)
+           + 0.001 * sin(vec_id * 131.0 + j) AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 32),
+allv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM jit))
+SELECT a.vec_id AS a, b.vec_id AS b
+FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.e, b.e) >= 0.99
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = f"WITH edges AS ({_EDGE_SQL})"
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
@@ -818,6 +846,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_search": _TFIDF_ORACLE_SQL,
         "minhash_pairs": _MINHASH_ORACLE_SQL,
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
+        "embedding_near_dups": _EMB_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
         "in_degrees":
