@@ -316,6 +316,26 @@ def _q_stopword_ratio(sf_dir):
         ["doc_id", "stopword_ratio"])
 
 
+def _q_doc_quality(sf_dir):
+    """All six QualityScore heuristics per document (stages/text_ops.py)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_quality_scores
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_quality_scores(docs, concurrency=4).select_columns(
+        ["doc_id", "n_chars", "n_tokens", "mean_token_len",
+         "stopword_ratio", "alpha_ratio", "punct_density"])
+
+
+def _q_user_sessions(sf_dir):
+    """Gap-based sessionization of the event stream (30-min gap):
+    per-user ordered windows via groupby().map_groups."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import sessionize
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return sessionize(ev, gap_sec=1800.0)
+
+
 def _q_exact_text_dedup(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import exact_text_dedup
@@ -549,6 +569,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sum_normalize_orders": _q_sum_normalize_orders,
         "revenue_topk": _q_revenue_topk,
         "events_hourly": _q_events_hourly,
+        "user_sessions": _q_user_sessions,
+        "doc_quality": _q_doc_quality,
         "event_type_counts": _q_event_type_counts,
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
@@ -834,6 +856,54 @@ WHERE list_cosine_similarity(a.e, b.e) >= 0.99
 """
 
 
+# gap-based sessionization via lag + running sum (30-min gap, epoch-us);
+# ties in ts are gap 0 and stay in-session, so order among equal
+# timestamps cannot change the output
+_SESSIONS_ORACLE_SQL = """
+WITH e AS (SELECT user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_events, MIN(t) AS start_us, MAX(t) AS end_us
+FROM s GROUP BY 1, 2
+"""
+
+# the six QualityScore heuristics (stages/text_ops.py:51-79); \\w and
+# [.,;:!?] are ASCII on this fixture (token_counts/stopword_ratio oracles
+# already depend on that), \\p{L} mirrors str.isalpha
+_QUALITY_ORACLE_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, text,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x))
+           AS toks
+  FROM documents)
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE)
+            / len(toks) END AS mean_token_len,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE CAST(len(list_filter(toks, t -> list_contains(
+              ['the','and','of','to','a','in','is','it','on','for',
+               'with','as','was','that','this'], t))) AS DOUBLE)
+            / len(toks) END AS stopword_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(length(regexp_replace(text, '[^\p{L}]', '', 'g'))
+                 AS DOUBLE) / length(text) END AS alpha_ratio,
+  CASE WHEN length(text) = 0 THEN 0.0
+       ELSE CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS DOUBLE)
+            / length(text) END AS punct_density
+FROM tok
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     E = f"WITH edges AS ({_EDGE_SQL})"
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
@@ -847,6 +917,8 @@ def oracle_sql() -> dict[str, str]:
         "minhash_pairs": _MINHASH_ORACLE_SQL,
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "embedding_near_dups": _EMB_ORACLE_SQL,
+        "user_sessions": _SESSIONS_ORACLE_SQL,
+        "doc_quality": _QUALITY_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
         "in_degrees":

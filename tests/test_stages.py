@@ -98,3 +98,41 @@ def test_normalizations():
     # reference guard: span = 1.0 when max == min (api/main.py:117-127)
     flat = minmax_normalize(_ds(s=[2.0, 2.0]), "s").to_pandas()["s_norm"].tolist()
     assert flat == [0.0, 0.0]
+
+
+def test_sessionize():
+    """Gap-based sessionization: boundaries strictly > gap, ties share a
+    session, 1-based indices in time order, per-user isolation."""
+    from hackathon_pagerank_ray.stages.events import sessionize
+
+    us = 1_000_000
+    gap = 60.0  # seconds
+    t0 = 1_700_000_000 * us
+    rows = {
+        "user_id": [1, 1, 1, 1, 2, 2, 3],
+        "ts": [
+            # user 1: two events 60s apart (== gap -> same session), then a
+            # 61s jump (> gap -> new session), then a tie with the previous
+            t0, t0 + 60 * us, t0 + 121 * us, t0 + 121 * us,
+            # user 2: single events 1h apart -> two singleton sessions
+            t0, t0 + 3600 * us,
+            # user 3: one event
+            t0 + 5 * us,
+        ],
+    }
+    tbl = pa.Table.from_pydict({
+        "user_id": pa.array(rows["user_id"], pa.int64()),
+        "ts": pa.array(rows["ts"], pa.timestamp("us")),
+    })
+    out = (sessionize(rd.from_arrow(tbl), gap_sec=gap)
+           .to_pandas().sort_values(["user_id", "session_idx"])
+           .reset_index(drop=True))
+    got = list(map(tuple, out[["user_id", "session_idx", "n_events",
+                               "start_us", "end_us"]].values))
+    assert got == [
+        (1, 1, 2, t0, t0 + 60 * us),
+        (1, 2, 2, t0 + 121 * us, t0 + 121 * us),
+        (2, 1, 1, t0, t0),
+        (2, 2, 1, t0 + 3600 * us, t0 + 3600 * us),
+        (3, 1, 1, t0 + 5 * us, t0 + 5 * us),
+    ]
