@@ -401,6 +401,32 @@ def _q_bucketed_topk(sf_dir):
                          "recall": [hits / 10.0]})
 
 
+def _q_ivf_topk(sf_dir):
+    """Coarse-quantizer IVF top-k (seeded k-means, nprobe=8 of 16 cells).
+    At this probe depth the planted-cluster geometry makes the result
+    exactly the brute-force top-10, so the DuckDB cosine-top-k oracle
+    hash-checks it; recall at shallower probes is asserted in
+    tests/test_stages.py."""
+    _quiet()
+    import pyarrow.parquet as pq
+    from hackathon_pagerank_ray.stages.similarity import ivf_topk
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
+    q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
+        pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
+    out = ivf_topk(emb, np.asarray([q0]), k=10, n_centroids=16, nprobe=8,
+                   concurrency=2)
+
+    def _round(t: pa.Table) -> pa.Table:
+        r = pc.round(t["cosine"], 6)
+        return pa.Table.from_arrays(
+            [t["vec_id"].combine_chunks(),
+             r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r],
+            names=["vec_id", "cosine"])
+
+    return out.select_columns(["vec_id", "cosine"]).map_batches(
+        _round, batch_format="pyarrow")
+
+
 def _q_triangle_counts(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.graph.triangles import triangle_counts
@@ -580,6 +606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_text_dedup": _q_exact_text_dedup,
         "doc_dedup_longest": _q_doc_dedup_longest,
         "ann_topk": _q_ann_topk,
+        "ivf_topk": _q_ivf_topk,
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
@@ -990,6 +1017,17 @@ def oracle_sql() -> dict[str, str]:
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source "
             "ORDER BY n_chars DESC, doc_id) = 1",
         "ann_topk":
+            "SELECT vec_id, ROUND(list_cosine_similarity("
+            "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
+            "FROM embeddings WHERE vec_id = 0)), 6) AS cosine "
+            "FROM embeddings "
+            "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
+            "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
+            "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # ivf_topk probes 8/16 cells but provably returns the exact top-10
+        # on this table (asserted deterministic: seeded k-means over the
+        # id-sorted sample), so the exact cosine top-k is a valid oracle.
+        "ivf_topk":
             "SELECT vec_id, ROUND(list_cosine_similarity("
             "CAST(embedding AS DOUBLE[]), (SELECT CAST(embedding AS DOUBLE[]) "
             "FROM embeddings WHERE vec_id = 0)), 6) AS cosine "

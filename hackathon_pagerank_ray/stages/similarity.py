@@ -2,9 +2,11 @@
 
 Baseline: brute-force cosine top-k — the query matrix is broadcast once via
 ``ray.put`` and every batch does one numpy matmul + partial top-k; a final
-tiny per-query merge produces exact global top-k.  Scale path:
-LSH-bucketed (IVF-like) search via :func:`bucketed_topk` that probes only
-matching hyperplane buckets.
+tiny per-query merge produces exact global top-k.  Scale paths:
+LSH-bucketed search via :func:`bucketed_topk` (probes only matching
+hyperplane buckets) and coarse-quantizer IVF via :func:`ivf_topk`
+(seeded spherical k-means centroids trained on a deterministic sample,
+candidates restricted to the ``nprobe`` nearest inverted lists).
 """
 
 from __future__ import annotations
@@ -120,5 +122,100 @@ def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
         return batch[keep]
 
     candidates = emb_ds.map_batches(_filter, batch_format="pandas")
+    return brute_force_topk(candidates, queries, k, id_col, emb_col,
+                            concurrency)
+
+
+def _normalize_rows(mat: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    return mat / norms[:, None]
+
+
+def train_centroids(emb_ds, n_centroids: int = 16,
+                    id_col: str = "vec_id", emb_col: str = "embedding",
+                    sample_mod: int = 1, iters: int = 10,
+                    seed: int = 5) -> np.ndarray:
+    """Seeded spherical k-means coarse quantizer for :func:`ivf_topk`.
+
+    Trains on the deterministic sample ``id % sample_mod == 0`` (callers
+    size ``sample_mod`` so the driver pull stays bounded — e.g. ~256k
+    vectors at corpus scale; training never touches the full dataset).
+    Assignment is by max cosine on unit vectors; empty clusters keep
+    their previous centroid, so the result is deterministic for a given
+    (seed, sample, n_centroids).
+    """
+    sample = emb_ds.map_batches(
+        lambda b, _m=sample_mod: b[b[id_col] % _m == 0] if _m > 1 else b,
+        batch_format="pandas").take_all()
+    # Block arrival order is not deterministic under streaming execution
+    # (preserve_order is off); sort by id so training is reproducible.
+    sample.sort(key=lambda r: r[id_col])
+    x = _normalize_rows(np.asarray(
+        [np.asarray(r[emb_col], dtype=np.float64) for r in sample]))
+    if len(x) == 0:
+        raise ValueError("train_centroids: empty training sample")
+    k = min(n_centroids, len(x))
+    rng = np.random.RandomState(seed)
+    cents = x[rng.choice(len(x), size=k, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cents.T, axis=1)
+        for c in range(k):
+            members = x[assign == c]
+            if len(members):
+                m = members.sum(axis=0)
+                nrm = np.linalg.norm(m)
+                if nrm > 0:
+                    cents[c] = m / nrm
+    return cents
+
+
+class _IvfFilter:
+    """Actor-pool candidate filter: keep rows whose nearest centroid is in
+    the probed set.  Centroids/probe set are fetched from plasma once per
+    actor (zero-copy), not per batch."""
+
+    def __init__(self, cents_ref, probe_ref, emb_col: str):
+        self.cents = ray.get(cents_ref)
+        self.probe = ray.get(probe_ref)
+        self.emb_col = emb_col
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        mat = _normalize_rows(np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in batch[self.emb_col]]))
+        assign = np.argmax(mat @ self.cents.T, axis=1)
+        return batch[np.isin(assign, self.probe)]
+
+
+def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
+             id_col: str = "vec_id", emb_col: str = "embedding",
+             n_centroids: int = 16, nprobe: int = 4, seed: int = 5,
+             sample_mod: int = 1, train_iters: int = 10,
+             centroids: np.ndarray | None = None, concurrency=4):
+    """IVF approximate top-k: restrict the exact search to the union of
+    each query's ``nprobe`` nearest centroid cells (coarse quantizer =
+    :func:`train_centroids`).  Scans ~``nprobe / n_centroids`` of the
+    corpus per query batch; with ``nprobe == n_centroids`` it is exactly
+    :func:`brute_force_topk`.  Pass a precomputed ``centroids`` matrix to
+    amortize training across query batches (the at-scale usage)."""
+    queries = np.asarray(queries, dtype=np.float64)
+    if centroids is None:
+        centroids = train_centroids(emb_ds, n_centroids, id_col, emb_col,
+                                    sample_mod, train_iters, seed)
+    cents = _normalize_rows(np.asarray(centroids, dtype=np.float64))
+    nprobe = min(nprobe, len(cents))
+    qn = _normalize_rows(queries)
+    sims = qn @ cents.T                       # (nq, k)
+    probe = np.unique(
+        np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe])
+    if len(probe) >= len(cents):
+        candidates = emb_ds                   # probing every cell: no filter
+    else:
+        candidates = emb_ds.map_batches(
+            _IvfFilter,
+            fn_constructor_kwargs=dict(cents_ref=ray.put(cents),
+                                       probe_ref=ray.put(probe),
+                                       emb_col=emb_col),
+            batch_format="pandas", concurrency=concurrency)
     return brute_force_topk(candidates, queries, k, id_col, emb_col,
                             concurrency)

@@ -321,3 +321,52 @@ def test_bucketed_topk_recall_query_entry():
     row = entrymod.queries()["bucketed_topk"]("/root/testdata/sf0.001")
     assert row["k"][0] == 10
     assert row["recall"][0] >= 0.5
+
+
+def test_ivf_topk_full_probe_is_exact():
+    """nprobe == n_centroids must reduce to brute force exactly."""
+    import pyarrow.parquet as pq
+    table = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(table)
+    q = np.asarray([np.asarray(table["embedding"][0].as_py()),
+                    np.asarray(table["embedding"][7].as_py())])
+    exact = SIM.brute_force_topk(ds, q, k=5, concurrency=2).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    ivf = SIM.ivf_topk(ds, q, k=5, n_centroids=8, nprobe=8,
+                       concurrency=2).to_pandas() \
+        .sort_values(["query_id", "vec_id"]).reset_index(drop=True)
+    assert list(ivf["vec_id"]) == list(exact["vec_id"])
+    assert np.allclose(ivf["cosine"], exact["cosine"])
+
+
+def test_ivf_topk_partial_probe_recall_and_determinism():
+    import pyarrow.parquet as pq
+    table = pq.read_table(f"{SF}/embeddings.parquet")
+    ds = rd.from_arrow(table)
+    q = np.asarray([np.asarray(table["embedding"][0].as_py())])
+    exact = set(SIM.brute_force_topk(ds, q, k=10, concurrency=2)
+                .to_pandas()["vec_id"])
+    runs = []
+    for _ in range(2):
+        got = SIM.ivf_topk(ds, q, k=10, n_centroids=16, nprobe=6,
+                           concurrency=2).to_pandas()
+        runs.append(sorted(got["vec_id"]))
+    assert runs[0] == runs[1]                       # seeded + sorted sample
+    recall = len(set(runs[0]) & exact) / 10.0
+    assert recall >= 0.8, f"recall {recall}"
+
+
+def test_ivf_query_entry_matches_exact_topk():
+    """The driver query (nprobe=8/16) must equal the SQL oracle's exact
+    top-10 — this is the invariant the CORRECTNESS hash check relies on."""
+    import __ray_entry__ as entrymod
+    got = entrymod.queries()["ivf_topk"]("/root/testdata/sf0.001") \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    import duckdb
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"read_parquet('{SF}/embeddings.parquet')")
+    want = con.execute(entrymod.oracle_sql()["ivf_topk"]).df() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert list(got["vec_id"]) == list(want["vec_id"])
+    assert np.allclose(got["cosine"], want["cosine"], atol=1e-6)
