@@ -336,6 +336,27 @@ def _q_user_sessions(sf_dir):
     return sessionize(ev, gap_sec=1800.0)
 
 
+def _q_purchase_attribution(sf_dir):
+    """Backward as-of join (a Dataset-API gap): each purchase event
+    attributed to the same user's most recent prior click — union ->
+    groupby(user) -> sorted searchsorted merge, one shuffle total.
+    Filters push down to the parquet read (only two event types leave
+    storage)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import asof_join
+    cols = ["event_id", "ts", "user_id"]
+    purchases = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pc.field("event_type") == "purchase"))
+    clicks = _rd().read_parquet(
+        f"{sf_dir}/events.parquet", columns=cols,
+        filter=(pc.field("event_type") == "click"))
+    return asof_join(purchases, clicks, by="user_id", on="ts",
+                     left_keep={"event_id": "event_id"},
+                     right_keep={"event_id": "click_id"},
+                     how="inner", right_t_name="click_t_us")
+
+
 def _q_exact_text_dedup(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import exact_text_dedup
@@ -596,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_topk": _q_revenue_topk,
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
+        "purchase_attribution": _q_purchase_attribution,
         "doc_quality": _q_doc_quality,
         "event_type_counts": _q_event_type_counts,
         "region_customer_counts": _q_region_customer_counts,
@@ -901,6 +923,21 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM s GROUP BY 1, 2
 """
 
+# backward as-of join: greatest click ts <= purchase ts per user; ties on
+# ts break by larger click event_id (operator lexsorts right side by
+# (tie_col, t) and takes the last index <= t)
+_ASOF_ORACLE_SQL = """
+WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'purchase'),
+     c AS (SELECT event_id, user_id, epoch_us(ts) AS t_us FROM events
+           WHERE event_type = 'click')
+SELECT p.event_id AS event_id, p.user_id AS user_id, p.t_us AS t_us,
+       c.event_id AS click_id, c.t_us AS click_t_us
+FROM p JOIN c ON p.user_id = c.user_id AND c.t_us <= p.t_us
+QUALIFY row_number() OVER (PARTITION BY p.event_id
+                           ORDER BY c.t_us DESC, c.event_id DESC) = 1
+"""
+
 # the six QualityScore heuristics (stages/text_ops.py:51-79); \\w and
 # [.,;:!?] are ASCII on this fixture (token_counts/stopword_ratio oracles
 # already depend on that), \\p{L} mirrors str.isalpha
@@ -945,6 +982,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "embedding_near_dups": _EMB_ORACLE_SQL,
         "user_sessions": _SESSIONS_ORACLE_SQL,
+        "purchase_attribution": _ASOF_ORACLE_SQL,
         "doc_quality": _QUALITY_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",

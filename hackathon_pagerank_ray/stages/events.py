@@ -64,3 +64,111 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
             .map_batches(_to_us, batch_format="pyarrow")
             .groupby(user_col)
             .map_groups(_sess, batch_format="pandas"))
+
+
+def asof_join(left_ds, right_ds, by: str, on: str,
+              left_keep: dict, right_keep: dict, how: str = "inner",
+              direction: str = "backward", right_t_name: str | None = None):
+    """Distributed backward/forward as-of join (a Dataset-API gap).
+
+    For each left row, find the single right row with the same ``by`` key
+    and the greatest ``on`` <= left's ``on`` (``direction="backward"``; for
+    ``"forward"``, the least ``on`` >= left's).  Ties on ``on`` break by
+    the first ``right_keep`` column (largest wins backward, smallest
+    forward) so results are deterministic.
+
+    ``on`` must be a timestamp column (compared in epoch microseconds).
+    ``left_keep`` / ``right_keep`` map input column -> output column; the
+    output also carries ``by`` and ``t_us`` (left's ``on`` in epoch us).
+
+    Shape: tag each side, align schemas, ``union`` -> ``groupby(by)`` ->
+    per-key ``map_groups`` doing a sorted ``np.searchsorted`` merge — one
+    hash shuffle total, each key processed in one task.  Partitioning
+    assumption: one key's rows fit a worker (same as ``sessionize``; salt
+    ``by`` upstream if a key can exceed worker memory).
+
+    ``how="left"`` keeps unmatched left rows with right columns as NaN
+    (pandas-nullable); ``"inner"`` drops them, keeping integer dtypes.
+    ``right_t_name`` additionally emits the matched right row's ``on``
+    (epoch us) under that name.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    l_cols = list(left_keep)
+    r_cols = list(right_keep)
+
+    def _prep(side: int, keep: list):
+        def _fn(t: pa.Table) -> pa.Table:
+            n = len(t)
+            micros = pc.cast(t[on], pa.int64())
+            arrays = [t[by].combine_chunks(), micros.combine_chunks()
+                      if isinstance(micros, pa.ChunkedArray) else micros,
+                      pa.array(np.full(n, side, dtype=np.int8))]
+            names = [by, "t_us", "__side"]
+            for c in l_cols:
+                arrays.append(t[c].combine_chunks() if side == 0
+                              else pa.nulls(n, t.schema.field(c).type
+                                            if c in t.column_names
+                                            else pa.int64()))
+                names.append("l__" + c)
+            for c in r_cols:
+                arrays.append(t[c].combine_chunks() if side == 1
+                              else pa.nulls(n, t.schema.field(c).type
+                                            if c in t.column_names
+                                            else pa.int64()))
+                names.append("r__" + c)
+            return pa.Table.from_arrays(arrays, names=names)
+        return _fn
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        lhs = df[df["__side"] == 0]
+        rhs = df[df["__side"] == 1]
+        out_cols = ([by, "t_us"]
+                    + [left_keep[c] for c in l_cols]
+                    + [right_keep[c] for c in r_cols]
+                    + ([right_t_name] if right_t_name else []))
+        if not len(lhs) or (how == "inner" and not len(rhs)):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols})
+        lt = lhs["t_us"].to_numpy(dtype=np.int64)
+        rt = rhs["t_us"].to_numpy(dtype=np.int64)
+        tie = (rhs["r__" + r_cols[0]].to_numpy() if r_cols
+               else np.zeros(len(rhs), dtype=np.int64))
+        order = np.lexsort((tie, rt))
+        rt = rt[order]
+        if direction == "backward":
+            idx = np.searchsorted(rt, lt, side="right") - 1
+            matched = idx >= 0
+        else:
+            idx = np.searchsorted(rt, lt, side="left")
+            matched = idx < len(rt)
+        if how == "inner":
+            lhs = lhs[matched]
+            lt, idx = lt[matched], idx[matched]
+            matched = np.ones(len(lhs), dtype=bool)
+        out = {by: lhs[by].to_numpy(dtype=np.int64), "t_us": lt}
+        for c in l_cols:
+            out[left_keep[c]] = lhs["l__" + c].to_numpy()
+        safe = np.where(matched, idx, 0)
+        for c in r_cols:
+            if len(rhs):
+                vals = rhs["r__" + c].to_numpy()[order][safe]
+            else:
+                vals = np.zeros(len(lhs), dtype=np.int64)
+            if not matched.all():
+                vals = pd.array(vals).copy()
+                vals[~matched] = pd.NA
+            out[right_keep[c]] = vals
+        if right_t_name:
+            vals = rt[safe] if len(rhs) else np.zeros(len(lhs), np.int64)
+            if not matched.all():
+                vals = pd.array(vals).copy()
+                vals[~matched] = pd.NA
+            out[right_t_name] = vals
+        return pd.DataFrame(out)
+
+    tagged_l = left_ds.map_batches(_prep(0, l_cols), batch_format="pyarrow")
+    tagged_r = right_ds.map_batches(_prep(1, r_cols), batch_format="pyarrow")
+    return (tagged_l.union(tagged_r)
+            .groupby(by)
+            .map_groups(_merge, batch_format="pandas"))

@@ -136,3 +136,47 @@ def test_sessionize():
         (2, 2, 1, t0 + 3600 * us, t0 + 3600 * us),
         (3, 1, 1, t0 + 5 * us, t0 + 5 * us),
     ]
+
+
+def test_asof_join():
+    """Backward/forward as-of join: per-key latest right <= left (ties ->
+    larger tiebreak id), inner drops unmatched, left keeps them as NA,
+    keys with no right rows never cross-match."""
+    from hackathon_pagerank_ray.stages.events import asof_join
+
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+
+    def _tbl(ids, users, ts):
+        return rd.from_arrow(pa.Table.from_pydict({
+            "event_id": pa.array(ids, pa.int64()),
+            "user_id": pa.array(users, pa.int64()),
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }))
+
+    # user 1: left at t=10 matches right at t=10 (tie with t=10 twice ->
+    #   larger event_id wins); left at t=5 matches right at t=3
+    # user 2: left at t=7, no right rows at all -> inner drops it
+    left = _tbl([100, 101, 200], [1, 1, 2],
+                [t0 + 10 * us, t0 + 5 * us, t0 + 7 * us])
+    right = _tbl([7, 8, 9], [1, 1, 1],
+                 [t0 + 10 * us, t0 + 10 * us, t0 + 3 * us])
+
+    kw = dict(by="user_id", on="ts", left_keep={"event_id": "event_id"},
+              right_keep={"event_id": "rid"}, right_t_name="r_t_us")
+    out = (asof_join(left, right, how="inner", **kw)
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    got = list(map(tuple, out[["event_id", "user_id", "rid",
+                               "r_t_us"]].values))
+    assert got == [(100, 1, 8, t0 + 10 * us), (101, 1, 9, t0 + 3 * us)]
+
+    lout = (asof_join(left, right, how="left", **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    assert len(lout) == 3
+    assert bool(lout["rid"].isna().iloc[2])
+
+    # forward: earliest right >= left; tie -> SMALLER event_id wins
+    fout = (asof_join(left, right, how="inner", direction="forward", **kw)
+            .to_pandas().sort_values("event_id").reset_index(drop=True))
+    fgot = list(map(tuple, fout[["event_id", "rid", "r_t_us"]].values))
+    assert fgot == [(100, 7, t0 + 10 * us), (101, 7, t0 + 10 * us)]
