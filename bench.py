@@ -179,34 +179,105 @@ def main():
     ray.shutdown()
 
 
+def _scaling_runs(mode_flag: str, lo: int, hi: int, trials: int,
+                  score, extra_env: dict | None = None) -> dict:
+    """Run ``bench.py <mode_flag>`` in taskset-pinned fresh subprocesses at
+    both CPU levels; keep the best-of-N per level by ``score``.
+
+    taskset pins the WHOLE local Ray node (raylet + workers inherit the
+    affinity) to ncpu cores — a faithful smaller-machine run;
+    ray.init(num_cpus=...) alone does not limit actor-method CPU use.
+    Best-of-N because the sandbox host is time-shared and phases of it
+    are ~10x slower."""
+    trial_timeout = int(os.environ.get("GRAFT_SCALE_TIMEOUT", "600"))
+    results = {}
+    for ncpu in (lo, hi):
+        best = None
+        successes = attempts = 0
+        while successes < trials and attempts < trials + 2:
+            attempts += 1
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       **(extra_env or {}))
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+                   os.path.abspath(__file__), mode_flag]
+            try:
+                # per-trial timeout: a raylet in a bad host phase can wedge
+                # actor scheduling indefinitely; kill and retry instead of
+                # stalling the whole measurement
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, check=True,
+                    timeout=trial_timeout,
+                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired,
+                    subprocess.CalledProcessError) as e:
+                print(f"# trial failed ({ncpu} cpus): {type(e).__name__}",
+                      file=sys.stderr)
+                continue
+            successes += 1
+            if best is None or score(r) > score(best):
+                best = r
+        if best is None:
+            raise RuntimeError(
+                f"all {mode_flag} trials failed/timed out at {ncpu} cpus")
+        results[ncpu] = best
+    return results
+
+
+def _cpu_calibration(lo: int, hi: int) -> dict:
+    """Host CPU-capacity calibration, NO Ray involved: N concurrent pure-
+    Python spin processes pinned to cores 0..N-1.  On this hypervisor the
+    vCPUs are oversubscribed — 32 loaded vCPUs deliver only ~20 cores'
+    worth of cycles (measured), so even embarrassingly-parallel compute
+    cannot exceed ~0.69 efficiency from 8->32.  Reporting this ceiling
+    next to each scaling number separates engine behavior from host
+    behavior."""
+    burn = ("import time;t=time.perf_counter()\n"
+            "x=0\n"
+            "for i in range(20000000): x+=i*i\n"
+            "print(time.perf_counter()-t)")
+
+    def _run_n(n: int) -> float:
+        procs = [subprocess.Popen(
+            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", burn],
+            stdout=subprocess.PIPE, text=True) for _ in range(n)]
+        times = [float(p.communicate()[0].strip()) for p in procs]
+        return sum(times) / len(times)
+
+    t1 = min(_run_n(1), _run_n(1))          # single-proc baseline (best-of-2)
+    cap = {n: round(n * t1 / _run_n(n), 2) for n in (lo, hi)}
+    return {"single_proc_sec": round(t1, 2),
+            "effective_cores": {str(n): cap[n] for n in (lo, hi)},
+            "ceiling": round((cap[hi] / cap[lo]) / (hi / lo), 3)}
+
+
 def scaling():
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
-    results = {}
-    for ncpu in (lo, hi):
-        best = None
-        for _ in range(trials):
-            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-            # taskset pins the WHOLE local Ray node (raylet + workers
-            # inherit the affinity) to ncpu cores — a faithful
-            # smaller-machine run; ray.init(num_cpus=...) alone does not
-            # limit actor-method CPU use.  Best-of-N because the sandbox
-            # host is time-shared and phases of it are ~10x slower.
-            cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
-                   os.path.abspath(__file__), "--pagerank-only"]
-            out = subprocess.run(
-                cmd, env=env, capture_output=True, text=True, check=True,
-                cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
-            r = json.loads(out.stdout.strip().splitlines()[-1])
-            if (best is None
-                    or r["pagerank"]["edges_per_sec_per_sweep_median"]
-                    > best["pagerank"]["edges_per_sec_per_sweep_median"]):
-                best = r
-        results[ncpu] = best
-    eps_lo = results[lo]["pagerank"]["edges_per_sec_per_sweep_median"]
-    eps_hi = results[hi]["pagerank"]["edges_per_sec_per_sweep_median"]
+
+    calib = _cpu_calibration(lo, hi)
+    ceiling = calib["ceiling"]
+
+    pr = _scaling_runs(
+        "--pagerank-only", lo, hi, trials,
+        lambda r: r["pagerank"]["edges_per_sec_per_sweep_median"])
+    eps_lo = pr[lo]["pagerank"]["edges_per_sec_per_sweep_median"]
+    eps_hi = pr[hi]["pagerank"]["edges_per_sec_per_sweep_median"]
     eff = (eps_hi / eps_lo) / (hi / lo)
+
+    # Companion line: the compute-bound parse stage (per-page HTML parsing
+    # in a fixed actor pool) over a k-way replicated read of the big-page
+    # corpus — enough per-core work that pool spin-up amortizes.  On this
+    # memory-bandwidth-shared host the sweep kernel saturates DRAM near 8
+    # cores (see BASELINE.md); the parse control shows the engine's
+    # scheduling/actor plumbing scales when per-core compute dominates.
+    ex = _scaling_runs("--parse-only", lo, hi, trials,
+                       lambda r: r["parse"]["pages_per_sec"])
+    pps_lo = ex[lo]["parse"]["pages_per_sec"]
+    pps_hi = ex[hi]["parse"]["pages_per_sec"]
+    ex_eff = (pps_hi / pps_lo) / (hi / lo)
+
     print(json.dumps({
         "metric": "pagerank_scaling_efficiency",
         "value": round(eff, 3),
@@ -214,6 +285,69 @@ def scaling():
         "cpus_lo": lo, "cpus_hi": hi,
         "edges_per_sec_per_sweep_lo": eps_lo,
         "edges_per_sec_per_sweep_hi": eps_hi,
+        "host_cpu_calibration": calib,
+        "pagerank_efficiency_vs_host_ceiling":
+            round(eff / ceiling, 3) if ceiling else None,
+        "parse_scaling_efficiency": round(ex_eff, 3),
+        "parse_efficiency_vs_host_ceiling":
+            round(ex_eff / ceiling, 3) if ceiling else None,
+        "parse_pages_per_sec_lo": pps_lo,
+        "parse_pages_per_sec_hi": pps_hi,
+        "detail": {str(k): v["pagerank"] for k, v in pr.items()},
+        "parse_detail": {str(k): v["parse"] for k, v in ex.items()},
+    }))
+
+
+def weak_scaling():
+    """North-rule companion: hold edges-per-core constant (the real
+    meaning of 'N→4N nodes on 4× data') and compare per-sweep wall time.
+    Ideal is a flat sweep time (efficiency 1.0 = t_lo / t_hi).  Uses a
+    4×-smaller graph at the low level so both runs are ballooning-safe."""
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
+    trials = int(os.environ.get("GRAFT_SCALE_TRIALS", "2"))
+    m_hi = BENCH_M
+    n_hi = BENCH_N
+    scale = hi // lo
+    trial_timeout = int(os.environ.get("GRAFT_SCALE_TIMEOUT", "600"))
+    results = {}
+    for ncpu, n, m in ((lo, n_hi // scale, m_hi // scale), (hi, n_hi, m_hi)):
+        best = None
+        successes = attempts = 0
+        while successes < trials and attempts < trials + 2:
+            attempts += 1
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                       GRAFT_BENCH_N=str(n), GRAFT_BENCH_M=str(m))
+            cmd = ["taskset", "-c", f"0-{ncpu - 1}", sys.executable,
+                   os.path.abspath(__file__), "--pagerank-only"]
+            try:
+                out = subprocess.run(
+                    cmd, env=env, capture_output=True, text=True, check=True,
+                    timeout=trial_timeout,
+                    cwd=os.path.dirname(os.path.abspath(__file__)) or ".")
+                r = json.loads(out.stdout.strip().splitlines()[-1])
+            except (subprocess.TimeoutExpired,
+                    subprocess.CalledProcessError) as e:
+                print(f"# trial failed ({ncpu} cpus): {type(e).__name__}",
+                      file=sys.stderr)
+                continue
+            successes += 1
+            if (best is None or r["pagerank"]["median_sweep_sec"]
+                    < best["pagerank"]["median_sweep_sec"]):
+                best = r
+        if best is None:
+            raise RuntimeError(
+                f"all weak-scaling trials failed/timed out at {ncpu} cpus")
+        results[ncpu] = best
+    t_lo = results[lo]["pagerank"]["median_sweep_sec"]
+    t_hi = results[hi]["pagerank"]["median_sweep_sec"]
+    print(json.dumps({
+        "metric": "pagerank_weak_scaling_efficiency",
+        "value": round(t_lo / t_hi, 3),
+        "unit": "efficiency",
+        "cpus_lo": lo, "cpus_hi": hi,
+        "edges_lo": m_hi // scale, "edges_hi": m_hi,
+        "median_sweep_sec_lo": t_lo, "median_sweep_sec_hi": t_hi,
         "detail": {str(k): v["pagerank"] for k, v in results.items()},
     }))
 
@@ -227,10 +361,69 @@ def pagerank_only():
     ray.shutdown()
 
 
+def extract_only():
+    ray = _init_ray(NUM_CPUS)
+    ex = run_extract_bench()
+    print(json.dumps({"metric": "extract_only", "value": ex["extract_sec"],
+                      "unit": "sec", "num_cpus": NUM_CPUS, "extract": ex}))
+    ray.shutdown()
+
+
+def _big_corpus_parquet() -> str:
+    """20k big pages (size_mult=20, ~5 KB html, ~1.5 ms parse each) — the
+    compute-bound parse-control corpus; ground-truth text skipped (the
+    parse stage re-derives it)."""
+    from hackathon_pagerank_ray.testgen import write_pages_parquet
+    path = "/tmp/graft_bench_bigcorpus_20000_m20_s42"
+    if not os.path.exists(os.path.join(path, "part-00000.parquet")):
+        write_pages_parquet(path, 20000, seed=42, n_shards=32,
+                            size_mult=20, with_text=False)
+    return path
+
+
+def run_parse_bench(num_cpus: int) -> dict:
+    """Parse-stage throughput: a k-way replicated read of the big-page
+    corpus through the M5-M8 extract actor pool (pool sized 3/4 of the
+    cluster, exactly proportional at both scaling levels).  Replicating
+    the READ k-fold amplifies per-core parse work so the fixed pool's
+    spin-up (~5-15 s on this host, serialized through one raylet; on a
+    real cluster actors start in parallel per node) amortizes."""
+    import glob as _glob
+
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.extract_stage import parse_pages
+    k = int(os.environ.get("GRAFT_PARSE_K", "10"))
+    files = sorted(_glob.glob(_big_corpus_parquet() + "/*.parquet")) * k
+    t0 = time.perf_counter()
+    ds = rd.read_parquet(files, columns=["url", "warc_ts", "html"])
+    parsed = parse_pages(ds, concurrency=max(2, 3 * num_cpus // 4),
+                         batch_size=256)
+    n = parsed.map_batches(lambda t: t.select(["url"]),
+                           batch_format="pyarrow").count()
+    dt = time.perf_counter() - t0
+    return {"parse_sec": round(dt, 2), "pages": n, "replication_k": k,
+            "pages_per_sec": round(n / dt, 1)}
+
+
+def parse_only():
+    ray = _init_ray(NUM_CPUS)
+    pr = run_parse_bench(NUM_CPUS)
+    print(json.dumps({"metric": "parse_only", "value": pr["parse_sec"],
+                      "unit": "sec", "num_cpus": NUM_CPUS, "parse": pr}))
+    ray.shutdown()
+
+
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--weak-scaling" in sys.argv:
+        weak_scaling()
     elif "--pagerank-only" in sys.argv:
         pagerank_only()
+    elif "--extract-only" in sys.argv:
+        extract_only()
+    elif "--parse-only" in sys.argv:
+        parse_only()
     else:
         main()

@@ -112,11 +112,14 @@ _MAIN_LAYOUTS = (
 
 
 def make_page_html(rng: random.Random, domain_id: int, page_id: int,
-                   n_pages_in_domain: int, hub_k: int, out_deg: int):
+                   n_pages_in_domain: int, hub_k: int, out_deg: int,
+                   size_mult: int = 1):
     """Build one page's HTML + its same-domain link targets.
 
     Returns ``(html, markup_lang, links)`` where ``links`` are raw (pre-
     normalization) anchor targets that point within the base domain.
+    ``size_mult`` scales the body paragraph count (1 ≈ 1–2 KB pages;
+    20 ≈ 25 KB — the scale-bench knob for a compute-bound parse stage).
     """
     lang, html_open, meta_lang = _LANG_MARKUPS[_pick_lang(rng)]
     main_open, main_close = _MAIN_LAYOUTS[rng.randrange(len(_MAIN_LAYOUTS))]
@@ -142,7 +145,7 @@ def make_page_html(rng: random.Random, domain_id: int, page_id: int,
     # nav links would create edges if boilerplate pruning failed:
     nav_anchor = f'<a href="/page/{rng.randrange(n_pages_in_domain)}">navlink</a>'
 
-    body_text = _paragraphs(rng, rng.randint(2, 6))
+    body_text = _paragraphs(rng, rng.randint(2, 6) * size_mult)
     aside_cls = rng.choice(("navbar", "nav", "navigation", "site-header",
                             "site-footer", "footer", "cookie", "cookie-banner",
                             "banner"))
@@ -180,8 +183,14 @@ def _pick_lang(rng: random.Random) -> int:
 
 def generate_pages(n_pages: int, seed: int = 42, n_domains: int = 4,
                    hub_frac: float = 0.02, dup_frac: float = 0.05,
-                   dangling_frac: float = 0.1):
-    """Deterministic page-corpus pyarrow Table (schema = PAGES_SCHEMA)."""
+                   dangling_frac: float = 0.1, size_mult: int = 1,
+                   with_text: bool = True):
+    """Deterministic page-corpus pyarrow Table (schema = PAGES_SCHEMA).
+
+    ``with_text=False`` skips the (single-threaded) ground-truth text
+    extraction — for big scale-bench corpora where the parse stage
+    re-derives text anyway and the column goes unread.
+    """
     rng = random.Random(seed)
     per_domain = max(1, n_pages // n_domains)
     hub_k = max(1, int(per_domain * hub_frac))
@@ -189,8 +198,7 @@ def generate_pages(n_pages: int, seed: int = 42, n_domains: int = 4,
     urls, tss, htmls, texts, langs = [], [], [], [], []
 
     def _append(url, idx, html, lang):
-        doc = parse_html(html)
-        text = extract_text(doc)
+        text = extract_text(parse_html(html)) if with_text else ""
         urls.append(url)
         tss.append(_EPOCH + datetime.timedelta(seconds=idx))
         htmls.append(html.encode("utf-8"))
@@ -203,7 +211,8 @@ def generate_pages(n_pages: int, seed: int = 42, n_domains: int = 4,
         pid = i // n_domains
         dangling = rng.random() < dangling_frac
         out_deg = 0 if dangling else rng.randint(1, 8)
-        html, lang, _ = make_page_html(rng, d, pid, per_domain, hub_k, out_deg)
+        html, lang, _ = make_page_html(rng, d, pid, per_domain, hub_k,
+                                       out_deg, size_mult)
         _append(_page_url(d, pid), idx, html, lang)
         idx += 1
         if rng.random() < dup_frac:
