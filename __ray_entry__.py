@@ -336,6 +336,60 @@ def _q_user_sessions(sf_dir):
     return sessionize(ev, gap_sec=1800.0)
 
 
+def _q_event_sessions(sf_dir):
+    """Composition showcase: sessionize the event stream, then range-join
+    every event back to its containing session (point-in-interval join —
+    two custom operators chained, each one hash shuffle)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import (point_in_interval_join,
+                                                      sessionize)
+    from hackathon_pagerank_ray.stages.schema_util import drop_empty_blocks
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    # groupby output feeding a union: strip Ray's schema-less empty blocks
+    # (see schema_util.drop_empty_blocks) — sessions is the small side
+    sessions = drop_empty_blocks(sessionize(ev, gap_sec=1800.0))
+    return point_in_interval_join(
+        ev, sessions, by="user_id", on="ts",
+        start_col="start_us", end_col="end_us",
+        point_keep={"event_id": "event_id"},
+        interval_keep={"session_idx": "session_idx"})
+
+
+def _q_rolling_revenue(sf_dir):
+    """Time-range rolling aggregate: per customer, the 30-day trailing
+    order-revenue sum (in exact integer cents) at each order — the SQL
+    RANGE-window shape as a single-shuffle Dataset op."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import rolling_window_sum
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"])
+
+    def _cents(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                        pa.int64())
+        return t.drop_columns(["o_totalprice"]).append_column("cents", cents)
+
+    with_cents = orders.map_batches(_cents, batch_format="pyarrow")
+    return rolling_window_sum(
+        with_cents, by="o_custkey", on="o_orderdate", value_col="cents",
+        window_us=30 * 86400 * 1_000_000, id_col="o_orderkey",
+        out_col="roll_cents")
+
+
+def _q_top_orders_per_customer(sf_dir):
+    """Grouped top-k: top-3 orders by totalprice per customer — one hash
+    shuffle + in-task argsort/head, no total-order sort."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import grouped_topk
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    return grouped_topk(orders, by="o_custkey", sort_col="o_totalprice",
+                        k=3, tiebreak="o_orderkey")
+
+
 def _q_purchase_attribution(sf_dir):
     """Backward as-of join (a Dataset-API gap): each purchase event
     attributed to the same user's most recent prior click — union ->
@@ -618,6 +672,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": _q_events_hourly,
         "user_sessions": _q_user_sessions,
         "purchase_attribution": _q_purchase_attribution,
+        "event_sessions": _q_event_sessions,
+        "rolling_revenue": _q_rolling_revenue,
+        "top_orders_per_customer": _q_top_orders_per_customer,
         "doc_quality": _q_doc_quality,
         "event_type_counts": _q_event_type_counts,
         "region_customer_counts": _q_region_customer_counts,
@@ -923,6 +980,47 @@ SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
 FROM s GROUP BY 1, 2
 """
 
+# range join of events into their sessionize intervals: the sessions CTE
+# mirrors _SESSIONS_ORACLE_SQL, then BETWEEN-join each event back
+_EVENT_SESSIONS_ORACLE_SQL = """
+WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS t FROM events),
+m AS (SELECT user_id, t,
+        CASE WHEN lag(t) OVER w IS NULL
+                  OR t - lag(t) OVER w > 1800000000 THEN 1 ELSE 0 END AS ns
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+s AS (SELECT user_id, t,
+        SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                      ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM m),
+iv AS (SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+              MIN(t) AS start_us, MAX(t) AS end_us
+       FROM s GROUP BY 1, 2)
+SELECT e.user_id AS user_id, e.t AS t_us, e.event_id AS event_id,
+       iv.session_idx AS session_idx
+FROM e JOIN iv ON e.user_id = iv.user_id
+              AND e.t BETWEEN iv.start_us AND iv.end_us
+"""
+
+# SQL RANGE-window rolling sum in exact integer cents (float sums would
+# hash-differ across engines by summation order)
+_ROLLING_ORACLE_SQL = """
+WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS t_us,
+                  CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+           FROM orders)
+SELECT o_custkey, o_orderkey, t_us,
+       SUM(cents) OVER (PARTITION BY o_custkey ORDER BY t_us
+                        RANGE BETWEEN 2592000000000 PRECEDING
+                        AND CURRENT ROW) AS roll_cents
+FROM o
+"""
+
+_GROUPED_TOPK_ORACLE_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+QUALIFY row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) <= 3
+"""
+
 # backward as-of join: greatest click ts <= purchase ts per user; ties on
 # ts break by larger click event_id (operator lexsorts right side by
 # (tie_col, t) and takes the last index <= t)
@@ -983,6 +1081,9 @@ def oracle_sql() -> dict[str, str]:
         "embedding_near_dups": _EMB_ORACLE_SQL,
         "user_sessions": _SESSIONS_ORACLE_SQL,
         "purchase_attribution": _ASOF_ORACLE_SQL,
+        "event_sessions": _EVENT_SESSIONS_ORACLE_SQL,
+        "rolling_revenue": _ROLLING_ORACLE_SQL,
+        "top_orders_per_customer": _GROUPED_TOPK_ORACLE_SQL,
         "doc_quality": _QUALITY_ORACLE_SQL,
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",

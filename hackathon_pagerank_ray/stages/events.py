@@ -172,3 +172,138 @@ def asof_join(left_ds, right_ds, by: str, on: str,
     return (tagged_l.union(tagged_r)
             .groupby(by)
             .map_groups(_merge, batch_format="pandas"))
+
+
+def rolling_window_sum(events_ds, by: str, on: str, value_col: str,
+                       window_us: int, id_col: str,
+                       out_col: str = "roll_sum"):
+    """Time-range rolling aggregate (the SQL ``SUM(...) OVER (PARTITION BY
+    key ORDER BY t RANGE BETWEEN w PRECEDING AND CURRENT ROW)`` shape —
+    a Dataset-API gap): per key, for each row the sum of ``value_col``
+    over rows with ``on`` in ``[t - window_us, t]``.
+
+    One hash shuffle on ``by``; per-key work is sort + prefix-sum + two
+    ``searchsorted`` — O(n log n), fully vectorized.  Rows sharing a
+    timestamp are peers (all included in each other's window), matching
+    SQL RANGE semantics.  ``value_col`` should be integer (exact sums);
+    emits ``by, id_col, t_us, out_col``.  Partitioning assumption: one
+    key's rows fit a worker task.
+    """
+
+    def _to_us(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[on], pa.int64())
+        if isinstance(micros, pa.ChunkedArray):
+            micros = micros.combine_chunks()
+        return pa.Table.from_arrays(
+            [t[by].combine_chunks(), micros, t[id_col].combine_chunks(),
+             t[value_col].combine_chunks()],
+            names=[by, "t_us", id_col, value_col])
+
+    def _roll(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in (by, id_col, "t_us", out_col)})
+        t = df["t_us"].to_numpy(dtype=np.int64)
+        order = np.argsort(t, kind="stable")
+        t = t[order]
+        v = df[value_col].to_numpy(dtype=np.int64)[order]
+        cs = np.cumsum(v)
+        lo = np.searchsorted(t, t - window_us, side="left")
+        hi = np.searchsorted(t, t, side="right")
+        roll = cs[hi - 1] - np.where(lo > 0, cs[lo - 1], 0)
+        return pd.DataFrame({
+            by: df[by].to_numpy(dtype=np.int64)[order],
+            id_col: df[id_col].to_numpy()[order],
+            "t_us": t,
+            out_col: roll,
+        })
+
+    return (events_ds
+            .map_batches(_to_us, batch_format="pyarrow")
+            .groupby(by)
+            .map_groups(_roll, batch_format="pandas"))
+
+
+def point_in_interval_join(points_ds, intervals_ds, by: str, on: str,
+                           start_col: str, end_col: str,
+                           point_keep: dict, interval_keep: dict):
+    """Range join: attach to each point row the interval (same ``by``
+    key) whose ``[start_col, end_col]`` contains its ``on`` timestamp.
+    Intervals must be NON-OVERLAPPING per key (e.g. ``sessionize``
+    output); a point in no interval is dropped (inner semantics).
+
+    Same single-shuffle shape as ``asof_join``: tag, union, group by
+    key, then per key ``searchsorted`` of point times into the sorted
+    interval starts + a containment check against the matched end.
+    ``start_col``/``end_col`` are epoch-microsecond int64 columns;
+    ``on`` is a timestamp column.  Emits ``by, t_us`` + the kept
+    columns.  Partitioning assumption: one key's rows fit a worker.
+    """
+    p_cols = list(point_keep)
+    i_cols = list(interval_keep)
+
+    def _prep_points(t: pa.Table) -> pa.Table:
+        n = len(t)
+        micros = pc.cast(t[on], pa.int64())
+        if isinstance(micros, pa.ChunkedArray):
+            micros = micros.combine_chunks()
+        arrays = [t[by].combine_chunks(), micros,
+                  pa.array(np.zeros(n, dtype=np.int8)),
+                  pa.array(np.zeros(n, dtype=np.int64)),
+                  pa.array(np.zeros(n, dtype=np.int64))]
+        names = [by, "t_us", "__side", "__start", "__end"]
+        for c in p_cols:
+            arrays.append(t[c].combine_chunks())
+            names.append("p__" + c)
+        for c in i_cols:
+            arrays.append(pa.nulls(n, pa.int64()))
+            names.append("i__" + c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def _prep_intervals(t: pa.Table) -> pa.Table:
+        n = len(t)
+        arrays = [t[by].combine_chunks(),
+                  pa.array(np.zeros(n, dtype=np.int64)),
+                  pa.array(np.ones(n, dtype=np.int8)),
+                  t[start_col].combine_chunks(), t[end_col].combine_chunks()]
+        names = [by, "t_us", "__side", "__start", "__end"]
+        for c in p_cols:
+            arrays.append(pa.nulls(n, pa.int64()))
+            names.append("p__" + c)
+        for c in i_cols:
+            arrays.append(t[c].combine_chunks())
+            names.append("i__" + c)
+        return pa.Table.from_arrays(arrays, names=names)
+
+    def _join(df: pd.DataFrame) -> pd.DataFrame:
+        pts = df[df["__side"] == 0]
+        ivs = df[df["__side"] == 1]
+        out_cols = ([by, "t_us"] + [point_keep[c] for c in p_cols]
+                    + [interval_keep[c] for c in i_cols])
+        if not len(pts) or not len(ivs):
+            return pd.DataFrame({c: pd.Series(dtype="int64")
+                                 for c in out_cols})
+        starts = ivs["__start"].to_numpy(dtype=np.int64)
+        order = np.argsort(starts, kind="stable")
+        starts = starts[order]
+        ends = ivs["__end"].to_numpy(dtype=np.int64)[order]
+        t = pts["t_us"].to_numpy(dtype=np.int64)
+        idx = np.searchsorted(starts, t, side="right") - 1
+        safe = np.maximum(idx, 0)
+        matched = (idx >= 0) & (t <= ends[safe])
+        pts = pts[matched]
+        out = {by: pts[by].to_numpy(dtype=np.int64),
+               "t_us": t[matched]}
+        for c in p_cols:
+            out[point_keep[c]] = pts["p__" + c].to_numpy()
+        sel = safe[matched]
+        for c in i_cols:
+            out[interval_keep[c]] = ivs["i__" + c].to_numpy()[order][sel]
+        return pd.DataFrame(out)
+
+    tagged_p = points_ds.map_batches(_prep_points, batch_format="pyarrow")
+    tagged_i = intervals_ds.map_batches(_prep_intervals,
+                                        batch_format="pyarrow")
+    return (tagged_p.union(tagged_i)
+            .groupby(by)
+            .map_groups(_join, batch_format="pandas"))

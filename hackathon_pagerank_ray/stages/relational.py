@@ -26,6 +26,25 @@ def topk(ds, keys, k: int, descending=True):
     return ds.sort(keys, descending=descending).limit(k)
 
 
+def grouped_topk(ds, by: str, sort_col: str, k: int, tiebreak: str,
+                 descending: bool = True):
+    """Per-key top-k (SURVEY.md K-family extension): one hash shuffle on
+    ``by``, then an in-task argsort + head per group — no total-order sort
+    of the whole table.  ``tiebreak`` (ascending) makes output
+    deterministic for equal ``sort_col`` values.  Partitioning
+    assumption: one key's rows fit a worker task."""
+    import numpy as np
+    import pandas as pd
+
+    def _top(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[sort_col].to_numpy()
+        t = df[tiebreak].to_numpy()
+        order = np.lexsort((t, -v if descending else v))[:k]
+        return df.iloc[order]
+
+    return ds.groupby(by).map_groups(_top, batch_format="pandas")
+
+
 def inner_join(left, right, on, right_on=None, num_partitions: int = 16):
     """Hash-partitioned inner join (SURVEY.md J1 semantics: rows without a
     match are dropped, backend/data/parse_pagerank.py:43-55)."""

@@ -180,3 +180,68 @@ def test_asof_join():
             .to_pandas().sort_values("event_id").reset_index(drop=True))
     fgot = list(map(tuple, fout[["event_id", "rid", "r_t_us"]].values))
     assert fgot == [(100, 7, t0 + 10 * us), (101, 7, t0 + 10 * us)]
+
+
+def test_rolling_window_sum():
+    """RANGE-window semantics: rows sharing a timestamp are peers (both
+    included in each other's window); window closed on both ends."""
+    from hackathon_pagerank_ray.stages.events import rolling_window_sum
+
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    tbl = pa.Table.from_pydict({
+        "k": pa.array([1, 1, 1, 1, 2], pa.int64()),
+        "rid": pa.array([10, 11, 12, 13, 20], pa.int64()),
+        "ts": pa.array([t0, t0 + 5 * us, t0 + 5 * us, t0 + 20 * us, t0],
+                       pa.timestamp("us")),
+        "v": pa.array([1, 2, 4, 8, 100], pa.int64()),
+    })
+    out = (rolling_window_sum(rd.from_arrow(tbl), by="k", on="ts",
+                              value_col="v", window_us=10 * us, id_col="rid")
+           .to_pandas().sort_values("rid").reset_index(drop=True))
+    got = dict(zip(out["rid"], out["roll_sum"]))
+    # rid 10: just itself; rids 11,12: peers at t+5 -> 1+2+4; rid 13 at
+    # t+20: window [t+10, t+20] excludes everything else -> 8
+    assert got == {10: 1, 11: 7, 12: 7, 13: 8, 20: 100}
+
+
+def test_point_in_interval_join():
+    """Points land in their containing interval (bounds inclusive);
+    points outside every interval drop; keys don't cross-match."""
+    from hackathon_pagerank_ray.stages.events import point_in_interval_join
+
+    us = 1_000_000
+    t0 = 1_700_000_000 * us
+    pts = rd.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1, 1, 1, 2], pa.int64()),
+        "pid": pa.array([1, 2, 3, 4], pa.int64()),
+        "ts": pa.array([t0, t0 + 7 * us, t0 + 11 * us, t0],
+                       pa.timestamp("us")),
+    }))
+    ivs = rd.from_arrow(pa.Table.from_pydict({
+        "k": pa.array([1, 1], pa.int64()),
+        "iid": pa.array([100, 200], pa.int64()),
+        "s": pa.array([t0, t0 + 6 * us], pa.int64()),
+        "e": pa.array([t0 + 5 * us, t0 + 10 * us], pa.int64()),
+    }))
+    out = (point_in_interval_join(pts, ivs, by="k", on="ts",
+                                  start_col="s", end_col="e",
+                                  point_keep={"pid": "pid"},
+                                  interval_keep={"iid": "iid"})
+           .to_pandas().sort_values("pid").reset_index(drop=True))
+    # pid 1 -> interval 100 (start-inclusive); pid 2 -> 200; pid 3 is past
+    # every end; pid 4's key has no intervals
+    assert list(map(tuple, out[["pid", "iid"]].values)) == [(1, 100),
+                                                            (2, 200)]
+
+
+def test_grouped_topk():
+    from hackathon_pagerank_ray.stages.relational import grouped_topk
+
+    ds = _ds(k=[1, 1, 1, 1, 2], rid=[1, 2, 3, 4, 5],
+             v=[5.0, 9.0, 9.0, 1.0, 3.0])
+    out = (grouped_topk(ds, by="k", sort_col="v", k=2, tiebreak="rid")
+           .to_pandas().sort_values(["k", "rid"]).reset_index(drop=True))
+    # ties on v=9.0 break by smaller rid first; k=2 keeps rids 2,3
+    assert list(map(tuple, out[["k", "rid"]].values)) == [(1, 2), (1, 3),
+                                                          (2, 5)]
