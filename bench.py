@@ -124,7 +124,9 @@ def run_queries(sf_dir: str) -> dict:
     picks = ["out_degrees", "edge_dedup", "topk_customers",
              "orders_join_customer", "events_hourly", "token_counts",
              "term_df", "exact_text_dedup", "ann_topk", "minhash_pairs",
-             "pagerank", "connected_components", "triangle_counts"]
+             "pagerank", "connected_components", "triangle_counts",
+             "user_sessions", "purchase_attribution", "rolling_revenue",
+             "top_orders_per_customer"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
