@@ -443,34 +443,33 @@ def exact_text_dedup(docs_ds, id_col="doc_id", text_col="text"):
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
-class _HyperplaneBander:
+@lru_cache(maxsize=8)
+def _cached_planes(dim: int, bands: int, band_bits: int, seed: int):
+    """Seeded hyperplane matrix, drawn once per worker process (ADVICE r1:
+    previously rebuilt per batch; then an actor-pool ``__init__``, dropped
+    because pool spin-up dominates and small sessions can deadlock)."""
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((dim, bands * band_bits))
+
+
+def _band_rows(batch: pd.DataFrame, dim: int, id_col: str, emb_col: str,
+               bands: int, band_bits: int, seed: int) -> pd.DataFrame:
     """(id, embedding) → (id, band, bucket) rows for banded sign-LSH.
 
-    ``bands × band_bits`` hyperplanes are drawn ONCE per actor in
-    ``__init__`` (ADVICE r1: the plane matrix was previously rebuilt per
-    batch); each vector lands in one bucket per band — the classic
+    Each vector lands in one bucket per band — the classic
     OR-amplification that fixes the single-table recall gap."""
-
-    def __init__(self, dim: int, id_col: str, emb_col: str, bands: int,
-                 band_bits: int, seed: int):
-        rng = np.random.RandomState(seed)
-        self.planes = rng.standard_normal((dim, bands * band_bits))
-        self.id_col, self.emb_col = id_col, emb_col
-        self.bands, self.band_bits = bands, band_bits
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        n = len(batch)
-        mat = np.asarray([np.asarray(e, dtype=np.float64)
-                          for e in batch[self.emb_col]])
-        signs = (mat @ self.planes) > 0               # (n, bands*bits)
-        chunks = signs.reshape(n, self.bands, self.band_bits)
-        bucket = (chunks.astype(np.uint64) <<
-                  np.arange(self.band_bits, dtype=np.uint64)).sum(axis=2)
-        return pd.DataFrame({
-            self.id_col: np.repeat(np.asarray(batch[self.id_col]),
-                                   self.bands),
-            "band": np.tile(np.arange(self.bands, dtype=np.int64), n),
-            "bucket": bucket.reshape(-1).astype(np.int64)})
+    planes = _cached_planes(dim, bands, band_bits, seed)
+    n = len(batch)
+    mat = np.asarray([np.asarray(e, dtype=np.float64)
+                      for e in batch[emb_col]])
+    signs = (mat @ planes) > 0                        # (n, bands*bits)
+    chunks = signs.reshape(n, bands, band_bits)
+    bucket = (chunks.astype(np.uint64) <<
+              np.arange(band_bits, dtype=np.uint64)).sum(axis=2)
+    return pd.DataFrame({
+        id_col: np.repeat(np.asarray(batch[id_col]), bands),
+        "band": np.tile(np.arange(bands, dtype=np.int64), n),
+        "bucket": bucket.reshape(-1).astype(np.int64)})
 
 
 def verify_pairs_cosine(pairs_ds, emb_ds, id_col="vec_id",
@@ -519,7 +518,7 @@ def verify_pairs_cosine(pairs_ds, emb_ds, id_col="vec_id",
 
 def embedding_near_dups(emb_ds, id_col="vec_id", emb_col="embedding",
                         threshold=0.98, bands=8, band_bits=16, seed=5,
-                        max_bucket=256, concurrency=4, num_partitions=8):
+                        max_bucket=256, concurrency=None, num_partitions=8):
     """Near-dup pairs by embedding cosine ≥ threshold, banded sign-LSH.
 
     ``bands`` independent 16-bit sign buckets per vector (128 seeded
@@ -535,11 +534,10 @@ def embedding_near_dups(emb_ds, id_col="vec_id", emb_col="embedding",
     emb_ds = emb_ds.materialize()
     dim = len(emb_ds.take(1)[0][emb_col])
     band_rows = emb_ds.map_batches(
-        _HyperplaneBander,
-        fn_constructor_kwargs=dict(dim=dim, id_col=id_col, emb_col=emb_col,
-                                   bands=bands, band_bits=band_bits,
-                                   seed=seed),
-        batch_format="pandas", concurrency=concurrency)
+        _band_rows,
+        fn_kwargs=dict(dim=dim, id_col=id_col, emb_col=emb_col,
+                       bands=bands, band_bits=band_bits, seed=seed),
+        batch_format="pandas")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         a, b = _bucket_pairs(g[id_col].to_numpy(), max_bucket)

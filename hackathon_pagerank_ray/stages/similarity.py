@@ -18,29 +18,38 @@ import pandas as pd
 import ray
 
 
-class _BruteForcePartial:
-    """Per-batch partial top-k against a broadcast query matrix."""
+def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
+                     id_col: str = "vec_id", emb_col: str = "embedding",
+                     concurrency=None):
+    """Exact cosine top-k per query row of ``queries`` (nq × d).
 
-    def __init__(self, query_ref, k: int, id_col: str, emb_col: str):
-        q = ray.get(query_ref) if isinstance(query_ref, ray.ObjectRef) else query_ref
-        q = np.asarray(q, dtype=np.float64)
-        norms = np.linalg.norm(q, axis=1)
-        norms[norms == 0] = 1.0
-        self.q = q / norms[:, None]            # (nq, d), normalized once
-        self.k = k
-        self.id_col = id_col
-        self.emb_col = emb_col
+    Returns (query_id, id, cosine), exactly k rows per query (ties broken
+    by lowest id for determinism).
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        ids = batch[self.id_col].to_numpy()
+    Runs as plain ``map_batches`` tasks, not an actor pool: the only
+    stage state is the normalized query matrix, which is broadcast once
+    via ``ray.put`` and fetched zero-copy from local plasma per batch.
+    Actor pools here were both slower (5-17 s pool spin-up per query)
+    and deadlock-prone on small sessions (a pool sized to every CPU of
+    a 4-CPU driver starves the upstream read).  ``concurrency`` is
+    accepted for back-compat and ignored.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    norms = np.linalg.norm(q, axis=1)
+    norms[norms == 0] = 1.0
+    query_ref = ray.put(q / norms[:, None])    # (nq, d), normalized once
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        qn = ray.get(query_ref)                # zero-copy local plasma read
+        ids = batch[id_col].to_numpy()
         mat = np.asarray([np.asarray(v, dtype=np.float64)
-                          for v in batch[self.emb_col]])
-        norms = np.linalg.norm(mat, axis=1)
-        norms[norms == 0] = 1.0
-        mat = mat / norms[:, None]
-        sims = self.q @ mat.T                   # (nq, batch)
-        k = min(self.k, sims.shape[1])
-        part = np.argpartition(-sims, k - 1, axis=1)[:, :k]
+                          for v in batch[emb_col]])
+        mnorms = np.linalg.norm(mat, axis=1)
+        mnorms[mnorms == 0] = 1.0
+        mat = mat / mnorms[:, None]
+        sims = qn @ mat.T                      # (nq, batch)
+        kk = min(k, sims.shape[1])
+        part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
         out_q, out_id, out_s = [], [], []
         for qi in range(sims.shape[0]):
             sel = part[qi]
@@ -48,24 +57,10 @@ class _BruteForcePartial:
             out_id.extend(ids[sel])
             out_s.extend(sims[qi, sel])
         return pd.DataFrame({"query_id": np.asarray(out_q, dtype=np.int64),
-                             self.id_col: out_id,
+                             id_col: out_id,
                              "cosine": out_s})
 
-
-def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
-                     id_col: str = "vec_id", emb_col: str = "embedding",
-                     concurrency=4):
-    """Exact cosine top-k per query row of ``queries`` (nq × d).
-
-    Returns (query_id, id, cosine), exactly k rows per query (ties broken
-    by lowest id for determinism).
-    """
-    query_ref = ray.put(np.asarray(queries, dtype=np.float64))
-    partials = emb_ds.map_batches(
-        _BruteForcePartial,
-        fn_constructor_kwargs=dict(query_ref=query_ref, k=k, id_col=id_col,
-                                   emb_col=emb_col),
-        batch_format="pandas", concurrency=concurrency)
+    partials = emb_ds.map_batches(_partial, batch_format="pandas")
 
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         top = heapq.nsmallest(
@@ -80,7 +75,7 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
 def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
                   id_col: str = "vec_id", emb_col: str = "embedding",
                   num_planes: int = 6, probes: int = 2, seed: int = 5,
-                  concurrency=4):
+                  concurrency=None):
     """Approximate top-k: search only vectors whose hyperplane-sign bucket
     is within ``probes`` bit-flips of the query's bucket (multi-probe LSH).
     At corpus scale this touches ~``(Σ C(planes, i≤probes)) / 2^planes``
@@ -170,28 +165,11 @@ def train_centroids(emb_ds, n_centroids: int = 16,
     return cents
 
 
-class _IvfFilter:
-    """Actor-pool candidate filter: keep rows whose nearest centroid is in
-    the probed set.  Centroids/probe set are fetched from plasma once per
-    actor (zero-copy), not per batch."""
-
-    def __init__(self, cents_ref, probe_ref, emb_col: str):
-        self.cents = ray.get(cents_ref)
-        self.probe = ray.get(probe_ref)
-        self.emb_col = emb_col
-
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        mat = _normalize_rows(np.asarray(
-            [np.asarray(v, dtype=np.float64) for v in batch[self.emb_col]]))
-        assign = np.argmax(mat @ self.cents.T, axis=1)
-        return batch[np.isin(assign, self.probe)]
-
-
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              n_centroids: int = 16, nprobe: int = 4, seed: int = 5,
              sample_mod: int = 1, train_iters: int = 10,
-             centroids: np.ndarray | None = None, concurrency=4):
+             centroids: np.ndarray | None = None, concurrency=None):
     """IVF approximate top-k: restrict the exact search to the union of
     each query's ``nprobe`` nearest centroid cells (coarse quantizer =
     :func:`train_centroids`).  Scans ~``nprobe / n_centroids`` of the
@@ -211,11 +189,20 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
     if len(probe) >= len(cents):
         candidates = emb_ds                   # probing every cell: no filter
     else:
-        candidates = emb_ds.map_batches(
-            _IvfFilter,
-            fn_constructor_kwargs=dict(cents_ref=ray.put(cents),
-                                       probe_ref=ray.put(probe),
-                                       emb_col=emb_col),
-            batch_format="pandas", concurrency=concurrency)
+        # Plain-task filter over broadcast centroids/probe set (zero-copy
+        # plasma reads per batch) — same no-actor-pool rationale as
+        # brute_force_topk.
+        cents_ref = ray.put(cents)
+        probe_ref = ray.put(probe)
+
+        def _ivf_filter(batch: pd.DataFrame) -> pd.DataFrame:
+            c = ray.get(cents_ref)
+            p = ray.get(probe_ref)
+            mat = _normalize_rows(np.asarray(
+                [np.asarray(v, dtype=np.float64) for v in batch[emb_col]]))
+            assign = np.argmax(mat @ c.T, axis=1)
+            return batch[np.isin(assign, p)]
+
+        candidates = emb_ds.map_batches(_ivf_filter, batch_format="pandas")
     return brute_force_topk(candidates, queries, k, id_col, emb_col,
                             concurrency)
