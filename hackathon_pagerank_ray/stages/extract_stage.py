@@ -87,17 +87,43 @@ class ExtractPages:
         )
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=4)
+def _cached_extractor(target_lang, max_html_bytes):
+    """One ExtractPages instance per worker process (task mode)."""
+    return ExtractPages(target_lang, max_html_bytes)
+
+
+def _parse_batch(batch: pa.Table, target_lang, max_html_bytes) -> pa.Table:
+    return _cached_extractor(target_lang, max_html_bytes)(batch)
+
+
 def parse_pages(pages_ds, target_lang: str | None = None, concurrency=None,
-                batch_size: int = 256, num_cpus: float = 1.0):
+                batch_size: int = 256, num_cpus: float = 1.0,
+                mode: str = "tasks"):
     """pages Dataset → parsed Dataset (PARSED_SCHEMA).
 
-    ``batch_size`` is small because html rows can be up to 2 MB each;
-    ``concurrency=None`` picks a fixed actor pool sized to the cluster.
+    ``batch_size`` is small because html rows can be up to 2 MB each.
+
+    ``mode="tasks"`` (default) runs plain ``map_batches`` tasks with a
+    per-worker-process cached parser — no pool spin-up (5–17 s on this
+    host, serialized through one raylet) and no pool-starves-the-read
+    deadlock class.  ``mode="actors"`` keeps the fixed actor pool
+    (``concurrency=None`` sizes it to the cluster minus 2 CPUs of
+    read-task headroom; Ray's autoscaling (1, N) pools ramp so slowly
+    they parse ~10x slower, measured 130 vs 1360 pages/sec — never use
+    one).
     """
+    if mode == "tasks":
+        return pages_ds.map_batches(
+            _parse_batch,
+            fn_kwargs=dict(target_lang=target_lang,
+                           max_html_bytes=2_000_000),
+            batch_format="pyarrow", batch_size=batch_size,
+            num_cpus=num_cpus)
     if concurrency is None:
-        # FIXED actor pool sized to the cluster: Ray's autoscaling pools
-        # ramp up so slowly here that a (1, N) pool parses ~10x slower
-        # than a fixed pool (measured 130 vs 1360 pages/sec).
         # Leave >=2 CPUs of headroom for the upstream read tasks: a fixed
         # pool that claims EVERY cluster CPU deadlocks when the actors are
         # placed before the 1-CPU ReadParquet tasks get scheduled (actors
