@@ -385,11 +385,10 @@ def _big_corpus_parquet() -> str:
 
 def run_parse_bench(num_cpus: int) -> dict:
     """Parse-stage throughput: a k-way replicated read of the big-page
-    corpus through the M5-M8 extract actor pool (pool sized 3/4 of the
-    cluster, exactly proportional at both scaling levels).  Replicating
-    the READ k-fold amplifies per-core parse work so the fixed pool's
-    spin-up (~5-15 s on this host, serialized through one raylet; on a
-    real cluster actors start in parallel per node) amortizes."""
+    corpus through the M5-M8 parse stage (plain tasks, one cached parser
+    per worker process — parallelism follows the taskset/num_cpus level
+    exactly).  Replicating the READ k-fold amplifies per-core parse work
+    so worker-process startup amortizes."""
     import glob as _glob
 
     import ray.data as rd
@@ -399,8 +398,7 @@ def run_parse_bench(num_cpus: int) -> dict:
     files = sorted(_glob.glob(_big_corpus_parquet() + "/*.parquet")) * k
     t0 = time.perf_counter()
     ds = rd.read_parquet(files, columns=["url", "warc_ts", "html"])
-    parsed = parse_pages(ds, concurrency=max(2, 3 * num_cpus // 4),
-                         batch_size=256)
+    parsed = parse_pages(ds, batch_size=256)
     n = parsed.map_batches(lambda t: t.select(["url"]),
                            batch_format="pyarrow").count()
     dt = time.perf_counter() - t0

@@ -245,3 +245,22 @@ def test_grouped_topk():
     # ties on v=9.0 break by smaller rid first; k=2 keeps rids 2,3
     assert list(map(tuple, out[["k", "rid"]].values)) == [(1, 2), (1, 3),
                                                           (2, 5)]
+
+
+def test_parse_pages_actor_mode_matches_tasks_mode():
+    """The non-default mode="actors" pool must produce the same parsed
+    rows as the default plain-task mode."""
+    from hackathon_pagerank_ray.stages.extract_stage import parse_pages
+    from hackathon_pagerank_ray.testgen import generate_pages
+
+    pages = rd.from_arrow(generate_pages(60, seed=11))
+    cols = ["url", "text", "lang", "links", "indexed"]
+
+    def _norm(ds):
+        df = ds.to_pandas()[cols]
+        df["links"] = df["links"].map(tuple)
+        return df.sort_values(["url", "text"]).reset_index(drop=True)
+
+    got_tasks = _norm(parse_pages(pages, mode="tasks"))
+    got_actors = _norm(parse_pages(pages, mode="actors", concurrency=2))
+    assert got_tasks.equals(got_actors)
