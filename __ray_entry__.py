@@ -299,6 +299,14 @@ def _q_token_counts(sf_dir):
         ["doc_id", "n_tokens"])
 
 
+def _q_repetition_stats(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_repetition_stats
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_repetition_stats(docs).select_columns(
+        ["doc_id", "dup_line_frac", "top_bigram_frac"])
+
+
 def _q_term_df(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.functions.tfidf import term_freq_table
@@ -680,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
         "token_counts": _q_token_counts,
+        "repetition_stats": _q_repetition_stats,
         "term_df": _q_term_df,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
@@ -1137,6 +1146,35 @@ def oracle_sql() -> dict[str, str]:
         "token_counts":
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) "
             r"AS BIGINT) AS n_tokens FROM documents",
+        # Gopher-style repetition signals (stages/text_ops.RepetitionStats):
+        # dup_line_frac over non-empty \n-split lines; top_bigram_frac =
+        # max bigram count / (n_tokens - 1) on the reference tokenizer
+        "repetition_stats": r"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(string_split(text, chr(10)), l -> length(l) > 0) AS ls
+  FROM documents),
+tok AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x))
+           AS toks
+  FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS b
+  FROM tok),
+bgc AS (SELECT doc_id, b, COUNT(*) AS c FROM bg GROUP BY doc_id, b),
+bga AS (SELECT doc_id, MAX(c) AS maxc, SUM(c) AS total
+        FROM bgc GROUP BY doc_id)
+SELECT l.doc_id,
+       CASE WHEN len(l.ls) = 0 THEN 0.0
+            ELSE 1.0 - CAST(len(list_distinct(l.ls)) AS DOUBLE) / len(l.ls)
+       END AS dup_line_frac,
+       COALESCE(CAST(bga.maxc AS DOUBLE) / bga.total, 0.0)
+         AS top_bigram_frac
+FROM lines l LEFT JOIN bga ON l.doc_id = bga.doc_id
+""",
         "term_df":
             r"SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "
             r"unnest(list_distinct(regexp_extract_all(lower(text), '\w+'))) "

@@ -166,12 +166,51 @@ class Fingerprint:
         return batch
 
 
+class RepetitionStats:
+    """(id, text) → + ``dup_line_frac``, ``top_bigram_frac`` — the
+    repetition signals web-scale quality filters cut on (the
+    Gopher/MassiveText family of rules): boilerplate and
+    machine-generated spam repeat lines and n-grams far more than
+    prose.
+
+    - ``dup_line_frac``: 1 − distinct/total over the non-empty lines
+      (``\\n``-split, exact string match); 0.0 for a document with no
+      non-empty lines.
+    - ``top_bigram_frac``: occurrences of the most frequent token
+      bigram / total bigrams (reference tokenizer, lowercase
+      ``\\w+``); 0.0 with fewer than 2 tokens.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = TOKEN_RE
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        from collections import Counter
+        dup, big = [], []
+        for t in batch[self.text_col]:
+            lines = [l for l in (t or "").split("\n") if len(l) > 0]
+            dup.append(0.0 if not lines
+                       else 1.0 - len(set(lines)) / len(lines))
+            toks = [x.lower() for x in self.re.findall(t or "")]
+            if len(toks) < 2:
+                big.append(0.0)
+            else:
+                counts = Counter(zip(toks, toks[1:]))
+                big.append(max(counts.values()) / (len(toks) - 1))
+        batch["dup_line_frac"] = np.asarray(dup, dtype=np.float64)
+        batch["top_bigram_frac"] = np.asarray(big, dtype=np.float64)
+        return batch
+
+
 # These stages are plain-task map_batches with worker-process-cached
 # operator state (functools.lru_cache): the state here is a compiled regex
 # and a few small sets, and Ray throttles NEW actor starts for seconds
 # after any Dataset execution, so a per-query actor pool costs more to
-# spin up than the whole stage runs.  Actor pools remain the right shape
-# for HEAVY state (models, parsers) — see stages/extract_stage.py.
+# spin up than the whole stage runs.  (The page-parse stage reached the
+# same conclusion — see stages/extract_stage.parse_pages; the one
+# remaining actor pool is the multimodal decode stub, whose real-codec
+# version would hold heavy per-actor state.)
 
 from functools import lru_cache
 
@@ -179,7 +218,8 @@ from functools import lru_cache
 @lru_cache(maxsize=16)
 def _cached_op(cls_name: str, text_col: str):
     cls = {"TokenCount": TokenCount, "QualityScore": QualityScore,
-           "LanguageId": LanguageId, "Fingerprint": Fingerprint}[cls_name]
+           "LanguageId": LanguageId, "Fingerprint": Fingerprint,
+           "RepetitionStats": RepetitionStats}[cls_name]
     return cls(text_col)
 
 
@@ -203,3 +243,7 @@ def add_language_id(ds, text_col: str = "text", concurrency=None):
 
 def add_fingerprints(ds, text_col: str = "text", concurrency=None):
     return _task_stage(ds, "Fingerprint", text_col)
+
+
+def add_repetition_stats(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "RepetitionStats", text_col)

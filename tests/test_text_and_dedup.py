@@ -370,3 +370,44 @@ def test_ivf_query_entry_matches_exact_topk():
         .sort_values("vec_id").reset_index(drop=True)
     assert list(got["vec_id"]) == list(want["vec_id"])
     assert np.allclose(got["cosine"], want["cosine"], atol=1e-6)
+
+
+def test_repetition_stats_edge_cases():
+    """dup_line_frac / top_bigram_frac semantics incl. the fixture's
+    blind spots: duplicate lines, empty text, <2 tokens, blank lines."""
+    texts = [
+        "a b\na b\nc d",          # 3 lines, 2 distinct -> 1/3 dup
+        "x y x y x y",            # bigrams: xy,yx,xy,yx,xy -> 3/5
+        "",                       # no lines, no tokens -> 0, 0
+        "solo",                   # one token, one line -> 0, 0
+        "same\n\nsame\n\nsame",   # blanks dropped: 3 lines, 1 distinct
+    ]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    out = (TX.add_repetition_stats(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["dup_line_frac"].tolist() == pytest.approx(
+        [1 - 2 / 3, 0.0, 0.0, 0.0, 1 - 1 / 3])
+    # bigrams cross line boundaries (tokenizer runs over the full text):
+    # doc0 tokens a,b,a,b,c,d -> (a,b) twice of 5 bigrams
+    assert out["top_bigram_frac"].tolist() == pytest.approx(
+        [2 / 5, 3 / 5, 0.0, 0.0, 2 / 2])
+
+
+def test_repetition_stats_matches_duckdb_oracle_on_edge_cases():
+    """The SQL oracle must agree on the same edge cases (the sf fixture
+    exercises only the no-duplicate-line path)."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    texts = ["l1\nl1\nl2", "p q p q", "", "one", "a\n\na"]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts})
+    got = (TX.add_repetition_stats(rd.from_arrow(tbl)).to_pandas()
+           [["doc_id", "dup_line_frac", "top_bigram_frac"]]
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(entrymod.oracle_sql()["repetition_stats"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
