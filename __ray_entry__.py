@@ -307,6 +307,13 @@ def _q_repetition_stats(sf_dir):
         ["doc_id", "dup_line_frac", "top_bigram_frac"])
 
 
+def _q_cross_doc_lines(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import cross_doc_line_stats
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return cross_doc_line_stats(docs)
+
+
 def _q_term_df(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.functions.tfidf import term_freq_table
@@ -689,6 +696,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_filter": _q_part_filter,
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
+        "cross_doc_lines": _q_cross_doc_lines,
         "term_df": _q_term_df,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
@@ -1174,6 +1182,27 @@ SELECT l.doc_id,
        COALESCE(CAST(bga.maxc AS DOUBLE) / bga.total, 0.0)
          AS top_bigram_frac
 FROM lines l LEFT JOIN bga ON l.doc_id = bga.doc_id
+""",
+        # corpus-level duplicate lines (stages/dedup_near.
+        # cross_doc_line_stats): a line is duplicated when it occurs >=2
+        # times anywhere in the corpus; fractions over non-empty lines
+        "cross_doc_lines": r"""
+WITH p AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split(text, chr(10)),
+                            l -> length(l) > 0)) AS line
+  FROM documents),
+c AS (SELECT line, COUNT(*) AS n FROM p GROUP BY line),
+j AS (SELECT p.doc_id, CASE WHEN c.n >= 2 THEN 1 ELSE 0 END AS is_dup
+      FROM p JOIN c USING (line)),
+agg AS (SELECT doc_id, COUNT(*) AS n_lines, SUM(is_dup) AS n_dup
+        FROM j GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(agg.n_lines, 0) AS BIGINT) AS n_lines,
+       CAST(COALESCE(agg.n_dup, 0) AS BIGINT) AS n_dup_lines,
+       COALESCE(CAST(agg.n_dup AS DOUBLE) / agg.n_lines, 0.0)
+         AS dup_line_frac_corpus
+FROM documents d LEFT JOIN agg USING (doc_id)
 """,
         "term_df":
             r"SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "

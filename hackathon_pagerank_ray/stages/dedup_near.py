@@ -13,6 +13,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from .text_ops import shingle_hashes, tokenize, _fnv1a_bytes
 
@@ -437,6 +438,84 @@ def exact_text_dedup(docs_ds, id_col="doc_id", text_col="text"):
     return hashed.groupby("text_hash").aggregate(
         Min(id_col, alias_name="keep_id"),
         Count(alias_name="dup_count"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-document line dedup (CCNet / RefinedWeb-style corpus-level signal)
+# ---------------------------------------------------------------------------
+
+def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
+                         num_partitions: int | None = None):
+    """Per-document corpus-level duplicate-line profile: a line is
+    *duplicated* when it occurs ≥2 times anywhere in the corpus (any
+    document, repeats within one included) — the signal CCNet-family
+    pipelines drop boilerplate lines on.
+
+    Returns ``(id, n_lines, n_dup_lines, dup_line_frac_corpus)`` over
+    non-empty ``\\n``-split lines; documents with no non-empty lines get
+    ``(0, 0, 0.0)``.
+
+    Scale shape: explode to ``(id, line_hash)`` — an 8-byte FNV-1a per
+    line, so the corpus-wide shuffle moves hashes, not text —
+    ``groupby(hash).count()``, one hash join back, per-doc aggregate.
+    Unlike :func:`exact_text_dedup` (whole-document granularity) this
+    catches shared headers/footers inside otherwise-unique documents.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    from .relational import (default_num_partitions, inner_join,
+                             left_join_coalesce, rename)
+    from .schema_util import drop_empty_blocks
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            for line in (t or "").split("\n"):
+                if line:
+                    ids.append(i)
+                    hashes.append(np.uint64(
+                        _fnv1a_bytes(line.encode("utf-8"))).astype(np.int64))
+        return pd.DataFrame({id_col: pd.Series(ids, dtype=np.int64),
+                             "lh": pd.Series(hashes, dtype=np.int64)})
+
+    # two consumers (count groupby + join back) — materialize the explode
+    lines = docs_ds.map_batches(_explode, batch_format="pandas").materialize()
+    counts = rename(lines.groupby("lh").count(), {"count()": "n_occ"})
+
+    def _mark(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col],
+            "is_dup": (batch["n_occ"] >= 2).astype(np.int64)})
+
+    marked = drop_empty_blocks(
+        inner_join(lines, counts, on="lh",
+                   num_partitions=num_partitions)).map_batches(
+        _mark, batch_format="pandas")
+    per_doc = rename(
+        marked.groupby(id_col).aggregate(Count(), Sum("is_dup")),
+        {"count()": "n_lines", "sum(is_dup)": "n_dup_lines"})
+
+    all_ids = docs_ds.map_batches(
+        lambda t: t.select([id_col]), batch_format="pyarrow")
+    full = left_join_coalesce(all_ids, per_doc, on=id_col,
+                              fill={"n_lines": 0, "n_dup_lines": 0},
+                              num_partitions=num_partitions)
+
+    def _frac(t: pa.Table) -> pa.Table:
+        n = t["n_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
+        d = t["n_dup_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
+        frac = np.where(n > 0, d / np.where(n > 0, n, 1.0), 0.0)
+        return pa.Table.from_arrays(
+            [t[id_col],
+             pc.cast(t["n_lines"], pa.int64()),
+             pc.cast(t["n_dup_lines"], pa.int64()),
+             pa.array(frac, pa.float64())],
+            names=[id_col, "n_lines", "n_dup_lines", "dup_line_frac_corpus"])
+
+    return full.map_batches(_frac, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -411,3 +411,36 @@ def test_repetition_stats_matches_duckdb_oracle_on_edge_cases():
     want = (con.execute(entrymod.oracle_sql()["repetition_stats"]).df()
             .sort_values("doc_id").reset_index(drop=True))
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cross_doc_line_stats_semantics_and_oracle():
+    """Corpus-level duplicate-line profile on crafted docs (the sf
+    fixture has no cross-document duplicate lines, so this pins the
+    actual dedup paths): shared boilerplate lines, within-doc repeats,
+    empty docs — checked against both hand-computed values and the
+    DuckDB oracle SQL."""
+    import duckdb
+
+    import __ray_entry__ as entrymod
+    texts = [
+        "header\nunique one\nfooter",   # header+footer shared -> 2/3
+        "header\nunique two\nfooter",   # 2/3
+        "only mine\nonly mine",         # within-doc repeat counts -> 2/2
+        "singleton",                    # 0/1
+        "",                             # no lines -> 0, 0, 0.0
+    ]
+    tbl = pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts})
+    got = (DN.cross_doc_line_stats(rd.from_arrow(tbl))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert got["n_lines"].tolist() == [3, 3, 2, 1, 0]
+    assert got["n_dup_lines"].tolist() == [2, 2, 2, 0, 0]
+    assert got["dup_line_frac_corpus"].tolist() == pytest.approx(
+        [2 / 3, 2 / 3, 1.0, 0.0, 0.0])
+
+    con = duckdb.connect()
+    con.register("documents", tbl)
+    want = (con.execute(entrymod.oracle_sql()["cross_doc_lines"]).df()
+            .sort_values("doc_id").reset_index(drop=True))
+    cols = ["doc_id", "n_lines", "n_dup_lines", "dup_line_frac_corpus"]
+    pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
