@@ -314,6 +314,17 @@ def _q_cross_doc_lines(sf_dir):
     return cross_doc_line_stats(docs)
 
 
+def _q_contamination(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import contamination_check
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    # deterministic stand-in eval suite: every 50th document's text
+    bench = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
+                             batch_format="pandas").take_all()
+    bench_texts = [r["text"] for r in sorted(bench, key=lambda r: r["doc_id"])]
+    return contamination_check(docs, bench_texts, n=8)
+
+
 def _q_term_df(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.functions.tfidf import term_freq_table
@@ -697,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
         "cross_doc_lines": _q_cross_doc_lines,
+        "contamination": _q_contamination,
         "term_df": _q_term_df,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
@@ -1203,6 +1215,30 @@ SELECT d.doc_id,
        COALESCE(CAST(agg.n_dup AS DOUBLE) / agg.n_lines, 0.0)
          AS dup_line_frac_corpus
 FROM documents d LEFT JOIN agg USING (doc_id)
+""",
+        # benchmark decontamination (stages/dedup_near.contamination_check):
+        # the oracle enumerates 8-token string n-grams; the engine probes
+        # 64-bit rolling-hash n-grams — identical counts absent a hash
+        # collision.  Benchmark = every 50th document, same as the query.
+        "contamination": r"""
+WITH tok AS (
+  SELECT doc_id,
+         list_transform(regexp_extract_all(text, '\w+'), x -> lower(x))
+           AS toks
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+             range(1, len(toks) - 8 + 2),
+             i -> array_to_string(list_slice(toks, i, i + 7), ' ')))) AS g
+  FROM tok WHERE len(toks) >= 8),
+b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+hits AS (SELECT grams.doc_id, COUNT(*) AS n_hits
+         FROM grams JOIN b USING (g) GROUP BY grams.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
         "term_df":
             r"SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "

@@ -519,6 +519,54 @@ def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
 
 
 # ---------------------------------------------------------------------------
+# Benchmark decontamination (broadcast n-gram overlap)
+# ---------------------------------------------------------------------------
+
+def _ngram_hashes(text: str, n: int) -> np.ndarray:
+    """Distinct rolling-hash n-grams, strict n-gram semantics: a text
+    with fewer than ``n`` tokens has NO n-grams (shingle_hashes falls
+    back to token hashes there, which would not match string-gram
+    oracles)."""
+    toks = tokenize(text)
+    if len(toks) < n:
+        return np.empty(0, dtype=np.uint64)
+    return shingle_hashes(toks, n)
+
+
+def contamination_check(docs_ds, benchmark_texts, n: int = 8,
+                        id_col="doc_id", text_col="text"):
+    """Training-set decontamination — the n-gram overlap check every
+    published LLM data pipeline runs against its eval suites: flag
+    documents sharing any length-``n`` token n-gram with the benchmark
+    texts.
+
+    The benchmark's distinct n-gram hashes are built once on the driver
+    (eval suites are tiny next to the corpus), broadcast via ``ray.put``
+    and probed per batch with vectorized ``np.isin`` — a pure map stage
+    over the corpus, no shuffle at all.  Returns
+    ``(id, n_hits, contaminated)``: distinct matching n-grams per
+    document and the flag.
+    """
+    import ray
+    grams = [_ngram_hashes(t or "", n) for t in benchmark_texts]
+    grams = [g for g in grams if len(g)] or [np.empty(0, dtype=np.uint64)]
+    bench_ref = ray.put(np.unique(np.concatenate(grams)))
+
+    def _check(batch: pd.DataFrame) -> pd.DataFrame:
+        bench = ray.get(bench_ref)        # zero-copy local plasma read
+        hits = np.zeros(len(batch), dtype=np.int64)
+        for j, t in enumerate(batch[text_col]):
+            sh = _ngram_hashes(t or "", n)
+            if len(sh) and len(bench):
+                hits[j] = np.isin(sh, bench, assume_unique=True).sum()
+        return pd.DataFrame({id_col: batch[id_col].to_numpy(),
+                             "n_hits": hits,
+                             "contaminated": hits > 0})
+
+    return docs_ds.map_batches(_check, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Embedding cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -444,3 +444,21 @@ def test_cross_doc_line_stats_semantics_and_oracle():
             .sort_values("doc_id").reset_index(drop=True))
     cols = ["doc_id", "n_lines", "n_dup_lines", "dup_line_frac_corpus"]
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
+
+
+def test_contamination_check_semantics():
+    """n-gram decontamination: exact-overlap doc flagged, partial overlap
+    counted per distinct matching n-gram, sub-n docs never match."""
+    bench = ["the quick brown fox jumps over the lazy dog tonight"]
+    texts = [
+        "the quick brown fox jumps over the lazy dog tonight",  # 3 grams, all hit
+        "prefix words the quick brown fox jumps over the lazy dog",  # 2 hits
+        "the quick brown fox",                 # < 8 tokens: no grams
+        "completely unrelated text that has at least eight tokens in it",
+    ]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    out = (DN.contamination_check(ds, bench, n=8).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["n_hits"].tolist() == [3, 2, 0, 0]
+    assert out["contaminated"].tolist() == [True, True, False, False]
