@@ -59,7 +59,7 @@ class ShardedGraph:
     @classmethod
     def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
               num_edge_shards: int | None = None, undirected: bool = False,
-              sort_by_src: bool = False, gather_mode: str = "full",
+              sort_by_src: bool = False, gather_mode: str = "auto",
               actor_num_cpus: float = 0):
         """Build the actor mesh from an edge Dataset.
 
@@ -75,9 +75,15 @@ class ShardedGraph:
         ``gather_mode``: ``"full"`` ships each owner's whole value vector
         once per sweep (one plasma object, zero-copy shared by all shards on
         a node — the single-node fast path); ``"subscribe"`` ships only each
-        shard's subscribed slice (minimal bytes — the multi-node path).
-        Results are identical; both are tested.
+        shard's subscribed slice (minimal bytes — the multi-node path, where
+        a full-vector gather would move O(shards x n) doubles over the
+        network every sweep).  ``"auto"`` (default) picks ``"full"`` on a
+        single-node cluster and ``"subscribe"`` when Ray reports more than
+        one alive node.  Results are identical; both are tested.
         """
+        if gather_mode == "auto":
+            alive = [nd for nd in ray.nodes() if nd.get("Alive")]
+            gather_mode = "subscribe" if len(alive) > 1 else "full"
         E = num_edge_shards or num_owners
         # Create the actor mesh FIRST: after a Ray Data execution the raylet
         # throttles new worker-process starts for several seconds, so actor

@@ -148,3 +148,19 @@ def test_build_from_parquet_paths(tmp_path):
         g2.shutdown()
     # different shard groupings reorder float additions — identical up to ulp
     assert np.abs(r1 - r2).max() < 1e-15
+
+
+def test_gather_mode_auto_resolves_single_node_to_full():
+    """gather_mode="auto" (the default) must pick the single-node fast
+    path here and still match the oracle."""
+    edges = gen_random_edges(60, 240, seed=3)
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           num_owners=2)
+    try:
+        assert g.gather_mode == "full"
+        ranks, info = pagerank(g, tol=1e-10, max_iter=100)
+        want, _, _ = oracle.pagerank(edges, n=g.n, tol=1e-10, max_iter=100)
+        got = _ranks(ranks)
+        assert np.allclose([got[v] for v in range(g.n)], want, atol=1e-9)
+    finally:
+        g.shutdown()
