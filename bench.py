@@ -126,7 +126,8 @@ def run_queries(sf_dir: str) -> dict:
              "term_df", "exact_text_dedup", "ann_topk", "minhash_pairs",
              "pagerank", "connected_components", "triangle_counts",
              "user_sessions", "purchase_attribution", "rolling_revenue",
-             "top_orders_per_customer"]
+             "top_orders_per_customer", "repetition_stats",
+             "cross_doc_lines", "contamination"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

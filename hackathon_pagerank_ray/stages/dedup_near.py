@@ -445,7 +445,8 @@ def exact_text_dedup(docs_ds, id_col="doc_id", text_col="text"):
 # ---------------------------------------------------------------------------
 
 def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
-                         num_partitions: int | None = None):
+                         num_partitions: int | None = None,
+                         broadcast_max_dup_hashes: int = 8_000_000):
     """Per-document corpus-level duplicate-line profile: a line is
     *duplicated* when it occurs ≥2 times anywhere in the corpus (any
     document, repeats within one included) — the signal CCNet-family
@@ -455,54 +456,128 @@ def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
     non-empty ``\\n``-split lines; documents with no non-empty lines get
     ``(0, 0, 0.0)``.
 
-    Scale shape: explode to ``(id, line_hash)`` — an 8-byte FNV-1a per
-    line, so the corpus-wide shuffle moves hashes, not text —
-    ``groupby(hash).count()``, one hash join back, per-doc aggregate.
+    Scale shape: explode to pre-aggregated ``(id, line_hash, c)`` — an
+    8-byte FNV-1a per line and a within-doc count, so the one corpus-wide
+    shuffle (``groupby(hash)`` sum) moves deduplicated hashes, not text.
+    Marking then adapts to the duplicated-hash count: ≤
+    ``broadcast_max_dup_hashes`` (8 B each) the sorted dup-hash set is
+    broadcast once via ``ray.put`` and the per-doc stats are recomputed
+    batch-locally in a second pass over the docs (a document is one row,
+    so its lines never straddle blocks) — ONE shuffle total; above the
+    threshold it falls back to a hash join of the line table against the
+    dup-hash set plus a schema-aligned union + ``groupby(id)`` merge.
     Unlike :func:`exact_text_dedup` (whole-document granularity) this
     catches shared headers/footers inside otherwise-unique documents.
     """
-    from ray.data.aggregate import Count, Sum
+    import ray
+    from ray.data.aggregate import Sum
 
-    from .relational import (default_num_partitions, inner_join,
-                             left_join_coalesce, rename)
+    from .relational import default_num_partitions, inner_join, rename
     from .schema_util import drop_empty_blocks
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
 
     def _explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
+        ids, hashes, cnts = [], [], []
         for i, t in zip(batch[id_col], batch[text_col]):
-            for line in (t or "").split("\n"):
-                if line:
-                    ids.append(i)
-                    hashes.append(np.uint64(
-                        _fnv1a_bytes(line.encode("utf-8"))).astype(np.int64))
-        return pd.DataFrame({id_col: pd.Series(ids, dtype=np.int64),
-                             "lh": pd.Series(hashes, dtype=np.int64)})
+            hs = [_fnv1a_bytes(line.encode("utf-8"))
+                  for line in (t or "").split("\n") if line]
+            if not hs:
+                continue
+            uniq, c = np.unique(
+                np.asarray(hs, dtype=np.uint64).astype(np.int64),
+                return_counts=True)
+            ids.append(np.full(len(uniq), i, dtype=np.int64))
+            hashes.append(uniq)
+            cnts.append(c.astype(np.int64))
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "lh": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "lh": np.concatenate(hashes),
+                             "c": np.concatenate(cnts)})
 
-    # two consumers (count groupby + join back) — materialize the explode
-    lines = docs_ds.map_batches(_explode, batch_format="pandas").materialize()
-    counts = rename(lines.groupby("lh").count(), {"count()": "n_occ"})
+    # lazy: the common (broadcast) path consumes this exactly once, inside
+    # the count groupby — the join fallback materializes it then
+    lines = docs_ds.map_batches(_explode, batch_format="pandas")
+    counts = rename(lines.groupby("lh").aggregate(Sum("c", alias_name="n_occ")),
+                    {"sum(c)": "n_occ"})
+    dup_hashes = counts.filter(expr="n_occ >= 2").select_columns(["lh"]) \
+        .materialize()
+    n_dup_hashes = dup_hashes.count()
 
-    def _mark(batch: pd.DataFrame) -> pd.DataFrame:
+    if n_dup_hashes <= broadcast_max_dup_hashes:
+        # broadcast path (ONE shuffle total): ship the sorted dup-hash set
+        # once via ray.put, then recompute per-doc stats batch-locally in a
+        # second pass over the docs — a document is a single row, so its
+        # lines never straddle blocks and no per-doc shuffle is needed
+        parts = [ray.get(r)["lh"].to_numpy()
+                 for r in dup_hashes.to_arrow_refs()]
+        dup_arr = np.sort(np.concatenate(parts)) if parts \
+            else np.array([], dtype=np.int64)
+        dup_ref = ray.put(dup_arr)
+
+        def _stats_bc(batch: pd.DataFrame) -> pd.DataFrame:
+            dup = ray.get(dup_ref)
+            out_ids = batch[id_col].to_numpy().astype(np.int64)
+            n_lines = np.zeros(len(batch), dtype=np.int64)
+            n_dup = np.zeros(len(batch), dtype=np.int64)
+            for j, t in enumerate(batch[text_col]):
+                hs = [_fnv1a_bytes(line.encode("utf-8"))
+                      for line in (t or "").split("\n") if line]
+                n_lines[j] = len(hs)
+                if hs and len(dup):
+                    lh = np.asarray(hs, dtype=np.uint64).astype(np.int64)
+                    pos = np.minimum(np.searchsorted(dup, lh), len(dup) - 1)
+                    n_dup[j] = int(np.count_nonzero(dup[pos] == lh))
+            frac = np.where(n_lines > 0, n_dup /
+                            np.where(n_lines > 0, n_lines, 1), 0.0)
+            return pd.DataFrame({
+                id_col: out_ids, "n_lines": n_lines, "n_dup_lines": n_dup,
+                "dup_line_frac_corpus": frac.astype(np.float64)})
+
+        return docs_ds.map_batches(_stats_bc, batch_format="pandas")
+
+    # join fallback (dup-hash set too large to broadcast): mark duplicated
+    # lines with a hash join, merge totals/dups/zero-line docs with a
+    # schema-aligned union + one groupby(id) instead of join chains
+    lines = lines.materialize()
+    joined = drop_empty_blocks(
+        inner_join(lines, dup_hashes, on="lh",
+                   num_partitions=num_partitions))
+
+    def _mark_join(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
         return pd.DataFrame({
-            id_col: batch[id_col],
-            "is_dup": (batch["n_occ"] >= 2).astype(np.int64)})
+            id_col: batch[id_col].to_numpy(),
+            "n_lines": np.zeros(n, dtype=np.int64),
+            "n_dup_lines": batch["c"].to_numpy().astype(np.int64)})
 
-    marked = drop_empty_blocks(
-        inner_join(lines, counts, on="lh",
-                   num_partitions=num_partitions)).map_batches(
-        _mark, batch_format="pandas")
+    dup_per_line = joined.map_batches(_mark_join, batch_format="pandas")
+
+    def _totals(batch: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy(),
+            "n_lines": batch["c"].to_numpy().astype(np.int64),
+            "n_dup_lines": np.zeros(len(batch), dtype=np.int64)})
+
+    def _zeros(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy().astype(np.int64),
+            "n_lines": np.zeros(n, dtype=np.int64),
+            "n_dup_lines": np.zeros(n, dtype=np.int64)})
+
+    totals = lines.map_batches(_totals, batch_format="pandas")
+    zeros = docs_ds.select_columns([id_col]).map_batches(
+        _zeros, batch_format="pandas")
     per_doc = rename(
-        marked.groupby(id_col).aggregate(Count(), Sum("is_dup")),
-        {"count()": "n_lines", "sum(is_dup)": "n_dup_lines"})
-
-    all_ids = docs_ds.map_batches(
-        lambda t: t.select([id_col]), batch_format="pyarrow")
-    full = left_join_coalesce(all_ids, per_doc, on=id_col,
-                              fill={"n_lines": 0, "n_dup_lines": 0},
-                              num_partitions=num_partitions)
+        zeros.union(totals).union(dup_per_line).groupby(id_col).aggregate(
+            Sum("n_lines", alias_name="n_lines"),
+            Sum("n_dup_lines", alias_name="n_dup_lines")),
+        {"sum(n_lines)": "n_lines", "sum(n_dup_lines)": "n_dup_lines"})
 
     def _frac(t: pa.Table) -> pa.Table:
         n = t["n_lines"].to_numpy(zero_copy_only=False).astype(np.float64)
@@ -515,7 +590,7 @@ def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
              pa.array(frac, pa.float64())],
             names=[id_col, "n_lines", "n_dup_lines", "dup_line_frac_corpus"])
 
-    return full.map_batches(_frac, batch_format="pyarrow")
+    return per_doc.map_batches(_frac, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -445,6 +445,14 @@ def test_cross_doc_line_stats_semantics_and_oracle():
     cols = ["doc_id", "n_lines", "n_dup_lines", "dup_line_frac_corpus"]
     pd.testing.assert_frame_equal(got[cols], want[cols], check_dtype=False)
 
+    # force the join fallback (dup-hash set "too large" to broadcast):
+    # must agree exactly with the broadcast path
+    got_join = (DN.cross_doc_line_stats(rd.from_arrow(tbl),
+                                        broadcast_max_dup_hashes=0)
+                .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(got_join[cols], got[cols],
+                                  check_dtype=False)
+
 
 def test_contamination_check_semantics():
     """n-gram decontamination: exact-overlap doc flagged, partial overlap
