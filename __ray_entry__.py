@@ -307,6 +307,40 @@ def _q_repetition_stats(sf_dir):
         ["doc_id", "dup_line_frac", "top_bigram_frac"])
 
 
+def _q_pii_redaction(sf_dir):
+    """PII-style scrub: emails / phone numbers / IPv4 literals replaced
+    by typed placeholders, with per-category counts on the original
+    text (stages/text_ops.Redact; RE2-compatible patterns so the DuckDB
+    oracle computes the identical bytes)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_redaction
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_redaction(docs).select_columns(
+        ["doc_id", "text_redacted", "n_emails", "n_phones", "n_ips"])
+
+
+def _q_hash_sample_orders(sf_dir):
+    """Deterministic key-stable Bernoulli sample (~10%) of orders: the
+    keep decision is md5('{seed}:{key}') < threshold, so it is
+    reproducible across runs/partitionings and in SQL
+    (stages/sampling.hash_sample)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import hash_sample
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"])
+    return hash_sample(orders, key_col="o_orderkey", rate=0.1, seed=42)
+
+
+def _q_hash_split_docs(sf_dir):
+    """Deterministic train/holdout split tag (90/10) over documents by
+    the same md5 rule (stages/sampling.hash_split)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import hash_split
+    docs = _docs_ds(sf_dir, ["doc_id"])
+    return hash_split(docs, key_col="doc_id", frac=0.9, seed=7)
+
+
 def _q_cross_doc_lines(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import cross_doc_line_stats
@@ -707,6 +741,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_filter": _q_part_filter,
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
+        "pii_redaction": _q_pii_redaction,
+        "hash_sample_orders": _q_hash_sample_orders,
+        "hash_split_docs": _q_hash_split_docs,
         "cross_doc_lines": _q_cross_doc_lines,
         "contamination": _q_contamination,
         "term_df": _q_term_df,
@@ -1195,6 +1232,40 @@ SELECT l.doc_id,
          AS top_bigram_frac
 FROM lines l LEFT JOIN bga ON l.doc_id = bga.doc_id
 """,
+        # PII-style scrub (stages/text_ops.Redact): sequential replace
+        # email -> phone -> ip; counts independent over the original text.
+        # Patterns are in the common Python-re / RE2 subset so both
+        # engines produce identical bytes.
+        "pii_redaction": r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+    AS text_redacted,
+  CAST(len(regexp_extract_all(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+    AS n_emails,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(text,
+    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
+FROM documents
+""",
+        # deterministic md5-keyed Bernoulli sample (stages/sampling.
+        # hash_sample): rate 0.1, seed 42 -> threshold hex 19999999;
+        # fixed-width lowercase hex makes string order == numeric order
+        "hash_sample_orders":
+            "SELECT o_orderkey, o_totalprice FROM orders "
+            "WHERE substr(md5('42:' || CAST(o_orderkey AS VARCHAR)), 1, 8) "
+            "< '19999999'",
+        # deterministic 90/10 split tag (stages/sampling.hash_split):
+        # frac 0.9, seed 7 -> threshold hex e6666666
+        "hash_split_docs":
+            "SELECT doc_id, CASE WHEN "
+            "substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< 'e6666666' THEN 'train' ELSE 'holdout' END AS split "
+            "FROM documents",
         # corpus-level duplicate lines (stages/dedup_near.
         # cross_doc_line_stats): a line is duplicated when it occurs >=2
         # times anywhere in the corpus; fractions over non-empty lines

@@ -1,0 +1,77 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+At 100 TB you cannot hold a Bernoulli RNG stream stable across retries,
+re-partitioning, or a resumed run — a sample must be a pure function of
+the row key.  These operators key every decision on the md5 of
+``"{seed}:{key}"`` so the selection is reproducible anywhere (including
+inside a DuckDB SQL oracle, which computes the identical md5), stable
+under re-execution, and embarrassingly parallel (a per-batch filter; no
+shuffle, no driver state).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+
+#: width of the hex prefix compared against the rate threshold; 8 hex
+#: digits = 32 bits of the md5, plenty for sampling-rate resolution
+_PREFIX = 8
+
+
+def _bucket_hex(seed, key) -> str:
+    return hashlib.md5(f"{seed}:{key}".encode("utf-8")).hexdigest()[:_PREFIX]
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """The lexicographic threshold a row's md5-prefix is compared to:
+    fixed-width lowercase hex, so string order == numeric order (the same
+    comparison a SQL oracle can run verbatim)."""
+    rate = min(max(rate, 0.0), 1.0)
+    return format(int(rate * (1 << (4 * _PREFIX))), f"0{_PREFIX}x")
+
+
+def hash_sample(ds, key_col: str, rate: float, seed=42):
+    """Keep ~``rate`` of rows, chosen by ``md5(f"{seed}:{key}")`` — a
+    deterministic, key-stable Bernoulli sample.
+
+    The same key always lands on the same side of the threshold for a
+    given seed, across runs, partitionings and engines; different seeds
+    give independent samples.  SQL-oracle equivalent::
+
+        WHERE substr(md5('{seed}:' || CAST(key AS VARCHAR)), 1, 8)
+              < '{rate_threshold_hex(rate)}'
+    """
+    if rate >= 1.0:
+        return ds
+    thr = rate_threshold_hex(rate)
+    if rate <= 0.0:
+        return ds.filter(lambda _: False)
+
+    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        keep = np.fromiter(
+            (_bucket_hex(seed, k) < thr for k in batch[key_col]),
+            dtype=bool, count=len(batch))
+        return batch[keep]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
+def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
+               split_col: str = "split"):
+    """Tag every row ``"train"`` / ``"holdout"`` by the same md5-prefix
+    rule (``< threshold`` → train).  A labelling, not a filter, so one
+    pass materializes both sides consistently; the split is stable under
+    re-runs and independent of row order."""
+    thr = rate_threshold_hex(frac)
+
+    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
+        batch[split_col] = [
+            "train" if _bucket_hex(seed, k) < thr else "holdout"
+            for k in batch[key_col]
+        ]
+        return batch
+
+    return ds.map_batches(_tag, batch_format="pandas")

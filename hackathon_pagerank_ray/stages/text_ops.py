@@ -166,6 +166,50 @@ class Fingerprint:
         return batch
 
 
+#: PII-style scrub patterns — written to the common subset of Python ``re``
+#: and RE2 (no lookaround, no backrefs) so a DuckDB ``regexp_replace`` /
+#: ``regexp_extract_all`` oracle computes the identical result.
+_REDACT_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+class Redact:
+    """(id, text) → + ``text_redacted``, ``n_emails``, ``n_phones``,
+    ``n_ips`` — the scrub pass a training-data pipeline runs before
+    publishing a corpus (emails / phone numbers / IPv4 literals replaced
+    by typed placeholder tokens).
+
+    Replacement is sequential (email → phone → ip) so an already-redacted
+    span can't be re-matched by a later pattern; the per-category counts
+    are computed independently on the ORIGINAL text (that is also what a
+    SQL oracle naturally measures).  Patterns avoid lookaround/backrefs so
+    Python ``re`` and RE2 (DuckDB) agree byte-for-byte.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.pats = [(name, re.compile(p), repl)
+                     for name, p, repl in _REDACT_PATTERNS]
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        red, counts = [], {name: [] for name, _, _ in self.pats}
+        for t in batch[self.text_col]:
+            t = t or ""
+            out = t
+            for name, rx, repl in self.pats:
+                counts[name].append(len(rx.findall(t)))
+                out = rx.sub(repl, out)
+            red.append(out)
+        batch["text_redacted"] = red
+        batch["n_emails"] = np.asarray(counts["email"], dtype=np.int64)
+        batch["n_phones"] = np.asarray(counts["phone"], dtype=np.int64)
+        batch["n_ips"] = np.asarray(counts["ip"], dtype=np.int64)
+        return batch
+
+
 class RepetitionStats:
     """(id, text) → + ``dup_line_frac``, ``top_bigram_frac`` — the
     repetition signals web-scale quality filters cut on (the
@@ -219,7 +263,7 @@ from functools import lru_cache
 def _cached_op(cls_name: str, text_col: str):
     cls = {"TokenCount": TokenCount, "QualityScore": QualityScore,
            "LanguageId": LanguageId, "Fingerprint": Fingerprint,
-           "RepetitionStats": RepetitionStats}[cls_name]
+           "RepetitionStats": RepetitionStats, "Redact": Redact}[cls_name]
     return cls(text_col)
 
 
@@ -247,3 +291,7 @@ def add_fingerprints(ds, text_col: str = "text", concurrency=None):
 
 def add_repetition_stats(ds, text_col: str = "text", concurrency=None):
     return _task_stage(ds, "RepetitionStats", text_col)
+
+
+def add_redaction(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "Redact", text_col)

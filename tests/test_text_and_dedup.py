@@ -470,3 +470,94 @@ def test_contamination_check_semantics():
            .sort_values("doc_id").reset_index(drop=True))
     assert out["n_hits"].tolist() == [3, 2, 0, 0]
     assert out["contaminated"].tolist() == [True, True, False, False]
+
+
+# -- redaction / sampling (round 2) -----------------------------------------
+
+def test_redaction_semantics():
+    """Emails/phones/IPv4 replaced by typed placeholders; counts computed
+    independently on the original text; non-PII text untouched."""
+    texts = [
+        "contact bob@example.com or alice@test.org today",
+        "call 555-123-4567 or 555.987.6543 now",
+        "server at 192.168.1.1 and 10.0.0.255",
+        "mixed: a@b.co, 111-222-3333, 8.8.8.8",
+        "no pii here at all",
+        "",
+    ]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    out = (TX.add_redaction(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert out["text_redacted"].tolist() == [
+        "contact <EMAIL> or <EMAIL> today",
+        "call <PHONE> or <PHONE> now",
+        "server at <IP> and <IP>",
+        "mixed: <EMAIL>, <PHONE>, <IP>",
+        "no pii here at all",
+        "",
+    ]
+    assert out["n_emails"].tolist() == [2, 0, 0, 1, 0, 0]
+    assert out["n_phones"].tolist() == [0, 2, 0, 1, 0, 0]
+    assert out["n_ips"].tolist() == [0, 0, 2, 1, 0, 0]
+
+
+def test_redaction_matches_duckdb_regexes():
+    """The scrub patterns must produce identical bytes in Python re and
+    DuckDB RE2 (the oracle contract) — checked on tricky boundary cases."""
+    import duckdb
+    texts = [
+        "a.b-c_d%e+f@sub.domain.co.uk trailing",
+        "phone-ish 123.456.7890 vs ip-ish 123.45.67.89",
+        "1.2.3.4.5 overlong dotted run",
+        "edge@x.io.",            # trailing dot after TLD
+        "v1.2.3 not an ip",
+    ]
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    got = (TX.add_redaction(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(
+        {"doc_id": list(range(len(texts))), "text": texts}))
+    want = con.execute(r"""
+        SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+            AS text_redacted
+        FROM documents ORDER BY doc_id""").df()
+    assert got["text_redacted"].tolist() == want["text_redacted"].tolist()
+
+
+def test_hash_sample_deterministic_and_stable():
+    """Same key+seed always lands on the same side: resampling and
+    re-partitioning give the identical row set; rate edges behave."""
+    from hackathon_pagerank_ray.stages import sampling as SP
+    tbl = pa.Table.from_pydict({"k": list(range(2000)),
+                                "v": list(range(2000))})
+    ds = rd.from_arrow(tbl)
+    a = sorted(SP.hash_sample(ds, "k", 0.2, seed=1).to_pandas()["k"])
+    b = sorted(SP.hash_sample(rd.from_arrow(tbl).repartition(7),
+                              "k", 0.2, seed=1).to_pandas()["k"])
+    assert a == b and 0.1 < len(a) / 2000 < 0.3
+    # a higher rate with the same seed is a superset (nested samples)
+    c = set(SP.hash_sample(ds, "k", 0.5, seed=1).to_pandas()["k"])
+    assert set(a) <= c
+    # different seed decorrelates
+    d = set(SP.hash_sample(ds, "k", 0.2, seed=2).to_pandas()["k"])
+    assert set(a) != d
+    assert SP.hash_sample(ds, "k", 1.0).count() == 2000
+    assert SP.hash_sample(ds, "k", 0.0).count() == 0
+
+
+def test_hash_split_consistent_with_sample_rule():
+    from hackathon_pagerank_ray.stages import sampling as SP
+    ds = rd.from_arrow(pa.Table.from_pydict({"k": list(range(1000))}))
+    out = SP.hash_split(ds, "k", frac=0.9, seed=7).to_pandas()
+    train = set(out[out["split"] == "train"]["k"])
+    # the split tag must equal the sample keep-rule at the same rate/seed
+    kept = set(SP.hash_sample(ds, "k", 0.9, seed=7).to_pandas()["k"])
+    assert train == kept
+    assert 0.8 < len(train) / 1000 < 0.97
