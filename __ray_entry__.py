@@ -341,6 +341,19 @@ def _q_hash_split_docs(sf_dir):
     return hash_split(docs, key_col="doc_id", frac=0.9, seed=7)
 
 
+def _q_price_quantiles(sf_dir):
+    """Histogram-resolution quantiles of order totalprice — the
+    bounded-cardinality alternative to a global sort: batches emit
+    (bin, count) partials, one tiny groupby merges, the cumulative walk
+    touches #bins rows (stages/stats.histogram_quantiles)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import histogram_quantiles
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_totalprice"])
+    return histogram_quantiles(orders, "o_totalprice", bin_width=100.0,
+                               qs=(0.25, 0.5, 0.75, 0.95))
+
+
 def _q_cross_doc_lines(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import cross_doc_line_stats
@@ -744,6 +757,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": _q_pii_redaction,
         "hash_sample_orders": _q_hash_sample_orders,
         "hash_split_docs": _q_hash_split_docs,
+        "price_quantiles": _q_price_quantiles,
         "cross_doc_lines": _q_cross_doc_lines,
         "contamination": _q_contamination,
         "term_df": _q_term_df,
@@ -1266,6 +1280,21 @@ FROM documents
             "substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) "
             "< 'e6666666' THEN 'train' ELSE 'holdout' END AS split "
             "FROM documents",
+        # histogram-resolution quantiles (stages/stats.histogram_quantiles):
+        # value = lower edge of the first bin whose cumulative count
+        # reaches ceil(q * total); all-integer selection -> hash-exact
+        "price_quantiles": """
+WITH h AS (SELECT CAST(FLOOR(o_totalprice / 100.0) AS BIGINT) AS bin,
+                  COUNT(*) AS n FROM orders GROUP BY 1),
+     c AS (SELECT bin, SUM(n) OVER (ORDER BY bin) AS cum,
+                  SUM(n) OVER () AS total FROM h),
+     qs(q) AS (VALUES (0.25), (0.5), (0.75), (0.95))
+SELECT CAST(q AS DOUBLE) AS q,
+       CAST(MIN(bin) * 100.0 AS DOUBLE) AS value
+FROM c CROSS JOIN qs
+WHERE cum >= CEIL(q * total)
+GROUP BY q
+""",
         # corpus-level duplicate lines (stages/dedup_near.
         # cross_doc_line_stats): a line is duplicated when it occurs >=2
         # times anywhere in the corpus; fractions over non-empty lines

@@ -561,3 +561,25 @@ def test_hash_split_consistent_with_sample_rule():
     kept = set(SP.hash_sample(ds, "k", 0.9, seed=7).to_pandas()["k"])
     assert train == kept
     assert 0.8 < len(train) / 1000 < 0.97
+
+
+def test_histogram_quantiles_exact_discrete_rule():
+    """Quantile = lower edge of the first bin whose cumulative count
+    reaches ceil(q*n); NaNs dropped; empty input -> NaN values."""
+    from hackathon_pagerank_ray.stages import stats as ST
+    vals = [0.5, 1.5, 2.5, 3.5, 4.5, 5.5, 6.5, 7.5, 8.5, 9.5,
+            float("nan"), 99.9]
+    ds = rd.from_arrow(pa.Table.from_pydict({"x": vals}))
+    out = ST.histogram_quantiles(ds, "x", bin_width=1.0,
+                                 qs=(0.0, 0.5, 1.0)).set_index("q")["value"]
+    # 11 non-NaN values; ceil(0.5*11)=6 -> 6th smallest = 5.5 -> bin 5
+    assert out[0.0] == 0.0      # first bin
+    assert out[0.5] == 5.0
+    assert out[1.0] == 99.0     # last bin lower edge
+    # histogram itself: integer counts, bounded cardinality
+    h = ST.histogram(ds, "x", 1.0).to_pandas().sort_values("bin")
+    assert h["n"].sum() == 11 and len(h) == 11
+    # empty input
+    empty = rd.from_arrow(pa.Table.from_pydict({"x": pa.array([], pa.float64())}))
+    e = ST.histogram_quantiles(empty, "x", 1.0, qs=(0.5,))
+    assert np.isnan(e["value"]).all()
