@@ -127,7 +127,8 @@ def run_queries(sf_dir: str) -> dict:
              "pagerank", "connected_components", "triangle_counts",
              "user_sessions", "purchase_attribution", "rolling_revenue",
              "top_orders_per_customer", "repetition_stats",
-             "cross_doc_lines", "contamination"]
+             "cross_doc_lines", "contamination", "pii_redaction",
+             "hash_sample_orders"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
