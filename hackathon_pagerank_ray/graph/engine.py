@@ -139,7 +139,12 @@ class ShardedGraph:
         if n is None:
             # reference convention n = max_id + 1 (pagerank_gpu.cu:65)
             n = max(max_ids) + 1
+        # phase 2: gather-side addressing needs n (dense shards under full
+        # gather skip the unique/sort compaction entirely); overlaps the
+        # owner configure call
+        gather_pending = [sh.build_gather.remote(n) for sh in shards]
         ray.get([ow.configure.remote(n) for ow in owners])
+        ray.get(gather_pending)
 
         # wire subscriptions + scatter maps + out-degrees: one payload per
         # (shard, owner) pair, computed in one batched call per shard

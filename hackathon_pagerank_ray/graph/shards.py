@@ -334,6 +334,7 @@ class EdgeShard:
         src/dst, with no driver-side materialization or plasma copy of the
         edge table."""
         num_owners = self.P
+        _t = time.perf_counter()
         if isinstance(edge_tables, (pa.Table, str)):
             edge_tables = [edge_tables]
         # refs nested in a list are not auto-resolved by Ray — fetch here
@@ -366,34 +367,25 @@ class EdgeShard:
         self.dst = dst
         self.m = len(src)
         self._od_cache = None
+        self.metrics["build_load_sec"] = round(time.perf_counter() - _t, 3)
 
         _t = time.perf_counter()
-        # gather side: unique vertices whose values this shard needs
-        self.uniq_src = np.unique(src)                       # sorted
-        self.src_pos = np.searchsorted(self.uniq_src, src)   # edge → gather slot
-        self.metrics["build_gather_sec"] = round(time.perf_counter() - _t, 3)
-        _t = time.perf_counter()
-        # received value vectors are concatenated in owner order; compute the
-        # offset of each owner's slice within the gather vector
-        owner_of_uniq = self.uniq_src % num_owners
-        self.gather_order = np.argsort(owner_of_uniq, kind="stable")
-        inverse = np.empty(len(self.uniq_src), dtype=np.int64)
-        inverse[self.gather_order] = np.arange(len(self.uniq_src))
-        self.src_pos = inverse[self.src_pos]
-        sorted_owner = owner_of_uniq[self.gather_order]
-        self.owner_slice_counts = np.bincount(sorted_owner, minlength=num_owners)
-        # per-owner subscription lists (local indices at the owner)
-        uniq_sorted = self.uniq_src[self.gather_order]
-        offs = np.concatenate([[0], np.cumsum(self.owner_slice_counts)])
-        self.sub_local = [
-            uniq_sorted[offs[j]:offs[j + 1]] // num_owners for j in range(num_owners)
-        ]
-
-        self.metrics["build_sub_sec"] = round(time.perf_counter() - _t, 3)
-        _t = time.perf_counter()
-        # scatter side: per destination owner, a compacted dst index
+        # scatter side: per destination owner, a compacted dst index.
+        # ONE argsort on an (owner-major, dst-minor) composite key replaces
+        # the owner argsort PLUS a per-owner np.unique re-sort: segments
+        # come out dst-sorted, so uniques are just change boundaries.  Any
+        # consistent edge permutation is valid here — src_pos is composed
+        # through the same scatter_order in build_gather.
         dst_owner = dst % num_owners
-        self.scatter_order = np.argsort(dst_owner, kind="stable")
+        if self.m:
+            span = int(dst.max()) + 1
+            if num_owners * span < 2 ** 63:
+                self.scatter_order = np.argsort(
+                    dst_owner * np.int64(span) + dst)
+            else:  # composite key would overflow int64 — two stable sorts
+                self.scatter_order = np.lexsort((dst, dst_owner))
+        else:
+            self.scatter_order = np.zeros(0, dtype=np.int64)
         sorted_dst = dst[self.scatter_order]
         self.scatter_counts = np.bincount(dst_owner, minlength=num_owners)
         soffs = np.concatenate([[0], np.cumsum(self.scatter_counts)])
@@ -401,10 +393,85 @@ class EdgeShard:
         self.uniq_dst_local = []
         for j in range(num_owners):
             seg = sorted_dst[soffs[j]:soffs[j + 1]]
-            uniq, compact = np.unique(seg, return_inverse=True)
-            self.dst_compact[soffs[j]:soffs[j + 1]] = compact
-            self.uniq_dst_local.append(uniq // num_owners)
+            if not len(seg):
+                self.uniq_dst_local.append(np.zeros(0, dtype=np.int64))
+                continue
+            new = np.empty(len(seg), dtype=bool)
+            new[0] = True
+            np.not_equal(seg[1:], seg[:-1], out=new[1:])
+            self.dst_compact[soffs[j]:soffs[j + 1]] = np.cumsum(new) - 1
+            self.uniq_dst_local.append(seg[new] // num_owners)
         self.soffs = soffs
+        self.metrics["build_scatter_sec"] = round(time.perf_counter() - _t, 3)
+        self.metrics["edges"] = self.m
+        return int(max(src.max(initial=-1), dst.max(initial=-1)))
+
+    def build_gather(self, n: int) -> None:
+        """Build the gather-side addressing once ``n`` is known (phase 2 of
+        the build — the driver calls this on every shard after deriving
+        ``n = max(max_ids) + 1`` from phase 1's return values).
+
+        Two layouts:
+
+        - **dense direct** (``gather_mode="full"`` and ``m >= n // 2``):
+          every owner ships its whole value vector anyway, so a shard that
+          touches a large fraction of the vertices gains nothing from
+          compacting to its unique sources — the edge→slot map is pure
+          arithmetic (``offs[src % P] + src // P``) with NO unique/sort
+          passes, which removes the two most expensive build phases, and
+          the per-sweep gather becomes P contiguous slice copies instead
+          of an indexed ``np.take``.
+        - **compacted** (otherwise): unique sources only — bounds the
+          shard's gather buffer by its edge count, required for
+          ``"subscribe"`` (only subscribed slices are shipped) and for
+          sparse shards where ``uniq_src << n``.
+        """
+        num_owners = self.P
+        src = self.src
+        _t = time.perf_counter()
+        self.dense_gather = (self.gather_mode == "full"
+                             and self.m >= n // 2)
+        if self.dense_gather:
+            counts = np.array(
+                [max(0, (n - j + num_owners - 1) // num_owners)
+                 for j in range(num_owners)], dtype=np.int64)
+            self.owner_slice_counts = counts
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            self.src_pos = offs[src % num_owners] + src // num_owners
+            # owners never ship subscribed slices in full mode
+            self.sub_local = [np.zeros(0, dtype=np.int64)
+                              for _ in range(num_owners)]
+            n_slots = int(offs[-1])
+            self.metrics["build_gather_sec"] = round(
+                time.perf_counter() - _t, 3)
+            self.metrics["build_sub_sec"] = 0.0
+        else:
+            # gather side: unique vertices whose values this shard needs
+            self.uniq_src = np.unique(src)                     # sorted
+            self.src_pos = np.searchsorted(self.uniq_src, src)  # edge→slot
+            self.metrics["build_gather_sec"] = round(
+                time.perf_counter() - _t, 3)
+            _t = time.perf_counter()
+            # received value vectors are concatenated in owner order;
+            # compute the offset of each owner's slice in the gather vector
+            owner_of_uniq = self.uniq_src % num_owners
+            self.gather_order = np.argsort(owner_of_uniq, kind="stable")
+            inverse = np.empty(len(self.uniq_src), dtype=np.int64)
+            inverse[self.gather_order] = np.arange(len(self.uniq_src))
+            self.src_pos = inverse[self.src_pos]
+            sorted_owner = owner_of_uniq[self.gather_order]
+            self.owner_slice_counts = np.bincount(sorted_owner,
+                                                  minlength=num_owners)
+            # per-owner subscription lists (local indices at the owner)
+            uniq_sorted = self.uniq_src[self.gather_order]
+            offs = np.concatenate([[0], np.cumsum(self.owner_slice_counts)])
+            self.sub_local = [
+                uniq_sorted[offs[j]:offs[j + 1]] // num_owners
+                for j in range(num_owners)
+            ]
+            n_slots = len(self.uniq_src)
+            self.metrics["build_sub_sec"] = round(
+                time.perf_counter() - _t, 3)
         # fuse the two per-sweep gathers (vals[src_pos] then [scatter_order])
         # into ONE build-time composed index — halves the random-access
         # traffic on the sweep hot path
@@ -415,12 +482,9 @@ class EdgeShard:
         # each sweep (float64 paths; label ops cast and take the slow path)
         self._gather_offs = np.concatenate(
             [[0], np.cumsum(self.owner_slice_counts)])
-        self._vals_buf = np.empty(len(self.uniq_src))
+        self._vals_buf = np.empty(n_slots)
         self._contrib_buf = np.empty(self.m)
-        self.metrics["build_scatter_sec"] = round(time.perf_counter() - _t, 3)
-        self.metrics["edges"] = self.m
-        self.metrics["uniq_src"] = len(self.uniq_src)
-        return int(max(src.max(initial=-1), dst.max(initial=-1)))
+        self.metrics["uniq_src"] = n_slots
 
     # -- build helpers ------------------------------------------------------
     def get_m(self) -> int:
@@ -437,9 +501,23 @@ class EdgeShard:
         return vids, counts
 
     def _outdeg_by_owner(self):
-        """One unique pass over src, then split by owner (not P masked
-        passes); cached for the duration of the build."""
+        """Per-owner (local_idx, count) out-degree partials; cached for
+        the duration of the build.  Dense layout: one ``bincount`` over
+        the already-computed slot indexes (no sort at all); compacted
+        layout: one unique pass over src, then split by owner (not P
+        masked passes)."""
         if getattr(self, "_od_cache", None) is None:
+            if getattr(self, "dense_gather", False):
+                w = np.bincount(self.src_pos,
+                                minlength=int(self._gather_offs[-1]))
+                offs = self._gather_offs
+                cache = []
+                for j in range(self.P):
+                    seg = w[offs[j]:offs[j + 1]]
+                    idx = np.flatnonzero(seg)
+                    cache.append((idx, seg[idx]))
+                self._od_cache = cache
+                return self._od_cache
             vids, counts = np.unique(self.src, return_counts=True)
             owner = vids % self.P
             order = np.argsort(owner, kind="stable")
@@ -480,10 +558,21 @@ class EdgeShard:
         if not value_slices:
             return np.zeros(0)
         if self.gather_mode == "full":
-            # received full per-owner vectors: slice to this shard's
-            # subscription locally (plasma gives us zero-copy views);
-            # float64 values reuse the preallocated gather buffer
             first = np.asarray(value_slices[0])
+            if getattr(self, "dense_gather", False):
+                # dense direct layout: the concatenated owner vectors ARE
+                # the gather vector — P contiguous slice copies, no index
+                # arrays touched (float64 reuses the preallocated buffer)
+                if first.dtype == np.float64:
+                    buf, offs = self._vals_buf, self._gather_offs
+                    for j, v in enumerate(value_slices):
+                        buf[offs[j]:offs[j + 1]] = np.asarray(v)
+                    return buf
+                return np.concatenate(
+                    [np.asarray(v) for v in value_slices])
+            # compacted layout: slice each full per-owner vector to this
+            # shard's subscription locally (plasma gives zero-copy views);
+            # float64 values reuse the preallocated gather buffer
             if first.dtype == np.float64:
                 buf, offs = self._vals_buf, self._gather_offs
                 for j, v in enumerate(value_slices):
