@@ -341,6 +341,24 @@ def _q_hash_split_docs(sf_dir):
     return hash_split(docs, key_col="doc_id", frac=0.9, seed=7)
 
 
+def _q_props_k_stats(sf_dir):
+    """Semi-structured projection: extract the integer field 'k' from the
+    JSON props column, then per-event-type integer sum + non-null count
+    (stages/events.json_field_int64; invalid/missing k rows drop, the SQL
+    NULL-skipping aggregate convention)."""
+    _quiet()
+    from ray.data.aggregate import Count, Sum
+
+    from hackathon_pagerank_ray.stages.events import json_field_int64
+    from hackathon_pagerank_ray.stages.relational import rename
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_type", "props"])
+    ex = json_field_int64(ev, "props", "k")
+    agg = ex.groupby("event_type").aggregate(
+        Sum("k", alias_name="sum_k"), Count())
+    return rename(agg, {"sum(k)": "sum_k", "count()": "n"})
+
+
 def _q_price_quantiles(sf_dir):
     """Histogram-resolution quantiles of order totalprice — the
     bounded-cardinality alternative to a global sort: batches emit
@@ -758,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample_orders": _q_hash_sample_orders,
         "hash_split_docs": _q_hash_split_docs,
         "price_quantiles": _q_price_quantiles,
+        "props_k_stats": _q_props_k_stats,
         "cross_doc_lines": _q_cross_doc_lines,
         "contamination": _q_contamination,
         "term_df": _q_term_df,
@@ -1280,6 +1299,14 @@ FROM documents
             "substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) "
             "< 'e6666666' THEN 'train' ELSE 'holdout' END AS split "
             "FROM documents",
+        # JSON field extraction + aggregate (stages/events.
+        # json_field_int64): COUNT(json_extract(..)) counts non-null
+        # extractions, matching the engine's drop-invalid semantics
+        "props_k_stats":
+            "SELECT event_type, "
+            "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+            "COUNT(json_extract(props, '$.k')) AS n "
+            "FROM events GROUP BY event_type",
         # histogram-resolution quantiles (stages/stats.histogram_quantiles):
         # value = lower edge of the first bin whose cumulative count
         # reaches ceil(q * total); all-integer selection -> hash-exact

@@ -307,3 +307,39 @@ def point_in_interval_join(points_ds, intervals_ds, by: str, on: str,
     return (tagged_p.union(tagged_i)
             .groupby(by)
             .map_groups(_join, batch_format="pandas"))
+
+
+def json_field_int64(ds, json_col: str = "props", key: str = "k",
+                     out_col: str | None = None):
+    """Extract an integer field from a JSON-string column — the
+    semi-structured projection every event/log pipeline needs before it
+    can aggregate (``props`` payloads, crawler metadata, API dumps).
+
+    Rows where the field is missing, non-numeric, or the JSON is invalid
+    are DROPPED (SQL ``json_extract`` returns NULL there and aggregates
+    skip NULLs — dropping keeps the engine and a SQL oracle bit-exact on
+    integer sums/counts).  Runs as a per-batch map (stdlib ``json``; the
+    parse is per-row by nature), no shuffle.
+    """
+    import json as _json
+
+    out_col = out_col or key
+
+    def _ex(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        vals = np.zeros(n, dtype=np.int64)
+        keep = np.zeros(n, dtype=bool)
+        for i, s in enumerate(batch[json_col]):
+            try:
+                v = _json.loads(s).get(key)
+            except (TypeError, ValueError):
+                continue
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue
+            vals[i] = int(v)
+            keep[i] = True
+        out = batch.loc[keep].copy()
+        out[out_col] = vals[keep]
+        return out.drop(columns=[json_col])
+
+    return ds.map_batches(_ex, batch_format="pandas")

@@ -583,3 +583,18 @@ def test_histogram_quantiles_exact_discrete_rule():
     empty = rd.from_arrow(pa.Table.from_pydict({"x": pa.array([], pa.float64())}))
     e = ST.histogram_quantiles(empty, "x", 1.0, qs=(0.5,))
     assert np.isnan(e["value"]).all()
+
+
+def test_json_field_int64_drop_invalid():
+    """Valid integer k extracted; missing key / non-numeric / bool /
+    broken JSON rows dropped (the SQL NULL-skip convention)."""
+    from hackathon_pagerank_ray.stages.events import json_field_int64
+    rows = ['{"k": 5}', '{"k": 7, "x": 1}', '{"x": 1}', '{"k": "s"}',
+            '{"k": true}', 'not json', '{"k": 2.0}']
+    ds = rd.from_arrow(pa.Table.from_pydict(
+        {"id": list(range(len(rows))), "props": rows}))
+    out = (json_field_int64(ds, "props", "k").to_pandas()
+           .sort_values("id").reset_index(drop=True))
+    assert out["id"].tolist() == [0, 1, 6]
+    assert out["k"].tolist() == [5, 7, 2]
+    assert "props" not in out.columns
