@@ -61,7 +61,11 @@ def build_graph_tables(pages_ds, target_lang: str | None = None,
                                      batch_format="pyarrow"))
         .union(docs.map_batches(_just("url", "url"), batch_format="pyarrow"))
     )
-    vertices = assign_vertex_ids(url_universe).materialize()
+    # docs/edges are materialized above, so the universe size is two cheap
+    # counts — lets small runs take the single-pass id assignment
+    hint = 2 * edges_url.count() + docs.count()
+    vertices = assign_vertex_ids(url_universe,
+                                 input_rows_hint=hint).materialize()
     edges = edges_to_ids(edges_url, vertices, num_partitions).materialize()
     return docs, vertices, edges
 

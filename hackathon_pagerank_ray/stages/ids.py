@@ -33,12 +33,34 @@ def _assign_ids(table: pa.Table, offset: int, col: str) -> pa.Table:
                                 names=["vid", col])
 
 
-def assign_vertex_ids(urls_ds, col: str = "url"):
+def assign_vertex_ids(urls_ds, col: str = "url",
+                      input_rows_hint: int | None = None,
+                      small_max_rows: int = 2_000_000):
     """Distinct values of ``col`` → ``(vid: int64, url)`` with dense
     sort-ordered vids.  Shuffles once (sort doubles as the distinct's
-    partitioner: we dedup per-block before and after the sort)."""
+    partitioner: we dedup per-block before and after the sort).
+
+    When the caller knows the input is small (``input_rows_hint`` ≤
+    ``small_max_rows`` — e.g. counted from already-materialized
+    upstreams), the distributed groupby+sort (two all-to-all exchanges
+    whose fixed cost dwarfs the work at small scale) is replaced by a
+    per-block distinct + one driver-side ``np.unique`` producing the
+    identical sorted-dense assignment.  Without a hint the streaming
+    shuffle path runs unchanged — nothing extra is materialized at
+    scale."""
     def _local_distinct(t: pa.Table) -> pa.Table:
         return t.select([col]).group_by(col).aggregate([])
+
+    if input_rows_hint is not None and input_rows_hint <= small_max_rows:
+        parts = [ray.get(r) for r in urls_ds.map_batches(
+            _local_distinct, batch_format="pyarrow").to_arrow_refs()]
+        vals = [p[col].to_numpy(zero_copy_only=False)
+                for p in parts if p.num_rows]
+        uniq = (np.unique(np.concatenate(vals)) if vals
+                else np.zeros(0, dtype=np.str_))
+        return ray.data.from_arrow(pa.Table.from_arrays(
+            [pa.array(np.arange(len(uniq), dtype=np.int64)),
+             pa.array(uniq)], names=["vid", col]))
 
     from ray.data.aggregate import Count
     distinct_sorted = (
@@ -59,10 +81,38 @@ def assign_vertex_ids(urls_ds, col: str = "url"):
     return ray.data.from_arrow_refs(out_refs)
 
 
-def edges_to_ids(edges_url_ds, vertices_ds, num_partitions: int = 16):
-    """J2: map (src_url, dst_url) → (src, dst) via two hash joins against
-    the vertex table; edges with an unknown endpoint are dropped (the
-    reference's both-sides semi-join, api/build_corpus.py:83-92)."""
+def edges_to_ids(edges_url_ds, vertices_ds, num_partitions: int = 16,
+                 broadcast_max_vertices: int = 2_000_000):
+    """J2: map (src_url, dst_url) → (src, dst); edges with an unknown
+    endpoint are dropped (the reference's both-sides semi-join,
+    api/build_corpus.py:83-92).
+
+    When the vertex table fits comfortably in a worker heap (≤
+    ``broadcast_max_vertices`` rows) this is a classic broadcast join:
+    the url→vid map is ``ray.put`` once and each edge batch maps locally
+    — zero shuffles instead of two hash joins (which cost two all-to-all
+    exchanges regardless of edge count).  Above the threshold it falls
+    back to the two-sided hash join, the right shape when vertices are
+    billions of rows."""
+    n_v = vertices_ds.count()
+    if n_v <= broadcast_max_vertices:
+        import pandas as pd
+        parts = [ray.get(r) for r in vertices_ds.to_arrow_refs()]
+        v = pa.concat_tables([p.select(["url", "vid"]) for p in parts
+                              if p.num_rows])
+        vmap_ref = ray.put(pd.Series(
+            v["vid"].to_numpy(zero_copy_only=False),
+            index=v["url"].to_pandas()))
+
+        def _map(batch: "pd.DataFrame") -> "pd.DataFrame":
+            vmap = ray.get(vmap_ref)
+            src = vmap.reindex(batch["src_url"]).to_numpy()
+            dst = vmap.reindex(batch["dst_url"]).to_numpy()
+            keep = ~(np.isnan(src) | np.isnan(dst))
+            return pd.DataFrame({"src": src[keep].astype(np.int64),
+                                 "dst": dst[keep].astype(np.int64)})
+
+        return edges_url_ds.map_batches(_map, batch_format="pandas")
     v_src = vertices_ds.rename_columns({"vid": "src", "url": "src_url"})
     v_dst = vertices_ds.rename_columns({"vid": "dst", "url": "dst_url"})
     e = inner_join(edges_url_ds, v_src, on="src_url",

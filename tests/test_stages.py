@@ -55,6 +55,11 @@ def test_vertex_ids_dense_and_sorted():
     v = assign_vertex_ids(urls).to_pandas().sort_values("vid")
     assert v["vid"].tolist() == [0, 1, 2]
     assert v["url"].tolist() == ["a", "b", "c"]     # sort-ordered dense ids
+    # the small-input single-pass path must produce the identical table
+    s = assign_vertex_ids(urls, input_rows_hint=7).to_pandas() \
+        .sort_values("vid")
+    assert s["vid"].tolist() == [0, 1, 2]
+    assert s["url"].tolist() == ["a", "b", "c"]
 
 
 def test_edges_to_ids_drops_unknown_endpoints():
@@ -62,6 +67,11 @@ def test_edges_to_ids_drops_unknown_endpoints():
     e = _ds(src_url=["a", "b", "zz"], dst_url=["b", "c", "a"])
     out = edges_to_ids(e, v, num_partitions=2).to_pandas()
     assert sorted(map(tuple, out.values.tolist())) == [(0, 1), (1, 2)]
+    # the join fallback (vertex table "too big" to broadcast) must agree
+    out_join = edges_to_ids(e, v, num_partitions=2,
+                            broadcast_max_vertices=0).to_pandas()
+    assert (sorted(map(tuple, out_join.values.tolist()))
+            == sorted(map(tuple, out.values.tolist())))
 
 
 def test_degrees_and_dangling():
