@@ -655,6 +655,40 @@ def _q_label_propagation(sf_dir):
         g.shutdown()
 
 
+_HITS_SWEEPS = 8
+
+
+def _q_personalized_pagerank(sf_dir):
+    """Personalized PageRank: teleport + dangling mass on a seed set
+    (vid % 10 == 0), fixed sweeps so the oracle unrolls identically."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    g = ShardedGraph.build(_edges_ds(sf_dir), num_owners=4)
+    try:
+        seeds = np.arange(0, g.n, 10, dtype=np.int64)
+        w = np.full(len(seeds), 1.0 / len(seeds))
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS,
+                            personalization=(seeds, w))
+        return ranks.materialize()
+    finally:
+        g.shutdown()
+
+
+def _q_hits(sf_dir):
+    """HITS hubs & authorities, fixed sweeps (oracle unrolls the same)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import hits
+    scores, _ = hits(_edges_ds(sf_dir), num_owners=4,
+                     max_iter=_HITS_SWEEPS)
+    return scores
+
+
+def _q_clustering_coeff(sf_dir):
+    _quiet()
+    from hackathon_pagerank_ray.graph.triangles import clustering_coefficient
+    return clustering_coefficient(_edges_ds(sf_dir), num_partitions=8)
+
+
 def _q_minhash_pairs(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import minhash_dedup
@@ -672,19 +706,16 @@ def _q_simhash_pairs(sf_dir):
                               max_hamming=3)
 
 
-def _q_embedding_near_dups(sf_dir):
+def _emb_with_planted(sf_dir):
     """The sf embeddings have no natural near-dups (max pair cosine ≈0.48),
-    so deterministic jittered copies (vec_id + 1_000_000) are unioned in —
-    the operator must find exactly the planted (i, i+1e6) pairs."""
-    _quiet()
+    so deterministic jittered copies (vec_id + 1_000_000) are unioned in.
+    Arithmetic jitter (1e-3·sin(id·131 + dim)) instead of an RNG so the
+    DuckDB oracle can reconstruct the identical planted vectors."""
     import pyarrow.parquet as pq
-    from hackathon_pagerank_ray.stages.dedup_near import embedding_near_dups
     rd = _rd()
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     tbl = pq.read_table(f"{sf_dir}/embeddings.parquet")
     base = tbl.filter(pa.compute.less(tbl["vec_id"], 32))
-    # arithmetic jitter (1e-3*sin(id*131 + dim)) instead of an RNG so the
-    # DuckDB oracle can reconstruct the identical planted vectors
     jittered = pa.Table.from_pydict({
         "vec_id": [int(i) + 1_000_000 for i in base["vec_id"].to_pylist()],
         "embedding": [
@@ -696,8 +727,55 @@ def _q_embedding_near_dups(sf_dir):
                             base["embedding"].to_pylist())],
         "label": base["label"].to_pylist(),
     })
-    both = emb.union(rd.from_arrow(jittered))
+    return emb.union(rd.from_arrow(jittered))
+
+
+def _q_embedding_near_dups(sf_dir):
+    """Planted near-dup pairs: the operator must find exactly the
+    (i, i+1e6) jittered pairs (see :func:`_emb_with_planted`)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import embedding_near_dups
+    both = _emb_with_planted(sf_dir)
     return embedding_near_dups(both, threshold=0.99).select_columns(["a", "b"])
+
+
+def _q_semantic_dedup(sf_dir):
+    """SemDeDup-style keep-set over the planted-union table: every planted
+    jittered copy must be dropped (its original has the lower id), all
+    originals kept."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import semantic_dedup
+    both = _emb_with_planted(sf_dir)
+    return semantic_dedup(both, threshold=0.99)
+
+
+def _q_domain_stats(sf_dir):
+    """Per-domain corpus profile (the per-source rollup a Common-Crawl
+    pipeline keys its domain-level quality decisions on): doc count, total
+    chars, distinct languages — one bounded-cardinality groupby plus an
+    exact distinct-count side pipeline."""
+    _quiet()
+    from ray.data.aggregate import Count, Sum
+    from hackathon_pagerank_ray.stages.relational import distinct, inner_join
+    docs = _docs_ds(sf_dir, ["source", "lang", "n_chars"])
+    base = (docs.groupby("source")
+            .aggregate(Count(), Sum("n_chars"))
+            .rename_columns({"count()": "n_docs",
+                             "sum(n_chars)": "total_chars"}))
+    langs = (distinct(docs.select_columns(["source", "lang"]), ["source", "lang"])
+             .groupby("source").count()
+             .rename_columns({"count()": "n_langs"}))
+    out = inner_join(base, langs, on="source", num_partitions=4)
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["source"].combine_chunks(),
+             t["n_docs"].combine_chunks().cast(pa.int64()),
+             t["total_chars"].combine_chunks().cast(pa.int64()),
+             t["n_langs"].combine_chunks().cast(pa.int64())],
+            names=["source", "n_docs", "total_chars", "n_langs"])
+
+    return out.map_batches(_cast, batch_format="pyarrow")
 
 
 def _q_language_id(sf_dir):
@@ -787,8 +865,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
+        "clustering_coeff": _q_clustering_coeff,
+        "domain_stats": _q_domain_stats,
+        "semantic_dedup": _q_semantic_dedup,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
+        "personalized_pagerank": _q_personalized_pagerank,
+        "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "minhash_pairs": _q_minhash_pairs,
@@ -834,6 +917,82 @@ def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
             f"FROM r{sweeps}")
+
+
+def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
+    """Unrolled personalized PageRank: teleport vector w uniform over the
+    seed set (vid % 10 == 0), r0 = w, dangling mass lands on w, final
+    sum-normalize — the exact semantics of ``pagerank(personalization=)``."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) "
+             "AS outdeg FROM edges GROUP BY src)",
+             "ns AS MATERIALIZED (SELECT COUNT(*) AS k FROM verts "
+             "WHERE vid % 10 = 0)",
+             "w AS MATERIALIZED (SELECT vid, CASE WHEN vid % 10 = 0 "
+             "THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS w FROM verts)",
+             "r0 AS MATERIALIZED (SELECT vid, w AS r FROM w)"]
+    for k in range(1, sweeps + 1):
+        prev = f"r{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(pr.r / od.outdeg) AS s FROM edges e "
+            f"JOIN {prev} pr ON pr.vid = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0.0) AS dm "
+            f"FROM {prev} WHERE vid NOT IN (SELECT src FROM edges))")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, {alpha} * "
+            f"(COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) * w.w) "
+            f"+ {1.0 - alpha} * w.w AS r "
+            f"FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid "
+            f"JOIN w ON w.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
+            f"FROM r{sweeps}")
+
+
+def _hits_oracle_sql(sweeps: int = _HITS_SWEEPS) -> str:
+    """Unrolled HITS: h0 = 1/√n, per half-sweep a = A^T h then h = A a,
+    each L2-normalized — the exact semantics of ``engine.hits``."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "h0 AS MATERIALIZED (SELECT vid, 1.0 / sqrt((SELECT n FROM p)) "
+             "AS h FROM verts)"]
+    for k in range(1, sweeps + 1):
+        prev_h = f"h{k-1}"
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS vid, SUM(h.h) AS s "
+            f"FROM edges e JOIN {prev_h} h ON h.vid = e.src GROUP BY e.dst)")
+        parts.append(
+            f"an{k} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm "
+            f"FROM ar{k})")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.vid, CASE WHEN "
+            f"COALESCE((SELECT nrm FROM an{k}), 0.0) > 0 THEN "
+            f"COALESCE(ar.s, 0.0) / (SELECT nrm FROM an{k}) ELSE 0.0 END "
+            f"AS a FROM verts v LEFT JOIN ar{k} ar ON ar.vid = v.vid)")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS vid, SUM(a.a) AS s "
+            f"FROM edges e JOIN a{k} a ON a.vid = e.dst GROUP BY e.src)")
+        parts.append(
+            f"hn{k} AS MATERIALIZED (SELECT sqrt(SUM(s * s)) AS nrm "
+            f"FROM hr{k})")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.vid, CASE WHEN "
+            f"COALESCE((SELECT nrm FROM hn{k}), 0.0) > 0 THEN "
+            f"COALESCE(hr.s, 0.0) / (SELECT nrm FROM hn{k}) ELSE 0.0 END "
+            f"AS h FROM verts v LEFT JOIN hr{k} hr ON hr.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT a.vid, a.a AS auth, h.h AS hub "
+            f"FROM a{sweeps} a JOIN h{sweeps} h ON h.vid = a.vid")
 
 
 _CC_ORACLE_SQL = f"""
@@ -1170,6 +1329,8 @@ def oracle_sql() -> dict[str, str]:
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
     return {
         "pagerank": _pagerank_oracle_sql(),
+        "personalized_pagerank": _ppr_oracle_sql(),
+        "hits_scores": _hits_oracle_sql(),
         "connected_components": _CC_ORACLE_SQL,
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,
@@ -1413,4 +1574,48 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "corners AS (SELECT x AS vid FROM t UNION ALL "
             "SELECT y FROM t UNION ALL SELECT z FROM t) "
             "SELECT vid, COUNT(*) AS triangles FROM corners GROUP BY vid",
+        # local clustering coefficient = 2T / (deg·(deg−1)) on the
+        # undirected simple graph (graph/triangles.clustering_coefficient)
+        "clustering_coeff":
+            f"{E}, e AS (SELECT DISTINCT LEAST(src, dst) AS u, "
+            "GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "deg AS (SELECT vid, COUNT(*) AS deg FROM "
+            "(SELECT u AS vid FROM e UNION ALL SELECT v AS vid FROM e) "
+            "GROUP BY vid), "
+            "t AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a "
+            "JOIN e b ON b.u = a.u AND b.v > a.v "
+            "JOIN e c ON c.u = a.v AND c.v = b.v), "
+            "corners AS (SELECT x AS vid FROM t UNION ALL "
+            "SELECT y FROM t UNION ALL SELECT z FROM t), "
+            "tc AS (SELECT vid, COUNT(*) AS triangles FROM corners "
+            "GROUP BY vid) "
+            "SELECT deg.vid, CAST(deg.deg AS BIGINT) AS deg, "
+            "CAST(COALESCE(tc.triangles, 0) AS BIGINT) AS triangles, "
+            "CASE WHEN deg.deg < 2 THEN 0.0 ELSE "
+            "2.0 * COALESCE(tc.triangles, 0) / (deg.deg * (deg.deg - 1.0)) "
+            "END AS lcc "
+            "FROM deg LEFT JOIN tc ON tc.vid = deg.vid",
+        # per-domain corpus profile (stages composition, _q_domain_stats)
+        "domain_stats":
+            "SELECT source, COUNT(*) AS n_docs, "
+            "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs "
+            "FROM documents GROUP BY source",
+        # SemDeDup keep-min-id rule over the planted-union table
+        # (stages/dedup_near.semantic_dedup)
+        "semantic_dedup": r"""
+WITH jit AS (
+  SELECT vec_id + 1000000 AS vec_id,
+    list_transform(range(1, len(embedding) + 1), j ->
+      CAST(CAST(embedding[j] AS DOUBLE)
+           + 0.001 * sin(vec_id * 131.0 + j) AS FLOAT)) AS embedding
+  FROM embeddings WHERE vec_id < 32),
+allv AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM (SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id, embedding FROM jit))
+SELECT v.vec_id FROM allv v WHERE NOT EXISTS (
+  SELECT 1 FROM allv u WHERE u.vec_id < v.vec_id
+  AND list_cosine_similarity(u.e, v.e) >= 0.99)
+""",
     }

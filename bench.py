@@ -128,7 +128,8 @@ def run_queries(sf_dir: str) -> dict:
              "user_sessions", "purchase_attribution", "rolling_revenue",
              "top_orders_per_customer", "repetition_stats",
              "cross_doc_lines", "contamination", "pii_redaction",
-             "hash_sample_orders"]
+             "hash_sample_orders", "personalized_pagerank", "hits_scores",
+             "clustering_coeff", "semantic_dedup", "domain_stats"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

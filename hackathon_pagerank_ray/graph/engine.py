@@ -213,7 +213,8 @@ class ShardedGraph:
 def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
              max_iter: int = 100, checkpoint_dir: str | None = None,
              checkpoint_every: int = 1, resume: bool = False,
-             normalize: bool = True, dangling_mode: str = "distribute"):
+             normalize: bool = True, dangling_mode: str = "distribute",
+             personalization=None):
     """Distributed power iteration, reference semantics
     (backend/cuda/pagerank_gpu.cu:137-191): per sweep measure dangling mass
     on the in-vector, ``r' = α·(P·r + dm/n) + (1-α)/n``, L1 stop AFTER the
@@ -223,9 +224,19 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     (the G1/G2 semantics); ``"teleport"`` discards it — the alternative
     strategy of the reference's browser implementation
     (frontend/app/page.tsx:294-365, G4).
+
+    ``personalization``: optional teleport distribution for personalized
+    PageRank — a ``dict[vid, weight]`` or a ``(vids, weights)`` array pair
+    (weights are normalized to sum 1).  The update becomes
+    ``r' = α·(P·r + dm·w) + (1-α)·w`` with ``r0 = w``: both the random
+    jump and (in ``"distribute"`` mode) the dangling mass land on the seed
+    distribution instead of uniform 1/n.  Only the seed entries ship to
+    the owners (each holds its dense local slice), so a sparse seed set
+    costs O(|seeds|) transfer regardless of n.
     """
     if dangling_mode not in ("distribute", "teleport"):
         raise ValueError(dangling_mode)
+    _install_personalization(graph, personalization)
     if graph.n == 0:
         ray.get([ow.init_ranks.remote() for ow in graph.owners])
         return graph.ranks_dataset(), {
@@ -241,7 +252,8 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         last = latest_sweep(checkpoint_dir)
         if last is not None:
             it, manifest = last
-            _validate_resume(graph, manifest, alpha)
+            _validate_resume(graph, manifest, alpha,
+                             personalized=personalization is not None)
             ray.get([ow.load_state_part.remote(
                 f"{sweep_dir(checkpoint_dir, it)}/ranks", "ranks")
                 for ow in owners])
@@ -304,6 +316,7 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
             _checkpoint(graph, checkpoint_dir, it, "ranks", {
                 "residual_l1": residual, "dangling_mass": dangling_mass,
                 "alpha": alpha, "tol": tol,
+                "personalized": personalization is not None,
                 "num_owners": graph.P, "n": graph.n})
         if residual < tol:
             break
@@ -336,12 +349,123 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     return graph.ranks_dataset(), info
 
 
-def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float):
+def _install_personalization(graph: ShardedGraph, personalization) -> None:
+    """Ship a sparse teleport distribution to the owners (or clear it)."""
+    owners = graph.owners
+    if personalization is None:
+        ray.get([ow.set_personalization.remote(None, None) for ow in owners])
+        return
+    if isinstance(personalization, dict):
+        vids = np.fromiter(personalization.keys(), dtype=np.int64)
+        w = np.fromiter(personalization.values(), dtype=np.float64)
+    else:
+        vids, w = personalization
+        vids = np.asarray(vids, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+    if len(vids) == 0 or w.sum() <= 0:
+        raise ValueError("personalization needs at least one positive weight")
+    if vids.min() < 0 or (graph.n and vids.max() >= graph.n):
+        raise ValueError("personalization vid outside [0, n)")
+    w = w / w.sum()
+    owner_of = vids % graph.P
+    ray.get([
+        ow.set_personalization.remote(vids[owner_of == j], w[owner_of == j])
+        for j, ow in enumerate(owners)
+    ])
+
+
+def hits(edges_ds, num_owners: int = 8, max_iter: int = 20,
+         num_edge_shards: int | None = None):
+    """HITS hubs & authorities (Kleinberg) on the sharded engine.
+
+    Two actor meshes share the same ``vid % P`` partition map: the forward
+    graph computes the authority half-sweep ``a = A^T h`` (partial sums
+    keyed by dst — exactly the PageRank gather-scatter shape, with the
+    owner-side 1/outdeg weighting replaced by raw values), the reversed
+    graph computes the hub half-sweep ``h = A a``.  Between half-sweeps an
+    owner ships its n/P-slot state vector to its same-index peer (plasma
+    object, zero-copy on-node); each half-sweep L2-normalizes via one
+    scalar barrier — the same per-sweep cost structure as :func:`pagerank`.
+
+    Fixed ``max_iter`` sweeps (deterministic — the conformance oracle
+    unrolls the same count).  Returns ``(scores_dataset, info)`` where the
+    dataset has columns ``(vid, auth, hub)``.
+    """
+    import pyarrow as pa
+    import ray.data  # noqa: F401  (ensure the submodule is loaded)
+
+    edges_ds = edges_ds.materialize()
+    rev = edges_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["dst"].combine_chunks(), t["src"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                               num_edge_shards=num_edge_shards)
+    g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
+                               num_edge_shards=num_edge_shards)
+    try:
+        n = g_fwd.n
+        if n == 0:
+            empty = ray.data.from_arrow(pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "auth": pa.array([], pa.float64()),
+                 "hub": pa.array([], pa.float64())}))
+            return empty, {"sweeps": 0, "n": 0, "m": 0}
+        t0 = time.perf_counter()
+        # h0 = the L2-normalized constant vector
+        ray.get([ow.init_ranks.remote(1.0 / math.sqrt(n))
+                 for ow in g_rev.owners])
+
+        def _half_sweep(src_graph, dst_graph):
+            """values from src_graph's owners → dst_graph's plain-sum
+            reduce → L2 normalize; scores land in dst_graph.owners[].r."""
+            vals = [ow.ranks_array.remote() for ow in src_graph.owners]
+            ray.get([ow.set_sweep_values.remote(vals[j])
+                     for j, ow in enumerate(dst_graph.owners)])
+            partials = dst_graph._partial_refs("pagerank_partials")
+            ssq = ray.get([
+                ow.apply_sum_update.remote(
+                    *[partials[e][j] for e in range(dst_graph.E)])
+                for j, ow in enumerate(dst_graph.owners)
+            ])
+            norm = math.sqrt(sum(ssq))
+            if norm > 0:
+                ray.get([ow.scale_ranks.remote(1.0 / norm)
+                         for ow in dst_graph.owners])
+
+        for _ in range(max_iter):
+            _half_sweep(g_rev, g_fwd)   # auth: gather hub values over A^T
+            _half_sweep(g_fwd, g_rev)   # hub: gather auth values over A
+        elapsed = time.perf_counter() - t0
+
+        # zip the two meshes' owner tables per partition (same vid order)
+        def _zip_tables(auth_t, hub_t):
+            return pa.Table.from_arrays(
+                [auth_t["vid"].combine_chunks(),
+                 auth_t["rank"].combine_chunks(),
+                 hub_t["rank"].combine_chunks()],
+                names=["vid", "auth", "hub"])
+        zip_remote = ray.remote(_zip_tables)
+        refs = [
+            zip_remote.remote(fo.ranks_table.remote(), ro.ranks_table.remote())
+            for fo, ro in zip(g_fwd.owners, g_rev.owners)
+        ]
+        out = ray.data.from_arrow_refs(refs).materialize()
+        return out, {"sweeps": max_iter, "n": n, "m": g_fwd.m,
+                     "elapsed_sec": elapsed}
+    finally:
+        g_fwd.shutdown()
+        g_rev.shutdown()
+
+
+def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float,
+                     personalized: bool = False):
     """Fail fast when a checkpoint was written by a differently-shaped run —
     ``load_state_part`` loads per-owner part files, so a mesh/n/alpha
     mismatch would silently assign wrong vertex state (ADVICE r1)."""
     for key, current in (("num_owners", graph.P), ("n", graph.n),
-                         ("alpha", alpha)):
+                         ("alpha", alpha), ("personalized", personalized)):
         recorded = manifest.get(key)
         if recorded is not None and recorded != current:
             raise ValueError(

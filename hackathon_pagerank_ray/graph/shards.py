@@ -79,6 +79,7 @@ class RankOwner:
         self.r: np.ndarray | None = None
         self.labels: np.ndarray | None = None
         self._vals: np.ndarray | None = None   # per-sweep gathered value vector
+        self.pers: np.ndarray | None = None    # personalized teleport weights
         self.metrics = {"gather_bytes": 0, "sweep_seconds": 0.0}
         if n is not None:
             self.configure(n)
@@ -133,9 +134,26 @@ class RankOwner:
 
     # -- PageRank ----------------------------------------------------------
     def init_ranks(self, value: float | None = None) -> None:
+        if self.pers is not None and value is None:
+            # personalized PageRank starts at the teleport distribution
+            self.r = self.pers.copy()
+            return
         if value is None:
             value = 1.0 / self.n if self.n else 0.0
         self.r = np.full(self.n_local, value)
+
+    def set_personalization(self, vids, weights) -> None:
+        """Install this owner's slice of a personalized teleport vector
+        (``vids`` must all satisfy ``vid % P == j``); ``None`` vids clears
+        back to the uniform 1/n teleport."""
+        if vids is None:
+            self.pers = None
+            return
+        w = np.zeros(self.n_local)
+        v = np.asarray(vids, dtype=np.int64)
+        if len(v):
+            w[v // self.P] = np.asarray(weights, dtype=np.float64)
+        self.pers = w
 
     def set_ranks(self, ranks: np.ndarray) -> None:
         self.r = np.asarray(ranks, dtype=np.float64).copy()
@@ -176,13 +194,46 @@ class RankOwner:
                 # plain fancy-index add is several times faster than
                 # np.add.at on the per-sweep hot path
                 y[self.dst_maps[e_id]] += part
-        r_new = alpha * (y + dangling_mass / self.n) + (1.0 - alpha) / self.n
+        if self.pers is None:
+            r_new = (alpha * (y + dangling_mass / self.n)
+                     + (1.0 - alpha) / self.n)
+        else:
+            # personalized teleport: both the (1-α) jump and the dangling
+            # mass land on the personalization vector instead of uniform 1/n
+            r_new = (alpha * (y + dangling_mass * self.pers)
+                     + (1.0 - alpha) * self.pers)
         delta = float(np.abs(r_new - self.r).sum())
         self.r = r_new
         self._vals = r_new * self.inv_out
         dm_next = float(r_new[self.dangling].sum())
         self.metrics["sweep_seconds"] += time.perf_counter() - t0
         return delta, dm_next
+
+    # -- HITS (hubs & authorities) ----------------------------------------
+    def set_sweep_values(self, vals) -> None:
+        """Install an externally-supplied per-sweep value vector (HITS ships
+        the OTHER graph's owner state here: hub values into the forward
+        graph before an authority sweep and vice versa)."""
+        self._vals = np.asarray(vals, dtype=np.float64)
+
+    def ranks_array(self) -> np.ndarray:
+        return self.r
+
+    def apply_sum_update(self, *partials) -> float:
+        """Plain-sum reduce (no damping, no teleport): ``r = Σ partials`` —
+        the HITS half-sweep.  Returns this partition's Σ r² so the driver
+        can L2-normalize with one scalar barrier."""
+        t0 = time.perf_counter()
+        y = np.zeros(self.n_local)
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                y[self.dst_maps[e_id]] += part
+        self.r = y
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return float((y * y).sum())
 
     def rank_sum(self) -> float:
         return float(self.r.sum())

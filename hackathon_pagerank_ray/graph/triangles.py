@@ -206,3 +206,40 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16,
             return t.set_column(i, "triangles", pc.cast(t["triangles"], pa.int64()))
         return out.map_batches(_cast, batch_format="pyarrow")
     return counts
+
+
+def clustering_coefficient(edges_ds, num_partitions: int = 16):
+    """Local clustering coefficient per vertex on the undirected simple
+    graph: ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` (0 when deg < 2).
+
+    Canonicalizes once, reuses :func:`triangle_counts` for T(v) and
+    :func:`undirected_degrees` for deg(v) — one extra hash join over the
+    triangle pipeline.  Returns ``(vid, deg, triangles, lcc)`` for every
+    vertex incident to at least one undirected edge.
+    """
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    deg = undirected_degrees(und)
+    as_digraph = und.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    tris = drop_empty_blocks(
+        triangle_counts(as_digraph, num_partitions=num_partitions))
+    out = left_join_coalesce(deg, tris, on="vid", fill={"triangles": 0},
+                             num_partitions=num_partitions)
+
+    def _lcc(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["deg"], dtype=np.float64)
+        tr = np.asarray(t["triangles"], dtype=np.float64)
+        denom = d * (d - 1.0)
+        lcc = np.divide(2.0 * tr, denom, out=np.zeros(len(d)),
+                        where=denom > 0)
+        return pa.Table.from_arrays(
+            [t["vid"].combine_chunks().cast(pa.int64()),
+             t["deg"].combine_chunks().cast(pa.int64()),
+             t["triangles"].combine_chunks().cast(pa.int64()),
+             pa.array(lcc, pa.float64())],
+            names=["vid", "deg", "triangles", "lcc"])
+
+    return out.map_batches(_lcc, batch_format="pyarrow")

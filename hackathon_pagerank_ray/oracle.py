@@ -14,6 +14,8 @@ the reference has no such operators, so the spec here is the contract.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 
@@ -61,6 +63,73 @@ def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
     if total > 0:
         r = r / total
     return r, sweeps, float(delta)
+
+
+def personalized_pagerank(edges: np.ndarray, seeds: np.ndarray,
+                          weights: np.ndarray | None = None,
+                          n: int | None = None, alpha: float = 0.85,
+                          tol: float = 1e-8, max_iter: int = 100):
+    """Personalized PageRank: ``r' = α·(P·r + dm·w) + (1-α)·w`` with
+    ``r0 = w`` (w = seed distribution, normalized); dangling mass lands on
+    w.  Returns (ranks, sweeps, residual)."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0), 0, 0.0
+    seeds = np.asarray(seeds, dtype=np.int64)
+    w = np.zeros(n)
+    if weights is None:
+        w[seeds] = 1.0 / len(seeds)
+    else:
+        w[seeds] = np.asarray(weights, dtype=np.float64)
+        w = w / w.sum()
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    dangling = outdeg == 0
+    inv_out = np.zeros(n)
+    nz = outdeg > 0
+    inv_out[nz] = 1.0 / outdeg[nz]
+
+    r = w.copy()
+    sweeps, delta = 0, np.inf
+    for it in range(max_iter):
+        dangling_mass = r[dangling].sum()
+        contrib = r[src] * inv_out[src]
+        y = np.bincount(dst, weights=contrib, minlength=n)
+        r_new = alpha * (y + dangling_mass * w) + (1.0 - alpha) * w
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        sweeps = it + 1
+        if delta < tol:
+            break
+    total = r.sum()
+    if total > 0:
+        r = r / total
+    return r, sweeps, float(delta)
+
+
+def hits(edges: np.ndarray, n: int | None = None, max_iter: int = 20):
+    """HITS with per-half-sweep L2 normalization, h0 = 1/√n.
+    Returns (auth, hub)."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    h = np.full(n, 1.0 / math.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(max_iter):
+        a = np.bincount(dst, weights=h[src], minlength=n)
+        norm = np.sqrt((a * a).sum())
+        if norm > 0:
+            a /= norm
+        h = np.bincount(src, weights=a[dst], minlength=n)
+        norm = np.sqrt((h * h).sum())
+        if norm > 0:
+            h /= norm
+    return a, h
 
 
 def undirected_adj(edges: np.ndarray, n: int) -> list[set[int]]:

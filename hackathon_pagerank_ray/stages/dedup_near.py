@@ -752,3 +752,35 @@ def embedding_near_dups(emb_ds, id_col="vec_id", emb_col="embedding",
     cands = drop_empty_blocks(distinct(cands, ["a", "b"]))
     return verify_pairs_cosine(cands, emb_ds, id_col, emb_col, threshold,
                                num_partitions)
+
+
+def semantic_dedup(emb_ds, id_col="vec_id", emb_col="embedding",
+                   threshold=0.98, **lsh_kwargs):
+    """SemDeDup-style semantic dedup over an embedding column: keep a
+    vector unless a LOWER-id vector within cosine ``threshold`` exists
+    (the deterministic keep-min-id dominator rule — SQL-checkable as
+    ``NOT EXISTS (u < v AND cos(u, v) >= θ)``).
+
+    Pair discovery reuses :func:`embedding_near_dups` (banded sign-LSH →
+    star-capped candidates → exact-cosine verify), then one anti-join of
+    the id universe against the dominated side.  Exact whenever the LSH
+    finds every ≥θ pair (recall bound documented there); at corpus scale
+    this is the shape SemDeDup runs in — no O(n²) pass, the only wide ops
+    are the LSH groupby and two hash joins.  Returns a 1-column dataset of
+    kept ids."""
+    import pyarrow as pa
+
+    from .relational import anti_join, distinct
+    from .schema_util import drop_empty_blocks
+
+    emb_ds = emb_ds.materialize()
+    pairs = embedding_near_dups(emb_ds, id_col=id_col, emb_col=emb_col,
+                                threshold=threshold, **lsh_kwargs)
+    dominated = distinct(
+        drop_empty_blocks(pairs).map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["b"].combine_chunks().cast(pa.int64())], names=[id_col]),
+            batch_format="pyarrow"),
+        [id_col])
+    universe = emb_ds.select_columns([id_col])
+    return anti_join(universe, drop_empty_blocks(dominated), on=id_col)

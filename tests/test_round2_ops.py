@@ -1,0 +1,94 @@
+"""Round-2 operator additions vs oracles: personalized PageRank, HITS,
+clustering coefficient, semantic dedup."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from hackathon_pagerank_ray import oracle
+from hackathon_pagerank_ray.graph.engine import ShardedGraph, hits, pagerank
+from hackathon_pagerank_ray.graph.triangles import clustering_coefficient
+from hackathon_pagerank_ray.stages.dedup_near import semantic_dedup
+from hackathon_pagerank_ray.testgen import (edges_to_table, gen_hub_edges,
+                                            gen_random_edges)
+
+
+def _ranks(ds):
+    return ds.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+
+def test_personalized_pagerank_matches_oracle():
+    edges = gen_random_edges(300, 2500, seed=11)
+    seeds = np.arange(0, 300, 7, dtype=np.int64)
+    w = np.full(len(seeds), 1.0 / len(seeds))
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           n=300, num_owners=4)
+    try:
+        r = _ranks(pagerank(g, personalization=(seeds, w))[0])
+        # reusing the mesh WITHOUT personalization must clear the seed
+        # state back to the uniform teleport
+        r_plain = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.personalized_pagerank(edges, seeds, n=300)
+    assert np.abs(r - ro).max() < 1e-12
+    ro_plain, _, _ = oracle.pagerank(edges, n=300)
+    assert np.abs(r_plain - ro_plain).max() < 1e-12
+    # mass concentrates on/near the seed set vs plain PageRank
+    assert r[seeds].sum() > r_plain[seeds].sum()
+
+
+def test_personalized_pagerank_dangling_mass_to_seeds():
+    # vertex 3..9 dangling; seed set {0}
+    edges = np.array([[0, 3], [0, 4], [1, 5], [2, 6], [2, 7], [0, 9]])
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           n=10, num_owners=3)
+    try:
+        r = _ranks(pagerank(g, personalization={0: 1.0})[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.personalized_pagerank(edges, np.array([0]), n=10)
+    assert np.abs(r - ro).max() < 1e-12
+    # unreachable-from-seed vertices with no seed weight get rank 0
+    assert r[8] == 0.0
+
+
+def test_hits_matches_oracle():
+    edges = gen_hub_edges(200, 1500, hub_k=3, seed=23)
+    out, info = hits(rd.from_arrow(edges_to_table(edges)), num_owners=4,
+                     max_iter=8)
+    df = out.to_pandas().sort_values("vid")
+    a_o, h_o = oracle.hits(edges, max_iter=8)
+    assert info["sweeps"] == 8
+    assert np.abs(df["auth"].to_numpy() - a_o).max() < 1e-12
+    assert np.abs(df["hub"].to_numpy() - h_o).max() < 1e-12
+    # L2 norms are 1 after the final normalize
+    assert abs((df["auth"] ** 2).sum() - 1.0) < 1e-9
+    assert abs((df["hub"] ** 2).sum() - 1.0) < 1e-9
+
+
+def test_clustering_coefficient_triangle_graph():
+    # triangle 0-1-2 plus pendant 3 attached to 0 (as a digraph with a
+    # duplicate and a reversed edge — canonicalization must handle both)
+    t = pa.Table.from_pydict({"src": [0, 1, 2, 2, 0, 3],
+                              "dst": [1, 2, 0, 1, 3, 0]})
+    df = (clustering_coefficient(rd.from_arrow(t), num_partitions=2)
+          .to_pandas().sort_values("vid").set_index("vid"))
+    assert df.loc[0, "deg"] == 3 and df.loc[0, "triangles"] == 1
+    assert abs(df.loc[0, "lcc"] - 1.0 / 3.0) < 1e-12
+    assert df.loc[1, "deg"] == 2 and abs(df.loc[1, "lcc"] - 1.0) < 1e-12
+    assert df.loc[3, "deg"] == 1 and df.loc[3, "lcc"] == 0.0
+
+
+def test_semantic_dedup_keeps_min_id():
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal(16)
+    other = rng.standard_normal(16)
+    rows = {"vec_id": [0, 1, 2, 3],
+            "embedding": [base.tolist(),
+                          (base + 1e-4 * rng.standard_normal(16)).tolist(),
+                          other.tolist(),
+                          (base - 1e-4 * rng.standard_normal(16)).tolist()]}
+    kept = semantic_dedup(rd.from_arrow(pa.Table.from_pydict(rows)),
+                          threshold=0.99).to_pandas()
+    assert sorted(kept["vec_id"].tolist()) == [0, 2]
