@@ -689,6 +689,49 @@ def _q_clustering_coeff(sf_dir):
     return clustering_coefficient(_edges_ds(sf_dir), num_partitions=8)
 
 
+def _q_hll_users(sf_dir):
+    """HyperLogLog register table for COUNT(DISTINCT user_id) — the
+    mergeable-sketch shape (≤256 partial rows per block, one bounded
+    groupby; no shuffle of raw keys).  Registers are hex-string-derived
+    so the SQL oracle reproduces them bit-exactly."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import hll_registers
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = hll_registers(ev, "user_id")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["bucket"].combine_chunks().cast(pa.int64()),
+             t["rho"].combine_chunks().cast(pa.int64())],
+            names=["bucket", "rho"])
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
+_KCORE_K = 3
+
+
+def _q_kcore(sf_dir):
+    """3-core membership by iterative peeling to fixpoint on the sharded
+    engine (the SQL oracle unrolls more rounds than the fixpoint needs —
+    extra rounds are no-ops at a fixpoint, so the comparison is exact)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, k_core
+    from hackathon_pagerank_ray.graph.triangles import canonical_undirected
+    und = canonical_undirected(_edges_ds(sf_dir), 8).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    g = ShardedGraph.build(und, num_owners=4, undirected=True)
+    try:
+        out, info = k_core(g, _KCORE_K)
+        assert info["sweeps"] < _KCORE_SQL_ROUNDS, info
+        return out.materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_minhash_pairs(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import minhash_dedup
@@ -874,6 +917,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
+        "kcore_membership": _q_kcore,
+        "hll_users": _q_hll_users,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -954,6 +999,38 @@ def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
             f"FROM r{sweeps}")
+
+
+_KCORE_SQL_ROUNDS = 30
+
+
+def _kcore_oracle_sql(k: int = _KCORE_K,
+                      rounds: int = _KCORE_SQL_ROUNDS) -> str:
+    """Unrolled synchronous peeling on the canonical undirected simple
+    graph; ``rounds`` exceeds the fixpoint round count (asserted in the
+    query), and peeling is stationary at a fixpoint, so the fixed unroll
+    equals the engine's run-to-fixpoint result exactly."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+             "GREATEST(src, dst) AS v FROM edges WHERE src <> dst)",
+             "p AS MATERIALIZED (SELECT MAX(v) + 1 AS n FROM e)",
+             "und AS MATERIALIZED (SELECT u, v FROM e "
+             "UNION ALL SELECT v, u FROM e)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "a0 AS MATERIALIZED (SELECT vid, 1 AS alive FROM verts)"]
+    for r in range(1, rounds + 1):
+        prev = f"a{r-1}"
+        parts.append(
+            f"d{r} AS MATERIALIZED (SELECT und.u AS vid, SUM(a.alive) "
+            f"AS deg FROM und JOIN {prev} a ON a.vid = und.v GROUP BY und.u)")
+        parts.append(
+            f"a{r} AS MATERIALIZED (SELECT v.vid, CASE WHEN ap.alive = 1 "
+            f"AND COALESCE(d.deg, 0) >= {k} THEN 1 ELSE 0 END AS alive "
+            f"FROM verts v JOIN {prev} ap ON ap.vid = v.vid "
+            f"LEFT JOIN d{r} d ON d.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vid, CAST(alive AS BIGINT) AS in_core FROM a{rounds}")
 
 
 def _hits_oracle_sql(sweeps: int = _HITS_SWEEPS) -> str:
@@ -1331,6 +1408,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "kcore_membership": _kcore_oracle_sql(),
         "connected_components": _CC_ORACLE_SQL,
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,
@@ -1601,6 +1679,28 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "CAST(SUM(n_chars) AS BIGINT) AS total_chars, "
             "CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs "
             "FROM documents GROUP BY source",
+        # HyperLogLog registers (stages/stats.hll_registers): bucket =
+        # top 8 md5-hex bits, rho = leading-zero run of the next 56 bits
+        # + 1, computed on the hex string in both engines (bit-exact)
+        "hll_users": """
+WITH t AS (SELECT substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS hx
+           FROM events),
+r AS (SELECT
+  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+  CASE WHEN ltrim(substr(hx, 3, 14), '0') = '' THEN 57
+       ELSE 4 * (14 - length(ltrim(substr(hx, 3, 14), '0')))
+            + CASE WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1) = '1'
+                     THEN 3
+                   WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1)
+                     IN ('2', '3') THEN 2
+                   WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1)
+                     IN ('4', '5', '6', '7') THEN 1
+                   ELSE 0 END + 1 END AS rho
+  FROM t)
+SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS rho
+FROM r GROUP BY bucket
+""",
         # SemDeDup keep-min-id rule over the planted-union table
         # (stages/dedup_near.semantic_dedup)
         "semantic_dedup": r"""

@@ -129,7 +129,8 @@ def run_queries(sf_dir: str) -> dict:
              "top_orders_per_customer", "repetition_stats",
              "cross_doc_lines", "contamination", "pii_redaction",
              "hash_sample_orders", "personalized_pagerank", "hits_scores",
-             "clustering_coeff", "semantic_dedup", "domain_stats"]
+             "clustering_coeff", "semantic_dedup", "domain_stats",
+             "kcore_membership", "hll_users"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -500,6 +500,43 @@ def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
     return graph.labels_dataset(), {"sweeps": it + 1}
 
 
+def k_core(graph: ShardedGraph, k: int, max_iter: int = 10_000):
+    """k-core membership by iterative peeling to fixpoint: drop every
+    vertex with fewer than ``k`` alive neighbors until none changes.
+    Build the graph with ``undirected=True`` on the canonical simple edge
+    set.  Each round is one plain-sum gather-scatter of the alive mask —
+    the same per-sweep cost structure as :func:`pagerank`.
+
+    Returns ``(dataset, info)`` with columns ``(vid, in_core)``
+    (int64 0/1)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    owners = graph.owners
+    ray.get([ow.init_ranks.remote(1.0) for ow in owners])
+    if graph.n == 0:
+        return graph.ranks_dataset(), {"sweeps": 0}
+    it = -1
+    for it in range(max_iter):
+        ray.get([ow.start_value_sweep.remote() for ow in owners])
+        partials = graph._partial_refs("pagerank_partials")
+        changed = sum(ray.get([
+            ow.apply_kcore_update.remote(
+                k, *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ]))
+        if changed == 0:
+            break
+
+    def _shape(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["vid"].combine_chunks(),
+             pc.cast(pc.greater(t["rank"], 0.5), pa.int64())],
+            names=["vid", "in_core"])
+
+    out = graph.ranks_dataset().map_batches(_shape, batch_format="pyarrow")
+    return out, {"sweeps": it + 1}
+
+
 def label_propagation(graph: ShardedGraph, max_iter: int = 10):
     """Synchronous LP with the deterministic min-label tie-break — the exact
     contract of ``oracle.label_propagation``; build with ``undirected=True``

@@ -209,6 +209,30 @@ class RankOwner:
         self.metrics["sweep_seconds"] += time.perf_counter() - t0
         return delta, dm_next
 
+    # -- k-core ------------------------------------------------------------
+    def start_value_sweep(self) -> None:
+        """Ship raw ``r`` as this sweep's values (k-core alive mask)."""
+        self._vals = self.r
+
+    def apply_kcore_update(self, k: int, *partials) -> int:
+        """One peeling round: ``y`` = alive-neighbor count (plain-sum
+        reduce of the alive mask over the undirected adjacency); a vertex
+        stays alive iff it was alive and ``y >= k``.  Returns the number
+        of vertices peeled this round (0 → fixpoint)."""
+        t0 = time.perf_counter()
+        y = np.zeros(self.n_local)
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                y[self.dst_maps[e_id]] += part
+        new_alive = np.where((self.r > 0.5) & (y >= k), 1.0, 0.0)
+        changed = int(np.count_nonzero(new_alive != self.r))
+        self.r = new_alive
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return changed
+
     # -- HITS (hubs & authorities) ----------------------------------------
     def set_sweep_values(self, vals) -> None:
         """Install an externally-supplied per-sweep value vector (HITS ships

@@ -132,6 +132,28 @@ def hits(edges: np.ndarray, n: int | None = None, max_iter: int = 20):
     return a, h
 
 
+def k_core(edges: np.ndarray, k: int, n: int | None = None) -> np.ndarray:
+    """k-core membership (0/1) by peeling on the undirected simple graph."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    e = edges[edges[:, 0] != edges[:, 1]]
+    u = np.minimum(e[:, 0], e[:, 1]).astype(np.int64)
+    v = np.maximum(e[:, 0], e[:, 1]).astype(np.int64)
+    packed = np.unique(u * (n + 1) + v)
+    u, v = packed // (n + 1), packed % (n + 1)
+    alive = np.ones(n, dtype=bool)
+    while True:
+        keep = alive[u] & alive[v]
+        deg = (np.bincount(u[keep], minlength=n)
+               + np.bincount(v[keep], minlength=n))
+        new_alive = alive & (deg >= k)
+        if np.array_equal(new_alive, alive):
+            return new_alive.astype(np.int64)
+        alive = new_alive
+
+
 def undirected_adj(edges: np.ndarray, n: int) -> list[set[int]]:
     adj: list[set[int]] = [set() for _ in range(n)]
     for u, v in edges:

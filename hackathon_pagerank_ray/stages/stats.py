@@ -78,3 +78,72 @@ def histogram_quantiles(ds, col: str, bin_width: float,
         out_v.append(float(bins[idx]) * bin_width)
     return pd.DataFrame({"q": np.asarray(out_q, dtype=np.float64),
                          "value": np.asarray(out_v, dtype=np.float64)})
+
+
+# -- HyperLogLog distinct-count sketch --------------------------------------
+
+_HEX = "0123456789abcdef"
+# leading zero bits within one hex digit (of the first nonzero digit)
+_LZ4 = {d: (3 if d == "1" else 2 if d in "23" else 1 if d in "4567" else 0)
+        for d in _HEX[1:]}
+
+
+def _hll_partial(batch: pd.DataFrame, key_col: str, m: int) -> pd.DataFrame:
+    """Per-batch HLL register partial: md5-hash each key, bucket on the
+    top 8 bits, rho = leading-zero run (+1) of the remaining 56 bits —
+    all computed on the hex string so the DuckDB oracle reproduces every
+    register bit-exactly (float log2 would round at power-of-two
+    boundaries).  Emits one (bucket, rho) row per batch-local max."""
+    import hashlib
+
+    buckets = np.empty(len(batch), dtype=np.int64)
+    rhos = np.empty(len(batch), dtype=np.int64)
+    for i, key in enumerate(batch[key_col].astype(str)):
+        hx = hashlib.md5(key.encode()).hexdigest()[:16]
+        buckets[i] = _HEX.index(hx[0]) * 16 + _HEX.index(hx[1])
+        tail = hx[2:]
+        stripped = tail.lstrip("0")
+        if not stripped:
+            rhos[i] = 4 * 14 + 1
+        else:
+            rhos[i] = 4 * (14 - len(stripped)) + _LZ4[stripped[0]] + 1
+    # batch-local combine: max rho per bucket
+    mx = np.zeros(m, dtype=np.int64)
+    np.maximum.at(mx, buckets, rhos)
+    nz = np.flatnonzero(mx)
+    return pd.DataFrame({"bucket": nz, "rho": mx[nz]})
+
+
+def hll_registers(ds, key_col: str, m: int = 256):
+    """Distributed HyperLogLog sketch of ``COUNT(DISTINCT key_col)``:
+    every batch emits ≤ m (bucket, max-rho) partial rows, one
+    bounded-cardinality ``groupby(bucket).max`` merges them — the classic
+    mergeable-sketch shape (no shuffle of raw keys, no distinct; at
+    100 TB the exchange is ≤ m rows per block regardless of input size).
+    ``m`` must be 256 (8-bit bucket prefix of the md5 hex)."""
+    if m != 256:
+        raise ValueError("m=256 is the md5-hex bucketing this sketch uses")
+    from .relational import rename
+    partials = ds.map_batches(_hll_partial, batch_format="pandas",
+                              fn_kwargs=dict(key_col=key_col, m=m))
+    return rename(partials.groupby("bucket").max("rho"),
+                  {"max(rho)": "rho"})
+
+
+def hll_estimate(registers_df, m: int = 256) -> float:
+    """Driver-side HLL estimator (Flajolet et al.): bias-corrected
+    harmonic mean with the small-range linear-counting correction.
+    ``registers_df``: pandas with (bucket, rho) for the nonzero
+    registers."""
+    import math
+
+    rho = registers_df["rho"].to_numpy()
+    # integer-exact harmonic sum: Σ 2^(57-rho) + empty·2^57 over /2^57
+    s_int = int((2 ** (57 - rho.astype(object))).sum()) if len(rho) else 0
+    zeros = m - len(rho)
+    s_int += zeros * 2 ** 57
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    est = alpha * m * m * (float(2 ** 57) / float(s_int))
+    if est <= 2.5 * m and zeros > 0:
+        est = m * math.log(m / zeros)
+    return est

@@ -92,3 +92,45 @@ def test_semantic_dedup_keeps_min_id():
     kept = semantic_dedup(rd.from_arrow(pa.Table.from_pydict(rows)),
                           threshold=0.99).to_pandas()
     assert sorted(kept["vec_id"].tolist()) == [0, 2]
+
+
+def test_kcore_matches_oracle():
+    from hackathon_pagerank_ray.graph.engine import k_core
+    edges = gen_random_edges(250, 1200, seed=31)
+    und = np.unique(np.sort(edges[edges[:, 0] != edges[:, 1]], axis=1), axis=0)
+    t = pa.Table.from_arrays([pa.array(und[:, 0]), pa.array(und[:, 1])],
+                             names=["src", "dst"])
+    g = ShardedGraph.build(rd.from_arrow(t), n=250, num_owners=4,
+                           undirected=True)
+    try:
+        out, info = k_core(g, 4)
+        got = (out.to_pandas().sort_values("vid")["in_core"].to_numpy())
+    finally:
+        g.shutdown()
+    want = oracle.k_core(edges, 4, n=250)
+    assert np.array_equal(got, want)
+    assert info["sweeps"] >= 1
+    # both core and non-core vertices exist on this fixture (live signal)
+    assert 0 < got.sum() < len(got)
+
+
+def test_hll_registers_and_estimate():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.stats import (hll_estimate,
+                                                     hll_registers)
+    n_distinct = 5000
+    t = pa.Table.from_pydict(
+        {"k": [f"key-{i % n_distinct}" for i in range(12000)]})
+    regs = hll_registers(rd.from_arrow(t), "k").to_pandas()
+    assert regs["bucket"].between(0, 255).all()
+    assert (regs["rho"] >= 1).all() and (regs["rho"] <= 57).all()
+    est = hll_estimate(regs)
+    # m=256 → σ ≈ 1.04/√256 = 6.5%; assert within 3σ (deterministic seed)
+    assert abs(est - n_distinct) / n_distinct < 0.2
+    # duplicates must not change the registers (distinct-count property)
+    regs2 = hll_registers(
+        rd.from_arrow(pa.Table.from_pydict(
+            {"k": [f"key-{i}" for i in range(n_distinct)]})), "k").to_pandas()
+    pd.testing.assert_frame_equal(
+        regs.sort_values("bucket").reset_index(drop=True),
+        regs2.sort_values("bucket").reset_index(drop=True))
