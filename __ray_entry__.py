@@ -24,6 +24,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 _EDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders")
+_WEDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst, "
+              "CAST(1 + o_orderkey % 5 AS DOUBLE) AS w FROM orders")
 
 
 def _rd():
@@ -674,6 +676,32 @@ def _q_personalized_pagerank(sf_dir):
         g.shutdown()
 
 
+def _q_weighted_pagerank(sf_dir):
+    """Weighted PageRank (per-edge weight column; contrib = r·w/Σ_out w),
+    fixed sweeps so the oracle unrolls identically."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _mk3(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(),
+             pa.array(ok % 997, pa.int64()),
+             pa.array(1.0 + ok % 5, pa.float64())],
+            names=["src", "dst", "w"])
+
+    edges = orders.map_batches(_mk3, batch_format="pyarrow")
+    g = ShardedGraph.build(edges, num_owners=4, weight_col="w")
+    try:
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
+        return ranks.materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_hits(sf_dir):
     """HITS hubs & authorities, fixed sweeps (oracle unrolls the same)."""
     _quiet()
@@ -706,6 +734,27 @@ def _q_hll_users(sf_dir):
             names=["bucket", "rho"])
 
     return out.map_batches(_cast, batch_format="pyarrow")
+
+
+_BFS_SOURCE = 1
+_BFS_MAX_D = 99
+
+
+def _q_bfs_distances(sf_dir):
+    """Directed single-source BFS hop distances from vid=1 (min-plus
+    propagation to fixpoint; the recursive-CTE oracle caps walk depth at
+    99, valid because the engine's round count — the source eccentricity
+    — is asserted below it)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     bfs_distances)
+    g = ShardedGraph.build(_edges_ds(sf_dir), num_owners=4)
+    try:
+        out, info = bfs_distances(g, _BFS_SOURCE)
+        assert info["sweeps"] <= _BFS_MAX_D, info
+        return out.materialize()
+    finally:
+        g.shutdown()
 
 
 _KCORE_K = 3
@@ -913,11 +962,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": _q_semantic_dedup,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
+        "weighted_pagerank": _q_weighted_pagerank,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
+        "bfs_distances": _q_bfs_distances,
         "hll_users": _q_hll_users,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -996,6 +1047,38 @@ def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
             f"+ {1.0 - alpha} * w.w AS r "
             f"FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid "
             f"JOIN w ON w.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
+            f"FROM r{sweeps}")
+
+
+def _wpr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
+    """Unrolled weighted PageRank: ``contrib = r·w / Σ_out w``; dangling =
+    zero out-weight (same vertex set as no-out-edges for positive w)."""
+    parts = [f"edges AS MATERIALIZED ({_WEDGE_SQL})",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "od AS MATERIALIZED (SELECT src, SUM(w) AS outw FROM edges "
+             "GROUP BY src)",
+             "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM p) AS r "
+             "FROM verts)"]
+    for k in range(1, sweeps + 1):
+        prev = f"r{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(pr.r * e.w / od.outw) AS s FROM edges e "
+            f"JOIN {prev} pr ON pr.vid = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0.0) AS dm "
+            f"FROM {prev} WHERE vid NOT IN (SELECT src FROM edges))")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, {alpha} * "
+            f"(COALESCE(c.s, 0.0) + (SELECT dm FROM d{k}) "
+            f"/ (SELECT n FROM p)) + {1.0 - alpha} / (SELECT n FROM p) AS r "
+            f"FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid)")
     return ("WITH " + ", ".join(parts) +
             f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
             f"FROM r{sweeps}")
@@ -1406,9 +1489,24 @@ def oracle_sql() -> dict[str, str]:
     STOP = "['the','and','of','to','a','in','is','it','on','for']"
     return {
         "pagerank": _pagerank_oracle_sql(),
+        "weighted_pagerank": _wpr_oracle_sql(),
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
+        "bfs_distances": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid FROM p),
+walk(vid, d) AS (
+  SELECT {_BFS_SOURCE} AS vid, 0 AS d
+  UNION
+  SELECT e.dst, walk.d + 1 FROM walk JOIN edges e ON e.src = walk.vid
+  WHERE walk.d < {_BFS_MAX_D}
+)
+SELECT v.vid, CAST(COALESCE(m.d, -1) AS BIGINT) AS dist
+FROM verts v LEFT JOIN
+  (SELECT vid, MIN(d) AS d FROM walk GROUP BY vid) m ON m.vid = v.vid
+""",
         "connected_components": _CC_ORACLE_SQL,
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,

@@ -130,7 +130,8 @@ def run_queries(sf_dir: str) -> dict:
              "cross_doc_lines", "contamination", "pii_redaction",
              "hash_sample_orders", "personalized_pagerank", "hits_scores",
              "clustering_coeff", "semantic_dedup", "domain_stats",
-             "kcore_membership", "hll_users"]
+             "kcore_membership", "hll_users", "weighted_pagerank",
+             "bfs_distances"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -60,7 +60,7 @@ class ShardedGraph:
     def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
               num_edge_shards: int | None = None, undirected: bool = False,
               sort_by_src: bool = False, gather_mode: str = "auto",
-              actor_num_cpus: float = 0):
+              actor_num_cpus: float = 0, weight_col: str | None = None):
         """Build the actor mesh from an edge Dataset.
 
         ``sort_by_src`` (opt-in) range-partitions edges by source before
@@ -80,6 +80,10 @@ class ShardedGraph:
         network every sweep).  ``"auto"`` (default) picks ``"full"`` on a
         single-node cluster and ``"subscribe"`` when Ray reports more than
         one alive node.  Results are identical; both are tested.
+
+        ``weight_col``: optional positive per-edge weight column —
+        :func:`pagerank` then computes weighted PageRank
+        (``contrib = r[src]·w / Σ_out w``); label/k-core ops ignore it.
         """
         if gather_mode == "auto":
             alive = [nd for nd in ray.nodes() if nd.get("Alive")]
@@ -131,7 +135,7 @@ class ShardedGraph:
             per_shard[i % E].append(r)
 
         max_ids = ray.get([
-            sh.set_edges.remote(per_shard[e], undirected)
+            sh.set_edges.remote(per_shard[e], undirected, weight_col)
             for e, sh in enumerate(shards)
         ])
         if m is None:
@@ -534,6 +538,48 @@ def k_core(graph: ShardedGraph, k: int, max_iter: int = 10_000):
             names=["vid", "in_core"])
 
     out = graph.ranks_dataset().map_batches(_shape, batch_format="pyarrow")
+    return out, {"sweeps": it + 1}
+
+
+def bfs_distances(graph: ShardedGraph, source: int, max_iter: int = 10_000):
+    """Single-source BFS hop distances over the directed edge set by
+    min-plus propagation to fixpoint (each round relaxes
+    ``d(v) = min(d(v), min over in-neighbors d(u) + 1)`` — the same
+    gather-scatter/min-reduce skeleton as connected components; rounds =
+    eccentricity of the source).  Unreached vertices get distance -1.
+
+    Returns ``(dataset, info)`` with columns ``(vid, dist)``."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not (0 <= source < max(graph.n, 1)):
+        raise ValueError(f"source {source} outside [0, n)")
+    owners = graph.owners
+    ray.get([ow.init_distances.remote(source) for ow in owners])
+    if graph.n == 0:
+        return graph.labels_dataset(), {"sweeps": 0}
+    it = -1
+    for it in range(max_iter):
+        ray.get([ow.start_label_sweep.remote() for ow in owners])
+        partials = graph._partial_refs("min_label_partials")
+        changed = sum(ray.get([
+            ow.apply_bfs_update.remote(
+                *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ]))
+        if changed == 0:
+            break
+
+    sent = np.iinfo(np.int64).max
+
+    def _shape(t: pa.Table) -> pa.Table:
+        lab = t["label"]
+        dist = pc.if_else(pc.equal(lab, pa.scalar(sent, pa.int64())),
+                          pa.scalar(-1, pa.int64()), lab)
+        return pa.Table.from_arrays(
+            [t["vid"].combine_chunks(), dist.combine_chunks()],
+            names=["vid", "dist"])
+
+    out = graph.labels_dataset().map_batches(_shape, batch_format="pyarrow")
     return out, {"sweeps": it + 1}
 
 

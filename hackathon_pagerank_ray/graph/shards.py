@@ -296,6 +296,32 @@ class RankOwner:
         self.labels = new
         return changed
 
+    def init_distances(self, source: int) -> None:
+        """BFS state: int64-max sentinel everywhere except the source."""
+        self.labels = np.full(self.n_local, np.iinfo(np.int64).max,
+                              dtype=np.int64)
+        if source % self.P == self.j and source // self.P < self.n_local:
+            self.labels[source // self.P] = 0
+
+    def apply_bfs_update(self, *partial_mins: np.ndarray) -> int:
+        """Min-plus relax: ``d' = min(d, min_in_neighbor(d) + 1)``;
+        unreached (sentinel) partials stay sentinel instead of wrapping.
+        Returns the number of distances that improved."""
+        sent = np.iinfo(np.int64).max
+        new = self.labels.copy()
+        for e_id in sorted(self.dst_maps):
+            part = partial_mins[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                p = part.astype(np.int64)
+                p = np.where(p == sent, sent, p + 1)
+                idx = self.dst_maps[e_id]          # unique per shard
+                new[idx] = np.minimum(new[idx], p)
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
     def apply_mode_label_update(self, *partial_counts) -> int:
         """LP: merge (local_idx, label, count) triplets from all edge shards,
         adopt per-vertex argmax count with min-label tie-break (the
@@ -398,7 +424,8 @@ class EdgeShard:
         if edge_tables is not None:
             self.set_edges(edge_tables, undirected)
 
-    def set_edges(self, edge_tables, undirected: bool = False) -> int:
+    def set_edges(self, edge_tables, undirected: bool = False,
+                  weight_col: str | None = None) -> int:
         """Load this shard's edge chunk and build the local CSR-style
         indexes (once).  Returns the shard's max vertex id (-1 if empty) so
         the driver can derive ``n = max_id + 1`` without a Dataset pass.
@@ -406,17 +433,22 @@ class EdgeShard:
         ``edge_tables`` entries may be Arrow tables, plasma refs to Arrow
         tables, or parquet file paths (str) — the path form is the at-scale
         build: each shard reads only its own fragments, column-pruned to
-        src/dst, with no driver-side materialization or plasma copy of the
-        edge table."""
+        src/dst (+ the weight column when given), with no driver-side
+        materialization or plasma copy of the edge table.
+
+        ``weight_col``: optional per-edge positive weight — PageRank
+        contributions become ``r[src]·w/Σ_out w`` (weighted PageRank);
+        label/k-core sweeps ignore weights."""
         num_owners = self.P
+        cols = ["src", "dst"] + ([weight_col] if weight_col else [])
         _t = time.perf_counter()
         if isinstance(edge_tables, (pa.Table, str)):
             edge_tables = [edge_tables]
         # refs nested in a list are not auto-resolved by Ray — fetch here
         # (zero-copy reads from the local object store); str entries are
-        # parquet fragment paths read directly (pruned to src/dst)
+        # parquet fragment paths read directly (pruned to the edge columns)
         edge_tables = [
-            pq.read_table(t, columns=["src", "dst"]) if isinstance(t, str)
+            pq.read_table(t, columns=cols) if isinstance(t, str)
             else (ray.get(t) if isinstance(t, ray.ObjectRef) else t)
             for t in edge_tables
         ]
@@ -424,22 +456,31 @@ class EdgeShard:
         # drop anything that doesn't carry the edge columns
         edge_tables = [t for t in edge_tables
                        if t.num_rows and "src" in t.schema.names]
+        w = None
         if edge_tables:
             edge_table = pa.concat_tables(
-                [t.select(["src", "dst"]) for t in edge_tables]
+                [t.select(cols) for t in edge_tables]
             )
             src = _to_numpy(edge_table["src"]).astype(np.int64, copy=False)
             dst = _to_numpy(edge_table["dst"]).astype(np.int64, copy=False)
+            if weight_col:
+                w = _to_numpy(edge_table[weight_col]).astype(np.float64,
+                                                             copy=False)
         else:
             src = np.zeros(0, dtype=np.int64)
             dst = np.zeros(0, dtype=np.int64)
+            if weight_col:
+                w = np.zeros(0)
         # canonical (pre-doubling) row count — what Dataset.count() reports
         self.m_input = len(src)
         if undirected:
             # treat each stored canonical edge as both directions
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if w is not None:
+                w = np.concatenate([w, w])
         self.src = src
         self.dst = dst
+        self.w = w
         self.m = len(src)
         self._od_cache = None
         self.metrics["build_load_sec"] = round(time.perf_counter() - _t, 3)
@@ -477,6 +518,10 @@ class EdgeShard:
             self.dst_compact[soffs[j]:soffs[j + 1]] = np.cumsum(new) - 1
             self.uniq_dst_local.append(seg[new] // num_owners)
         self.soffs = soffs
+        # per-edge weights in scatter order (the order pagerank_partials
+        # walks); None on the unweighted fast path
+        self.w_scattered = (self.w[self.scatter_order]
+                            if self.w is not None else None)
         self.metrics["build_scatter_sec"] = round(time.perf_counter() - _t, 3)
         self.metrics["edges"] = self.m
         return int(max(src.max(initial=-1), dst.max(initial=-1)))
@@ -583,7 +628,7 @@ class EdgeShard:
         masked passes)."""
         if getattr(self, "_od_cache", None) is None:
             if getattr(self, "dense_gather", False):
-                w = np.bincount(self.src_pos,
+                w = np.bincount(self.src_pos, weights=self.w,
                                 minlength=int(self._gather_offs[-1]))
                 offs = self._gather_offs
                 cache = []
@@ -593,7 +638,11 @@ class EdgeShard:
                     cache.append((idx, seg[idx]))
                 self._od_cache = cache
                 return self._od_cache
-            vids, counts = np.unique(self.src, return_counts=True)
+            if self.w is None:
+                vids, counts = np.unique(self.src, return_counts=True)
+            else:  # weighted: per-source Σw instead of edge counts
+                vids, inv = np.unique(self.src, return_inverse=True)
+                counts = np.bincount(inv, weights=self.w)
             owner = vids % self.P
             order = np.argsort(owner, kind="stable")
             vids, counts, owner = vids[order], counts[order], owner[order]
@@ -623,6 +672,7 @@ class EdgeShard:
         hosts and at 10^9-edge shard sizes."""
         self.src = None
         self.dst = None
+        self.w = None            # w_scattered stays — sweeps use it
         self._od_cache = None
 
     def get_metrics(self) -> dict:
@@ -670,6 +720,12 @@ class EdgeShard:
                               out=self._contrib_buf)
         else:
             contrib = vals[self.src_pos_scattered]
+        if self.w_scattered is not None:
+            # weighted PageRank: contribution = r[src]·w / Σ_out w (the
+            # owner-side value already divides by the weighted out-degree)
+            contrib = np.multiply(
+                contrib, self.w_scattered,
+                out=contrib if contrib is self._contrib_buf else None)
         out = []
         for j in range(self.P):
             seg = slice(self.soffs[j], self.soffs[j + 1])

@@ -65,6 +65,44 @@ def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
     return r, sweeps, float(delta)
 
 
+def weighted_pagerank(edges: np.ndarray, w: np.ndarray,
+                      n: int | None = None, alpha: float = 0.85,
+                      tol: float = 1e-8, max_iter: int = 100):
+    """Weighted power iteration: ``contrib = r[src]·w / Σ_out w``; dangling
+    = zero out-weight (= no out-edges for positive w).  Returns (ranks,
+    sweeps, residual)."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0), 0, 0.0
+    src = edges[:, 0].astype(np.int64)
+    dst = edges[:, 1].astype(np.int64)
+    w = np.asarray(w, dtype=np.float64)
+    outw = np.bincount(src, weights=w, minlength=n)
+    dangling = outw == 0
+    inv_out = np.zeros(n)
+    nz = outw > 0
+    inv_out[nz] = 1.0 / outw[nz]
+
+    r = np.full(n, 1.0 / n)
+    teleport = (1.0 - alpha) / n
+    sweeps, delta = 0, np.inf
+    for it in range(max_iter):
+        dangling_mass = r[dangling].sum()
+        contrib = r[src] * inv_out[src] * w
+        y = np.bincount(dst, weights=contrib, minlength=n)
+        r_new = alpha * (y + dangling_mass / n) + teleport
+        delta = np.abs(r_new - r).sum()
+        r = r_new
+        sweeps = it + 1
+        if delta < tol:
+            break
+    total = r.sum()
+    if total > 0:
+        r = r / total
+    return r, sweeps, float(delta)
+
+
 def personalized_pagerank(edges: np.ndarray, seeds: np.ndarray,
                           weights: np.ndarray | None = None,
                           n: int | None = None, alpha: float = 0.85,
@@ -152,6 +190,32 @@ def k_core(edges: np.ndarray, k: int, n: int | None = None) -> np.ndarray:
         if np.array_equal(new_alive, alive):
             return new_alive.astype(np.int64)
         alive = new_alive
+
+
+def bfs_distances(edges: np.ndarray, source: int,
+                  n: int | None = None) -> np.ndarray:
+    """Directed single-source BFS hop distances; unreached = -1."""
+    if n is None:
+        n = n_from_edges(edges)
+    dist = np.full(n, -1, dtype=np.int64)
+    if n == 0:
+        return dist
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[int(u)].append(int(v))
+    dist[source] = 0
+    frontier = [source]
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if dist[v] == -1:
+                    dist[v] = d
+                    nxt.append(v)
+        frontier = nxt
+    return dist
 
 
 def undirected_adj(edges: np.ndarray, n: int) -> list[set[int]]:

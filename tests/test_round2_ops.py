@@ -134,3 +134,47 @@ def test_hll_registers_and_estimate():
     pd.testing.assert_frame_equal(
         regs.sort_values("bucket").reset_index(drop=True),
         regs2.sort_values("bucket").reset_index(drop=True))
+
+
+def test_weighted_pagerank_matches_oracle():
+    edges = gen_random_edges(300, 2500, seed=41)
+    w = (1.0 + (edges[:, 0] + edges[:, 1]) % 3).astype(np.float64)
+    t = pa.Table.from_arrays(
+        [pa.array(edges[:, 0]), pa.array(edges[:, 1]), pa.array(w)],
+        names=["src", "dst", "w"])
+    ro, _, _ = oracle.weighted_pagerank(edges, w, n=300)
+    for mode in ("full", "subscribe"):   # dense and compacted layouts
+        g = ShardedGraph.build(rd.from_arrow(t), n=300, num_owners=4,
+                               gather_mode=mode, weight_col="w")
+        try:
+            r = _ranks(pagerank(g)[0])
+        finally:
+            g.shutdown()
+        assert np.abs(r - ro).max() < 1e-12, mode
+    # constant weights must reproduce the unweighted scores exactly
+    t2 = t.set_column(2, "w", pa.array(np.full(len(edges), 2.0)))
+    g = ShardedGraph.build(rd.from_arrow(t2), n=300, num_owners=4,
+                           weight_col="w")
+    try:
+        r2 = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ru, _, _ = oracle.pagerank(edges, n=300)
+    assert np.abs(r2 - ru).max() < 1e-12
+
+
+def test_bfs_distances_matches_oracle():
+    from hackathon_pagerank_ray.graph.engine import bfs_distances
+    edges = gen_random_edges(300, 900, seed=51)   # sparse → some unreached
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           n=300, num_owners=4)
+    try:
+        out, info = bfs_distances(g, 5)
+        got = out.to_pandas().sort_values("vid")["dist"].to_numpy()
+    finally:
+        g.shutdown()
+    want = oracle.bfs_distances(edges, 5, n=300)
+    assert np.array_equal(got, want)
+    assert got[5] == 0
+    assert (got == -1).any()      # live unreached signal on sparse digraph
+    assert info["sweeps"] >= 1
