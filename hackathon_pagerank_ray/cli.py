@@ -9,6 +9,9 @@ Subcommands::
               [--tol 1e-8] [--max-iter 100] [--top-k 100] [--owners 8]
               [--resume]
     pagerank  <edges.(txt|parquet dir)> --out DIR [--damping/--tol/...]
+              [--weight-col w] [--seeds 1,2,3]
+    graph     <edges.(txt|parquet dir)> --out DIR
+              --op cc|lp|kcore|hits|bfs [--k 3] [--source 0]
     gen-corpus <out_dir> --pages N [--seed 42]
 
 Owns the Ray session (guarded init; the library itself never inits).
@@ -63,7 +66,22 @@ def main(argv=None):
     g.add_argument("edges")
     g.add_argument("--out", required=True)
     g.add_argument("--resume", action="store_true")
+    g.add_argument("--weight-col", default=None,
+                   help="edge weight column (weighted PageRank)")
+    g.add_argument("--seeds", default=None,
+                   help="comma-separated vids for personalized PageRank")
     _add_pr_args(g)
+
+    gr = sub.add_parser("graph")
+    gr.add_argument("edges")
+    gr.add_argument("--out", required=True)
+    gr.add_argument("--op", required=True,
+                    choices=["cc", "lp", "kcore", "hits", "bfs"])
+    gr.add_argument("--k", type=int, default=3, help="kcore threshold")
+    gr.add_argument("--source", type=int, default=0, help="bfs source vid")
+    gr.add_argument("--max-iter", type=int, default=None)
+    gr.add_argument("--owners", type=int, default=8)
+    gr.add_argument("--num-cpus", type=int, default=None)
 
     c = sub.add_parser("gen-corpus")
     c.add_argument("out_dir")
@@ -89,6 +107,42 @@ def main(argv=None):
                                resume=args.resume)
             res["graph"].shutdown()
             print(json.dumps(res["info"]))
+        elif args.cmd == "graph":
+            from .graph.engine import (ShardedGraph, bfs_distances,
+                                       connected_components, hits, k_core,
+                                       label_propagation)
+            from .graph.triangles import canonical_undirected
+            import pyarrow as pa
+            if args.edges.endswith(".txt"):
+                from .sources.readers import read_edge_txt
+                edges = read_edge_txt(args.edges)
+            else:
+                from .sources.readers import read_edges_parquet
+                edges = read_edges_parquet(args.edges)
+            os.makedirs(args.out, exist_ok=True)
+            kw = {} if args.max_iter is None else {"max_iter": args.max_iter}
+            if args.op == "hits":
+                out, info = hits(edges, num_owners=args.owners, **kw)
+            elif args.op == "bfs":
+                graph = ShardedGraph.build(edges, num_owners=args.owners)
+                out, info = bfs_distances(graph, args.source, **kw)
+                out = out.materialize()
+                graph.shutdown()
+            else:   # undirected fixpoint ops
+                und = canonical_undirected(edges, args.owners).map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()],
+                        names=["src", "dst"]),
+                    batch_format="pyarrow")
+                graph = ShardedGraph.build(und, num_owners=args.owners,
+                                           undirected=True)
+                fn = {"cc": connected_components, "lp": label_propagation,
+                      "kcore": lambda gg, **k2: k_core(gg, args.k, **k2)}
+                out, info = fn[args.op](graph, **kw)
+                out = out.materialize()
+                graph.shutdown()
+            out.write_parquet(os.path.join(args.out, args.op))
+            print(json.dumps({"op": args.op, **info}))
         else:
             from .graph.engine import ShardedGraph, pagerank
             from .sources.writers import write_rank_report
@@ -98,11 +152,19 @@ def main(argv=None):
             else:
                 from .sources.readers import read_edges_parquet
                 edges = read_edges_parquet(args.edges)
-            graph = ShardedGraph.build(edges, num_owners=args.owners)
+            graph = ShardedGraph.build(edges, num_owners=args.owners,
+                                       weight_col=args.weight_col)
+            personalization = None
+            if args.seeds:
+                import numpy as np
+                vids = np.array([int(s) for s in args.seeds.split(",")],
+                                dtype=np.int64)
+                personalization = (vids, np.full(len(vids), 1.0 / len(vids)))
             os.makedirs(args.out, exist_ok=True)
             ranks, info = pagerank(
                 graph, alpha=args.damping, tol=args.tol,
                 max_iter=args.max_iter, dangling_mode=args.dangling_mode,
+                personalization=personalization,
                 checkpoint_dir=os.path.join(args.out, "checkpoints"),
                 resume=args.resume)
             ranks.write_parquet(os.path.join(args.out, "ranks"))

@@ -178,3 +178,72 @@ def test_bfs_distances_matches_oracle():
     assert got[5] == 0
     assert (got == -1).any()      # live unreached signal on sparse digraph
     assert info["sweeps"] >= 1
+
+
+def test_weighted_personalized_pagerank_compose():
+    """weight_col and personalization are orthogonal: contributions use
+    w/Σw, teleport + dangling mass use the seed vector."""
+    edges = gen_random_edges(200, 1500, seed=61)
+    w = (1.0 + edges[:, 1] % 4).astype(np.float64)
+    seeds = np.array([3, 17, 42], dtype=np.int64)
+    t = pa.Table.from_arrays(
+        [pa.array(edges[:, 0]), pa.array(edges[:, 1]), pa.array(w)],
+        names=["src", "dst", "w"])
+    g = ShardedGraph.build(rd.from_arrow(t), n=200, num_owners=4,
+                           weight_col="w")
+    try:
+        r = _ranks(pagerank(g, personalization=(seeds,
+                                                np.full(3, 1 / 3)))[0])
+    finally:
+        g.shutdown()
+    # inline combined oracle (weighted contribs + seed teleport)
+    n = 200
+    wv = np.zeros(n)
+    wv[seeds] = 1.0 / 3.0
+    src, dst = edges[:, 0], edges[:, 1]
+    outw = np.bincount(src, weights=w, minlength=n)
+    dangling = outw == 0
+    inv = np.zeros(n)
+    inv[outw > 0] = 1.0 / outw[outw > 0]
+    ro = wv.copy()
+    for _ in range(100):
+        dm = ro[dangling].sum()
+        y = np.bincount(dst, weights=ro[src] * inv[src] * w, minlength=n)
+        rn = 0.85 * (y + dm * wv) + 0.15 * wv
+        if np.abs(rn - ro).sum() < 1e-8:
+            ro = rn
+            break
+        ro = rn
+    ro = ro / ro.sum()
+    assert np.abs(r - ro).max() < 1e-12
+
+
+def test_iterative_ops_subscribe_gather_mode():
+    """HITS / k-core / BFS agree across gather modes (the multi-node
+    subscribe path shares the same partial machinery)."""
+    from hackathon_pagerank_ray.graph.engine import bfs_distances, k_core
+    edges = gen_random_edges(150, 700, seed=71)
+    und = np.unique(np.sort(edges[edges[:, 0] != edges[:, 1]], axis=1), axis=0)
+    tu = pa.Table.from_arrays([pa.array(und[:, 0]), pa.array(und[:, 1])],
+                              names=["src", "dst"])
+    td = edges_to_table(edges)
+    results = {}
+    for mode in ("full", "subscribe"):
+        g = ShardedGraph.build(rd.from_arrow(tu), n=150, num_owners=3,
+                               undirected=True, gather_mode=mode)
+        try:
+            results[f"kcore-{mode}"] = (
+                k_core(g, 3)[0].to_pandas().sort_values("vid")
+                ["in_core"].to_numpy())
+        finally:
+            g.shutdown()
+        g = ShardedGraph.build(rd.from_arrow(td), n=150, num_owners=3,
+                               gather_mode=mode)
+        try:
+            results[f"bfs-{mode}"] = (
+                bfs_distances(g, 2)[0].to_pandas().sort_values("vid")
+                ["dist"].to_numpy())
+        finally:
+            g.shutdown()
+    assert np.array_equal(results["kcore-full"], results["kcore-subscribe"])
+    assert np.array_equal(results["bfs-full"], results["bfs-subscribe"])
