@@ -208,15 +208,54 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16,
     return counts
 
 
-def clustering_coefficient(edges_ds, num_partitions: int = 16):
+def _lcc_small(df: pd.DataFrame) -> pd.DataFrame:
+    """Single-task path: canonical degrees + triangle counts + lcc in one
+    vectorized pass (same adaptive rationale as _triangle_counts_small)."""
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    keep = src != dst
+    u = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    v = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    if len(u) == 0:
+        return pd.DataFrame({"vid": pd.Series(dtype="int64"),
+                             "deg": pd.Series(dtype="int64"),
+                             "triangles": pd.Series(dtype="int64"),
+                             "lcc": pd.Series(dtype="float64")})
+    packed = np.unique((u << 32) | v)
+    u, v = packed >> 32, packed & 0xFFFFFFFF
+    n = int(v.max()) + 1
+    deg = np.bincount(u, minlength=n) + np.bincount(v, minlength=n)
+    tri_df = _triangle_counts_small(df)
+    tri = np.zeros(n, dtype=np.int64)
+    tri[tri_df["vid"].to_numpy()] = tri_df["triangles"].to_numpy()
+    vids = np.flatnonzero(deg)
+    d = deg[vids].astype(np.float64)
+    denom = d * (d - 1.0)
+    lcc = np.divide(2.0 * tri[vids], denom, out=np.zeros(len(vids)),
+                    where=denom > 0)
+    return pd.DataFrame({"vid": vids, "deg": deg[vids],
+                         "triangles": tri[vids], "lcc": lcc})
+
+
+def clustering_coefficient(edges_ds, num_partitions: int = 16,
+                           small_threshold: int = 5_000_000):
     """Local clustering coefficient per vertex on the undirected simple
     graph: ``lcc(v) = 2·T(v) / (deg(v)·(deg(v)−1))`` (0 when deg < 2).
 
     Canonicalizes once, reuses :func:`triangle_counts` for T(v) and
     :func:`undirected_degrees` for deg(v) — one extra hash join over the
     triangle pipeline.  Returns ``(vid, deg, triangles, lcc)`` for every
-    vertex incident to at least one undirected edge.
+    vertex incident to at least one undirected edge.  Adaptive like
+    :func:`triangle_counts`: small edge tables run one vectorized task.
     """
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
+        if max_id < 2 ** 31:
+            return drop_empty_blocks(edges_ds.repartition(1).map_batches(
+                _lcc_small, batch_format="pandas", batch_size=None))
+
     und = canonical_undirected(edges_ds, num_partitions).materialize()
     deg = undirected_degrees(und)
     as_digraph = und.map_batches(

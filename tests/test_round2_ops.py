@@ -247,3 +247,14 @@ def test_iterative_ops_subscribe_gather_mode():
             g.shutdown()
     assert np.array_equal(results["kcore-full"], results["kcore-subscribe"])
     assert np.array_equal(results["bfs-full"], results["bfs-subscribe"])
+
+
+def test_clustering_coefficient_paths_agree():
+    edges = gen_hub_edges(120, 700, hub_k=3, seed=81)
+    t = rd.from_arrow(edges_to_table(edges))
+    small = (clustering_coefficient(t, num_partitions=3)
+             .to_pandas().sort_values("vid").reset_index(drop=True))
+    dist = (clustering_coefficient(t, num_partitions=3, small_threshold=0)
+            .to_pandas().sort_values("vid").reset_index(drop=True))
+    import pandas as pd
+    pd.testing.assert_frame_equal(small, dist.astype(small.dtypes.to_dict()))
