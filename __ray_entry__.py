@@ -736,6 +736,16 @@ def _q_hll_users(sf_dir):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def _q_scc(sf_dir):
+    """Strongly connected components (min-vid labels) via forward/backward
+    min-label coloring with a settled mask on the sharded mesh."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (
+        strongly_connected_components)
+    out, _ = strongly_connected_components(_edges_ds(sf_dir), num_owners=4)
+    return out
+
+
 _BFS_SOURCE = 1
 _BFS_MAX_D = 99
 
@@ -966,6 +976,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
+        "strongly_connected_components": _q_scc,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
@@ -1508,6 +1519,21 @@ FROM verts v LEFT JOIN
   (SELECT vid, MIN(d) AS d FROM walk GROUP BY vid) m ON m.vid = v.vid
 """,
         "connected_components": _CC_ORACLE_SQL,
+        # SCC: label(v) = MIN(u) with v→u and u→v, via the full recursive
+        # reachability relation self-joined on the reversed pair
+        "strongly_connected_components": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid FROM p),
+r(a, b) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b
+)
+SELECT x.a AS vid, MIN(x.b) AS label
+FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+GROUP BY x.a
+""",
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,
         "fingerprints": _FP_ORACLE_SQL,

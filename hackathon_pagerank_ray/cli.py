@@ -11,7 +11,7 @@ Subcommands::
     pagerank  <edges.(txt|parquet dir)> --out DIR [--damping/--tol/...]
               [--weight-col w] [--seeds 1,2,3]
     graph     <edges.(txt|parquet dir)> --out DIR
-              --op cc|lp|kcore|hits|bfs [--k 3] [--source 0]
+              --op cc|scc|lp|kcore|hits|bfs [--k 3] [--source 0]
     gen-corpus <out_dir> --pages N [--seed 42]
 
 Owns the Ray session (guarded init; the library itself never inits).
@@ -76,7 +76,7 @@ def main(argv=None):
     gr.add_argument("edges")
     gr.add_argument("--out", required=True)
     gr.add_argument("--op", required=True,
-                    choices=["cc", "lp", "kcore", "hits", "bfs"])
+                    choices=["cc", "scc", "lp", "kcore", "hits", "bfs"])
     gr.add_argument("--k", type=int, default=3, help="kcore threshold")
     gr.add_argument("--source", type=int, default=0, help="bfs source vid")
     gr.add_argument("--max-iter", type=int, default=None)
@@ -123,6 +123,10 @@ def main(argv=None):
             kw = {} if args.max_iter is None else {"max_iter": args.max_iter}
             if args.op == "hits":
                 out, info = hits(edges, num_owners=args.owners, **kw)
+            elif args.op == "scc":
+                from .graph.engine import strongly_connected_components
+                out, info = strongly_connected_components(
+                    edges, num_owners=args.owners)
             elif args.op == "bfs":
                 graph = ShardedGraph.build(edges, num_owners=args.owners)
                 out, info = bfs_distances(graph, args.source, **kw)

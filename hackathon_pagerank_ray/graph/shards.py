@@ -296,6 +296,55 @@ class RankOwner:
         self.labels = new
         return changed
 
+    # -- SCC (forward/backward min-label with settled mask) ----------------
+    def init_scc(self) -> None:
+        self.scc_label = np.full(self.n_local, -1, dtype=np.int64)
+
+    def reset_alive_labels(self) -> None:
+        """Start an SCC inner fixpoint: unsettled vertices propose their
+        own vid; settled vertices hold the int64-max sentinel so labels
+        never flow into or THROUGH them (min with sentinel is a no-op —
+        the settled subgraph is effectively removed)."""
+        sent = np.iinfo(np.int64).max
+        self.labels = np.where(self.scc_label < 0, self.vids(), sent)
+
+    def apply_masked_min_update(self, *partial_mins: np.ndarray) -> int:
+        """``apply_min_label_update`` restricted to unsettled vertices."""
+        sent = np.iinfo(np.int64).max
+        new = self.labels.copy()
+        for e_id in sorted(self.dst_maps):
+            part = partial_mins[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                idx = self.dst_maps[e_id]
+                new[idx] = np.minimum(new[idx], part.astype(np.int64))
+        new[self.scc_label >= 0] = sent
+        changed = int((new != self.labels).sum())
+        self.labels = new
+        return changed
+
+    def labels_array(self) -> np.ndarray:
+        return self.labels
+
+    def settle_compare(self, other_labels) -> int:
+        """Settle every unsettled vertex whose forward and backward
+        fixpoint labels agree on a finite value x: x is then both an
+        ancestor and a descendant, i.e. x is the min vid of this vertex's
+        SCC.  Returns the number settled."""
+        other = np.asarray(other_labels, dtype=np.int64)
+        sent = np.iinfo(np.int64).max
+        m = ((self.scc_label < 0) & (self.labels == other)
+             & (self.labels != sent))
+        self.scc_label[m] = self.labels[m]
+        return int(m.sum())
+
+    def scc_table(self) -> pa.Table:
+        return pa.Table.from_arrays(
+            [pa.array(self.vids(), pa.int64()),
+             pa.array(self.scc_label, pa.int64())],
+            names=["vid", "label"])
+
     def init_distances(self, source: int) -> None:
         """BFS state: int64-max sentinel everywhere except the source."""
         self.labels = np.full(self.n_local, np.iinfo(np.int64).max,

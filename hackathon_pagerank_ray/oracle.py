@@ -192,6 +192,61 @@ def k_core(edges: np.ndarray, k: int, n: int | None = None) -> np.ndarray:
         alive = new_alive
 
 
+def strongly_connected_components(edges: np.ndarray,
+                                  n: int | None = None) -> np.ndarray:
+    """SCC labels (min vid per component), iterative Tarjan."""
+    if n is None:
+        n = n_from_edges(edges)
+    adj: list[list[int]] = [[] for _ in range(n)]
+    for u, v in edges:
+        adj[int(u)].append(int(v))
+    index = np.full(n, -1, dtype=np.int64)
+    low = np.zeros(n, dtype=np.int64)
+    on_stack = np.zeros(n, dtype=bool)
+    comp = np.full(n, -1, dtype=np.int64)
+    stack: list[int] = []
+    counter = 0
+    for root in range(n):
+        if index[root] != -1:
+            continue
+        # iterative Tarjan: work stack holds (vertex, next-child index)
+        work = [(root, 0)]
+        while work:
+            v, ci = work[-1]
+            if ci == 0:
+                index[v] = low[v] = counter
+                counter += 1
+                stack.append(v)
+                on_stack[v] = True
+            advanced = False
+            while ci < len(adj[v]):
+                w = adj[v][ci]
+                ci += 1
+                if index[w] == -1:
+                    work[-1] = (v, ci)
+                    work.append((w, 0))
+                    advanced = True
+                    break
+                if on_stack[w]:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack[w] = False
+                    members.append(w)
+                    if w == v:
+                        break
+                comp[members] = min(members)
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    return comp
+
+
 def bfs_distances(edges: np.ndarray, source: int,
                   n: int | None = None) -> np.ndarray:
     """Directed single-source BFS hop distances; unreached = -1."""

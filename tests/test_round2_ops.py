@@ -258,3 +258,34 @@ def test_clustering_coefficient_paths_agree():
             .to_pandas().sort_values("vid").reset_index(drop=True))
     import pandas as pd
     pd.testing.assert_frame_equal(small, dist.astype(small.dtypes.to_dict()))
+
+
+def test_scc_matches_tarjan_oracle():
+    from hackathon_pagerank_ray.graph.engine import (
+        strongly_connected_components)
+    edges = gen_random_edges(250, 1100, seed=91)
+    out, info = strongly_connected_components(
+        rd.from_arrow(edges_to_table(edges)), num_owners=4)
+    got = out.to_pandas().sort_values("vid")["label"].to_numpy()
+    want = oracle.strongly_connected_components(edges, n=250)
+    assert np.array_equal(got, want)
+    n_comps = len(np.unique(got))
+    assert 1 < n_comps < 250          # non-trivial SCC structure
+    assert info["outer_rounds"] >= 1
+
+
+def test_scc_dag_and_cycle_shapes():
+    from hackathon_pagerank_ray.graph.engine import (
+        strongly_connected_components)
+    # pure DAG: every vertex its own SCC
+    dag = np.array([[0, 1], [1, 2], [0, 2], [2, 3]])
+    out, _ = strongly_connected_components(
+        rd.from_arrow(edges_to_table(dag)), num_owners=2)
+    got = out.to_pandas().sort_values("vid")["label"].to_numpy()
+    assert np.array_equal(got, np.arange(4))
+    # 3-cycle + tail: {0,1,2} one SCC, 3 alone
+    cyc = np.array([[0, 1], [1, 2], [2, 0], [2, 3]])
+    out, _ = strongly_connected_components(
+        rd.from_arrow(edges_to_table(cyc)), num_owners=2)
+    got = out.to_pandas().sort_values("vid")["label"].to_numpy()
+    assert np.array_equal(got, np.array([0, 0, 0, 3]))
