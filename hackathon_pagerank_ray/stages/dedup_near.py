@@ -718,9 +718,40 @@ def verify_pairs_cosine(pairs_ds, emb_ds, id_col="vec_id",
     return joined.map_batches(_verify, batch_format="pandas")
 
 
+def _emb_pairs_small(batch: pd.DataFrame, id_col: str, emb_col: str,
+                     threshold: float) -> pd.DataFrame:
+    """Single-task exact path: blockwise normalized gram matrix, emit
+    every (a < b) pair with cosine ≥ threshold.  Row blocks of 1k bound
+    the working set at rows×1k doubles."""
+    ids = batch[id_col].to_numpy()
+    x = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[emb_col]])
+    order = np.argsort(ids)
+    ids, x = ids[order], x[order]
+    norms = np.linalg.norm(x, axis=1)
+    norms[norms == 0] = 1.0
+    x = x / norms[:, None]
+    out_a, out_b, out_c = [], [], []
+    for s in range(0, len(ids), 1024):
+        e = min(s + 1024, len(ids))
+        g = x[s:e] @ x.T
+        ii, jj = np.nonzero(g >= threshold)
+        keep = (ii + s) < jj            # strict upper triangle in id order
+        out_a.append(ids[ii[keep] + s])
+        out_b.append(ids[jj[keep]])
+        out_c.append(g[ii[keep], jj[keep]])
+    if not out_a:
+        return pd.DataFrame({"a": pd.Series(dtype=ids.dtype),
+                             "b": pd.Series(dtype=ids.dtype),
+                             "cosine": pd.Series(dtype="float64")})
+    return pd.DataFrame({"a": np.concatenate(out_a),
+                         "b": np.concatenate(out_b),
+                         "cosine": np.concatenate(out_c)})
+
+
 def embedding_near_dups(emb_ds, id_col="vec_id", emb_col="embedding",
                         threshold=0.98, bands=8, band_bits=16, seed=5,
-                        max_bucket=256, concurrency=None, num_partitions=8):
+                        max_bucket=256, concurrency=None, num_partitions=8,
+                        small_threshold: int = 10_000):
     """Near-dup pairs by embedding cosine ≥ threshold, banded sign-LSH.
 
     ``bands`` independent 16-bit sign buckets per vector (128 seeded
@@ -730,10 +761,21 @@ def embedding_near_dups(emb_ds, id_col="vec_id", emb_col="embedding",
     2^16 PER BAND (not 2^8 globally), candidate generation is star-capped
     (:func:`_bucket_pairs`), and verification joins vectors back instead
     of shuffling embeddings through the groupby — only (id, band, bucket)
-    rows move through the LSH shuffle."""
+    rows move through the LSH shuffle.
+
+    Adaptive: tables under ``small_threshold`` rows run one vectorized
+    exact task (blockwise gram matrix) — strictly better recall than the
+    LSH (it IS the brute-force oracle) at a size where the LSH plan's
+    fixed exchanges dominate; the banded plan above is the scale path."""
     # three consumers (dim probe, banding, verify joins) — materialize or
     # each one re-executes the upstream pipeline (Ray 2.49 lazy Datasets)
     emb_ds = emb_ds.materialize()
+    if emb_ds.count() <= small_threshold:
+        from .schema_util import drop_empty_blocks
+        return drop_empty_blocks(emb_ds.repartition(1).map_batches(
+            _emb_pairs_small, batch_format="pandas", batch_size=None,
+            fn_kwargs=dict(id_col=id_col, emb_col=emb_col,
+                           threshold=threshold)))
     dim = len(emb_ds.take(1)[0][emb_col])
     band_rows = emb_ds.map_batches(
         _band_rows,

@@ -309,9 +309,14 @@ def test_embedding_near_dups_recall_vs_brute_force():
                                   ju[sims[iu, ju] >= 0.98])}
     ds = rd.from_arrow(pa.Table.from_pydict(
         {"vec_id": ids, "embedding": [v.tolist() for v in mat]}))
-    got = DN.embedding_near_dups(ds, threshold=0.98).to_pandas()
+    got = DN.embedding_near_dups(ds, threshold=0.98,
+                                 small_threshold=0).to_pandas()
     got_pairs = {(int(a), int(b)) for a, b in zip(got["a"], got["b"])}
     assert got_pairs <= true_pairs                   # verify = no false pos
+    # adaptive exact path finds the full pair set on the same input
+    small = DN.embedding_near_dups(ds, threshold=0.98).to_pandas()
+    small_pairs = {(int(a), int(b)) for a, b in zip(small["a"], small["b"])}
+    assert small_pairs == true_pairs
     recall = len(got_pairs & true_pairs) / max(1, len(true_pairs))
     assert recall >= 0.95, f"recall {recall:.3f} over {len(true_pairs)} pairs"
 
