@@ -182,6 +182,22 @@ def _q_customers_without_orders(sf_dir):
                      right_on="o_custkey", num_partitions=8)
 
 
+def _q_customers_with_big_orders(sf_dir):
+    """Semi-join: customers having at least one order above 400k —
+    dedup-on-the-right IN-subquery semantics, one hash exchange."""
+    _quiet()
+    import pyarrow.compute as _pc
+    from hackathon_pagerank_ray.stages.relational import semi_join
+    rd = _rd()
+    c = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_acctbal"])
+    o = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                        columns=["o_custkey", "o_totalprice"],
+                        filter=(_pc.field("o_totalprice") > 400000.0))
+    return semi_join(c, o.select_columns(["o_custkey"]), on="c_custkey",
+                     right_on="o_custkey", num_partitions=8)
+
+
 def _q_minmax_acctbal(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.relational import minmax_normalize
@@ -937,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_join_customer": _q_orders_join_customer,
         "customer_order_counts": _q_customer_order_counts,
         "customers_without_orders": _q_customers_without_orders,
+        "customers_with_big_orders": _q_customers_with_big_orders,
         "minmax_acctbal": _q_minmax_acctbal,
         "sum_normalize_orders": _q_sum_normalize_orders,
         "revenue_topk": _q_revenue_topk,
@@ -1571,6 +1588,9 @@ GROUP BY x.a
         "customers_without_orders":
             "SELECT c_custkey FROM customer WHERE c_custkey NOT IN "
             "(SELECT o_custkey FROM orders WHERE o_totalprice > 250000)",
+        "customers_with_big_orders":
+            "SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey IN "
+            "(SELECT o_custkey FROM orders WHERE o_totalprice > 400000)",
         "minmax_acctbal":
             "SELECT c_custkey, (c_acctbal - (SELECT MIN(c_acctbal) FROM customer)) / "
             "((SELECT MAX(c_acctbal) FROM customer) - "
