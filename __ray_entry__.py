@@ -783,6 +783,25 @@ def _q_bfs_distances(sf_dir):
         g.shutdown()
 
 
+def _q_cms_users(sf_dir):
+    """Count-min register table for per-user event frequencies — integer
+    registers, merged via one bounded groupby; bit-exact vs the SQL twin
+    computing the same md5-derived buckets."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import cms_registers
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["user_id"])
+    out = cms_registers(ev, "user_id")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["d"].combine_chunks().cast(pa.int64()),
+             t["bucket"].combine_chunks().cast(pa.int64()),
+             t["n"].combine_chunks().cast(pa.int64())],
+            names=["d", "bucket", "n"])
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 _KCORE_K = 3
 
 
@@ -998,6 +1017,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
         "hll_users": _q_hll_users,
+        "cms_event_users": _q_cms_users,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
@@ -1844,6 +1864,23 @@ r AS (SELECT
   FROM t)
 SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS rho
 FROM r GROUP BY bucket
+""",
+        # count-min registers (stages/stats.cms_registers): bucket_d(k) =
+        # first-8-hex of md5('d:'||k) mod 1024 — hex digits parsed
+        # positionally so both engines compute identical integers
+        "cms_event_users": """
+WITH ks AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+pairs AS (
+  SELECT t.d,
+    list_sum(list_transform(range(1, 9), i ->
+      CAST((strpos('0123456789abcdef',
+                   substr(md5(CAST(t.d AS VARCHAR) || ':' || ks.k), i, 1))
+            - 1) AS BIGINT)
+      * CAST(POWER(16, 8 - i) AS BIGINT))) % 1024 AS bucket
+  FROM ks CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(d))
+SELECT CAST(d AS BIGINT) AS d, CAST(bucket AS BIGINT) AS bucket,
+       COUNT(*) AS n
+FROM pairs GROUP BY d, bucket
 """,
         # SemDeDup keep-min-id rule over the planted-union table
         # (stages/dedup_near.semantic_dedup)

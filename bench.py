@@ -131,7 +131,8 @@ def run_queries(sf_dir: str) -> dict:
              "hash_sample_orders", "personalized_pagerank", "hits_scores",
              "clustering_coeff", "semantic_dedup", "domain_stats",
              "kcore_membership", "hll_users", "weighted_pagerank",
-             "bfs_distances", "strongly_connected_components"]
+             "bfs_distances", "strongly_connected_components",
+             "cms_event_users"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -724,6 +724,10 @@ def _emb_pairs_small(batch: pd.DataFrame, id_col: str, emb_col: str,
     every (a < b) pair with cosine ≥ threshold.  Row blocks of 1k bound
     the working set at rows×1k doubles."""
     ids = batch[id_col].to_numpy()
+    if len(ids) == 0:
+        return pd.DataFrame({"a": pd.Series(dtype="int64"),
+                             "b": pd.Series(dtype="int64"),
+                             "cosine": pd.Series(dtype="float64")})
     x = np.asarray([np.asarray(v, dtype=np.float64) for v in batch[emb_col]])
     order = np.argsort(ids)
     ids, x = ids[order], x[order]

@@ -147,3 +147,60 @@ def hll_estimate(registers_df, m: int = 256) -> float:
     if est <= 2.5 * m and zeros > 0:
         est = m * math.log(m / zeros)
     return est
+
+
+# -- count-min frequency sketch ----------------------------------------------
+
+
+def _cms_partial(batch: pd.DataFrame, key_col: str, depth: int,
+                 width: int) -> pd.DataFrame:
+    """Per-batch count-min partial: for each of ``depth`` seeded md5 hash
+    rows, count keys per bucket — ≤ depth·width rows leave the batch.
+    Integer registers, so the merged sketch is bit-exact vs a SQL twin."""
+    import hashlib
+
+    keys = batch[key_col].astype(str).tolist()
+    out_d, out_b, out_n = [], [], []
+    for d in range(depth):
+        buckets = np.fromiter(
+            (int(hashlib.md5(f"{d}:{k}".encode()).hexdigest()[:8], 16)
+             % width for k in keys),
+            dtype=np.int64, count=len(keys))
+        counts = np.bincount(buckets, minlength=width)
+        nz = np.flatnonzero(counts)
+        out_d.append(np.full(len(nz), d, dtype=np.int64))
+        out_b.append(nz)
+        out_n.append(counts[nz])
+    return pd.DataFrame({"d": np.concatenate(out_d),
+                         "bucket": np.concatenate(out_b),
+                         "n": np.concatenate(out_n)})
+
+
+def cms_registers(ds, key_col: str, depth: int = 4, width: int = 1024):
+    """Distributed count-min sketch of per-key frequencies: batches emit
+    (d, bucket, count) partials, one bounded-cardinality
+    ``groupby(d, bucket).sum`` merges — the same mergeable-sketch shape
+    as :func:`hll_registers` (≤ depth·width rows move per block at any
+    input size).  Point estimates via :func:`cms_estimate`."""
+    from .relational import rename
+    partials = ds.map_batches(_cms_partial, batch_format="pandas",
+                              fn_kwargs=dict(key_col=key_col, depth=depth,
+                                             width=width))
+    return rename(partials.groupby(["d", "bucket"]).sum("n"),
+                  {"sum(n)": "n"})
+
+
+def cms_estimate(registers_df, key, depth: int = 4,
+                 width: int = 1024) -> int:
+    """Count-min point query: min over depth rows of the key's bucket —
+    an upper bound on the true count (classic one-sided error)."""
+    import hashlib
+
+    reg = {(int(r["d"]), int(r["bucket"])): int(r["n"])
+           for _, r in registers_df.iterrows()}
+    est = None
+    for d in range(depth):
+        b = int(hashlib.md5(f"{d}:{key}".encode()).hexdigest()[:8], 16) % width
+        v = reg.get((d, b), 0)
+        est = v if est is None else min(est, v)
+    return int(est or 0)

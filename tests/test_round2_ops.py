@@ -289,3 +289,34 @@ def test_scc_dag_and_cycle_shapes():
         rd.from_arrow(edges_to_table(cyc)), num_owners=2)
     got = out.to_pandas().sort_values("vid")["label"].to_numpy()
     assert np.array_equal(got, np.array([0, 0, 0, 3]))
+
+
+def test_cms_registers_and_point_estimate():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.stats import (cms_estimate,
+                                                     cms_registers)
+    # key-i appears i+1 times
+    keys = [f"k{i}" for i in range(50) for _ in range(i + 1)]
+    regs = cms_registers(
+        rd.from_arrow(pa.Table.from_pydict({"k": keys})), "k").to_pandas()
+    # total mass per depth row equals the input row count (mergeable sums)
+    assert (regs.groupby("d")["n"].sum() == len(keys)).all()
+    for i in (0, 10, 49):
+        est = cms_estimate(regs, f"k{i}")
+        assert est >= i + 1                       # one-sided error
+        assert est <= i + 1 + 10                  # tight at this load
+    # merging partials across blocks == single-block registers
+    regs2 = cms_registers(
+        rd.from_arrow(pa.Table.from_pydict({"k": keys})).repartition(7),
+        "k").to_pandas()
+    a = regs.sort_values(["d", "bucket"]).reset_index(drop=True)
+    b = regs2.sort_values(["d", "bucket"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_emb_pairs_small_empty_input():
+    from hackathon_pagerank_ray.stages.dedup_near import embedding_near_dups
+    empty = pa.Table.from_pydict({"vec_id": pa.array([], pa.int64()),
+                                  "embedding": pa.array([], pa.list_(pa.float64()))})
+    out = embedding_near_dups(rd.from_arrow(empty), threshold=0.9)
+    assert out.count() == 0
