@@ -337,6 +337,16 @@ def _q_pii_redaction(sf_dir):
         ["doc_id", "text_redacted", "n_emails", "n_phones", "n_ips"])
 
 
+def _q_dataprep_corpus(sf_dir):
+    """End-to-end training-data prep composition (exact dedup → quality
+    gate → PII redaction → profile); the oracle reproduces the whole
+    chain in one CTE so the composition is checked, not just the
+    stages."""
+    _quiet()
+    from hackathon_pagerank_ray.pipelines.dataprep import prep_corpus
+    return prep_corpus(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _q_hash_sample_orders(sf_dir):
     """Deterministic key-stable Bernoulli sample (~10%) of orders: the
     keep decision is md5('{seed}:{key}') < threshold, so it is
@@ -989,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
         "pii_redaction": _q_pii_redaction,
+        "dataprep_corpus": _q_dataprep_corpus,
         "hash_sample_orders": _q_hash_sample_orders,
         "hash_split_docs": _q_hash_split_docs,
         "price_quantiles": _q_price_quantiles,
@@ -1687,6 +1698,28 @@ SELECT doc_id,
   CAST(len(regexp_extract_all(text,
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips
 FROM documents
+""",
+        # end-to-end prep chain (pipelines/dataprep.prep_corpus): exact
+        # dedup -> token/stopword gate -> PII scrub, one composed CTE
+        "dataprep_corpus": rf"""
+WITH keep AS (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT kid FROM keep)),
+tok AS (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '\w+') AS toks FROM d),
+q AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks,
+                    x -> list_contains({STOP}, x))) AS DOUBLE) / len(toks)
+        END AS stopword_ratio
+      FROM tok)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g')
+    AS text_redacted
+FROM q WHERE n_tokens >= 5 AND stopword_ratio >= 0.05
 """,
         # deterministic md5-keyed Bernoulli sample (stages/sampling.
         # hash_sample): rate 0.1, seed 42 -> threshold hex 19999999;

@@ -320,3 +320,31 @@ def test_emb_pairs_small_empty_input():
                                   "embedding": pa.array([], pa.list_(pa.float64()))})
     out = embedding_near_dups(rd.from_arrow(empty), threshold=0.9)
     assert out.count() == 0
+
+
+def test_prep_corpus_end_to_end():
+    from hackathon_pagerank_ray.pipelines.dataprep import prep_corpus
+    docs = pa.Table.from_pydict({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": [
+            "the quick brown fox and the lazy dog run over the hill",  # ok
+            "the quick brown fox and the lazy dog run over the hill",  # dup of 0
+            "short text",                                    # < 5 tokens
+            "alpha beta gamma delta epsilon zeta",           # no stopwords
+            "contact me at a.b@example.com and the office is open today",
+            "call 555-123-4567 or the backup line is on the desk now",
+            "server at 10.0.0.1 is the main host for the team today",
+            "the quick brown fox and the lazy dog run over the hill",  # dup
+        ],
+    })
+    out = prep_corpus(rd.from_arrow(docs)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    # dups 1 and 7 dropped (min-id 0 kept); 2 fails token gate; 3 fails
+    # stopword gate
+    assert out["doc_id"].tolist() == [0, 4, 5, 6]
+    red = dict(zip(out["doc_id"], out["text_redacted"]))
+    assert "<EMAIL>" in red[4] and "a.b@example.com" not in red[4]
+    assert "<PHONE>" in red[5] and "555-123-4567" not in red[5]
+    assert "<IP>" in red[6] and "10.0.0.1" not in red[6]
+    assert (out["n_tokens"] >= 5).all()
+    assert (out["stopword_ratio"] >= 0.05).all()
