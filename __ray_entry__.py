@@ -309,6 +309,19 @@ def _q_part_filter(sf_dir):
         filter=(pc.field("p_size") > 40))
 
 
+def _q_pricing_summary(sf_dir):
+    """TPC-H-Q1-shaped grouped aggregate via the partial-combine idiom:
+    per-block Arrow group_by partials (scaled-int sums), then a tiny
+    groupby().sum() over a handful of rows per block."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import pricing_summary
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"])
+    return pricing_summary(li)
+
+
 def _q_token_counts(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.text_ops import add_token_counts
@@ -996,6 +1009,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": _q_event_type_counts,
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
+        "pricing_summary": _q_pricing_summary,
         "token_counts": _q_token_counts,
         "repetition_stats": _q_repetition_stats,
         "pii_redaction": _q_pii_redaction,
@@ -1647,6 +1661,29 @@ GROUP BY x.a
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name",
         "part_filter":
             "SELECT p_partkey, p_size FROM part WHERE p_size > 40",
+        # TPC-H-Q1 shape (stages/aggregates.pricing_summary): scaled-int
+        # sums so the grouped sums are exact and order-independent on
+        # both sides; products are evaluated left-to-right in IEEE double
+        # on both sides so the pre-round values are bit-identical.
+        "pricing_summary": """
+SELECT l_returnflag, l_linestatus,
+  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 AS sum_qty,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+    AS sum_base_price,
+  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * 1000000)
+      AS BIGINT)) / 1000000.0 AS sum_disc_price,
+  SUM(CAST(ROUND(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)
+      * 1000000) AS BIGINT)) / 1000000.0 AS sum_charge,
+  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0 / COUNT(*)
+    AS avg_qty,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0 / COUNT(*)
+    AS avg_price,
+  SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) / 100.0 / COUNT(*)
+    AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+""",
         "token_counts":
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) "
             r"AS BIGINT) AS n_tokens FROM documents",

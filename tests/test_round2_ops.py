@@ -348,3 +348,44 @@ def test_prep_corpus_end_to_end():
     assert "<IP>" in red[6] and "10.0.0.1" not in red[6]
     assert (out["n_tokens"] >= 5).all()
     assert (out["stopword_ratio"] >= 0.05).all()
+
+
+def test_pricing_summary_matches_pandas():
+    import datetime
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.aggregates import pricing_summary
+    rng = np.random.RandomState(7)
+    n = 4000
+    df = pd.DataFrame({
+        "l_returnflag": rng.choice(list("ARN"), n),
+        "l_linestatus": rng.choice(list("OF"), n),
+        "l_quantity": rng.randint(1, 51, n).astype(float),
+        "l_extendedprice": np.round(rng.uniform(900, 105000, n), 2),
+        "l_discount": np.round(rng.randint(0, 11, n) / 100.0, 2),
+        "l_tax": np.round(rng.randint(0, 9, n) / 100.0, 2),
+        "l_shipdate": pd.to_datetime("1995-01-01")
+        + pd.to_timedelta(rng.randint(0, 2000, n), unit="D"),
+    })
+    out = (pricing_summary(rd.from_pandas(df).repartition(5))
+           .to_pandas()
+           .sort_values(["l_returnflag", "l_linestatus"])
+           .reset_index(drop=True))
+    cut = df[df["l_shipdate"] <= datetime.datetime(1998, 9, 2)]
+    g = cut.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+    exp = g.agg(
+        sum_qty=("l_quantity", "sum"),
+        sum_base_price=("l_extendedprice", "sum"),
+        count_order=("l_quantity", "size"),
+    ).sort_values(["l_returnflag", "l_linestatus"]).reset_index(drop=True)
+    assert out["count_order"].tolist() == exp["count_order"].tolist()
+    np.testing.assert_allclose(out["sum_qty"], exp["sum_qty"], rtol=1e-12)
+    np.testing.assert_allclose(out["sum_base_price"], exp["sum_base_price"],
+                               rtol=1e-9)
+    dp = (cut["l_extendedprice"] * (1 - cut["l_discount"]))
+    exp_dp = dp.groupby([cut["l_returnflag"], cut["l_linestatus"]]).sum()
+    np.testing.assert_allclose(
+        out.set_index(["l_returnflag", "l_linestatus"])["sum_disc_price"],
+        exp_dp.sort_index(), rtol=1e-9)
+    np.testing.assert_allclose(out["avg_qty"],
+                               out["sum_qty"] / out["count_order"],
+                               rtol=1e-12)
