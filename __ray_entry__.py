@@ -640,6 +640,15 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
 
 
+def _q_link_prediction(sf_dir):
+    """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
+    the per-center cap is the documented scale knob)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.linkpred import common_neighbors_topk
+    return common_neighbors_topk(_edges_ds(sf_dir), k=50,
+                                 num_partitions=8)
+
+
 # -- iterative graph ops (oracle: unrolled / recursive CTE SQL) -------------
 
 _PR_SWEEPS = 20
@@ -1028,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_topk": _q_ivf_topk,
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
+        "link_prediction": _q_link_prediction,
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
         "semantic_dedup": _q_semantic_dedup,
@@ -1877,6 +1887,20 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # common-neighbor link prediction (graph/linkpred.py): wedge
+        # expansion per center, pair-count reduce, existing edges
+        # anti-joined out, deterministic (count desc, u, v) top-50
+        "link_prediction":
+            f"{E}, e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
+            "AS u, GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "nbr AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "cn AS (SELECT n1.b AS u, n2.b AS v, COUNT(*) AS c "
+            "FROM nbr n1 JOIN nbr n2 ON n1.a = n2.a AND n1.b < n2.b "
+            "GROUP BY 1, 2) "
+            "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
+            "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
+            "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
         "triangle_counts":
             f"{E}, e AS (SELECT DISTINCT LEAST(src, dst) AS u, "
             "GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "

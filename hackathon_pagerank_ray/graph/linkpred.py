@@ -1,0 +1,119 @@
+"""Link prediction by common-neighbor counting.
+
+Classic friends-of-friends scoring over the canonical undirected simple
+graph: for every non-adjacent pair (u, v) count the vertices adjacent to
+both, and return the top-k candidate edges.  The wedge enumeration is the
+same per-center pair expansion the triangle counter uses, expressed as a
+``groupby(center).map_groups`` so each center's neighbor list is pair-
+expanded in one vectorized task and the pair counts reduce through an
+ordinary hash ``groupby``.
+
+Scale note: wedge volume is Σ deg(a)² — super-hub centers dominate it.
+``max_center_degree`` caps the per-center expansion by keeping the
+``cap`` lowest-vid neighbors (deterministic, so resumable and testable);
+the exact mode (cap=None) is what the SQL oracle checks.  At web scale
+run with a cap (boilerplate hubs carry little link-prediction signal) or
+pre-filter centers by degree — the partitioning key is the center vertex
+in the wedge stage and the (u, v) pair in the reduce, the same key pair
+the triangle counter already relies on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.relational import anti_join, topk
+from ..stages.schema_util import drop_empty_blocks, enforce_schema
+from .triangles import canonical_undirected
+
+_PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+
+
+def _cn_small(df: pd.DataFrame, k: int,
+              cap: int | None) -> pd.DataFrame:
+    """Single-task exact path: same semantics as the distributed plan."""
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    if len(u) == 0:
+        return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64"),
+                             "common_neighbors": pd.Series(dtype="int64")})
+    a = np.concatenate([u, v])
+    b = np.concatenate([v, u])
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    ends = np.r_[starts[1:], len(a)]
+    xs, ys = [], []
+    for s, e in zip(starts, ends):
+        nb = b[s:e]
+        if cap is not None and len(nb) > cap:
+            nb = nb[:cap]
+        if len(nb) >= 2:
+            i, j = np.triu_indices(len(nb), k=1)
+            xs.append(nb[i])
+            ys.append(nb[j])
+    if not xs:
+        return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                             "v": pd.Series(dtype="int64"),
+                             "common_neighbors": pd.Series(dtype="int64")})
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    m = int(max(u.max(), v.max())) + 1
+    code, cnt = np.unique(x.astype(np.int64) * m + y, return_counts=True)
+    keep = ~np.isin(code, u.astype(np.int64) * m + v)
+    code, cnt = code[keep], cnt[keep]
+    pu, pv = code // m, code % m
+    top = np.lexsort((pv, pu, -cnt))[:k]
+    return pd.DataFrame({"u": pu[top], "v": pv[top],
+                         "common_neighbors": cnt[top].astype(np.int64)})
+
+
+def common_neighbors_topk(edges_ds, k: int = 50, num_partitions: int = 16,
+                          max_center_degree: int | None = None,
+                          small_threshold: int = 2_000_000):
+    """Top-k non-adjacent pairs by common-neighbor count:
+    ``(u, v, common_neighbors)`` with u < v, ordered by
+    (count desc, u, v).
+
+    Adaptive: undirected edge tables under ``small_threshold`` rows run
+    the identical algorithm in one vectorized task (the distributed plan
+    is ~4 hash exchanges whose fixed spin-up dwarfs small inputs); the
+    wedge-join plan below is the shape at scale.
+    """
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    if und.count() <= small_threshold:
+        return drop_empty_blocks(und.repartition(1).map_batches(
+            lambda df: _cn_small(df, k, max_center_degree),
+            batch_format="pandas", batch_size=None))
+
+    def _both(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["a", "b"])
+
+    nbr = und.map_batches(_both, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = np.sort(g["b"].to_numpy())
+        if max_center_degree is not None and len(b) > max_center_degree:
+            b = b[:max_center_degree]
+        if len(b) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(b), k=1)
+        return pd.DataFrame({"u": b[i], "v": b[j]})
+
+    wedges = drop_empty_blocks(enforce_schema(
+        nbr.groupby("a").map_groups(_pairs, batch_format="pandas"),
+        _PAIR_SCHEMA))
+    counts = (wedges.groupby(["u", "v"]).count()
+              .rename_columns({"count()": "common_neighbors"}))
+    fresh = anti_join(counts, und, on=("u", "v"),
+                      num_partitions=num_partitions)
+    return topk(fresh, ["common_neighbors", "u", "v"], k,
+                descending=[True, False, False])

@@ -62,3 +62,24 @@ def test_triangles_distributed_path_matches_oracle():
            .to_pandas().sort_values("vid"))
     assert np.array_equal(out["triangles"].to_numpy(),
                           oracle.triangle_counts(edges, n=120))
+
+
+def test_link_prediction_paths_agree():
+    import pandas as pd
+    from hackathon_pagerank_ray.graph.linkpred import common_neighbors_topk
+    from hackathon_pagerank_ray.testgen import edges_to_table, gen_random_edges
+    edges = gen_random_edges(120, 900, seed=23)
+    ds = rd.from_arrow(edges_to_table(edges))
+    small = common_neighbors_topk(ds, k=25, num_partitions=4).to_pandas()
+    big = common_neighbors_topk(ds, k=25, num_partitions=4,
+                                small_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True),
+        big[small.columns].reset_index(drop=True), check_dtype=False)
+    # ordering contract: count desc, then (u, v)
+    c = small["common_neighbors"].to_numpy()
+    assert (c[:-1] >= c[1:]).all()
+    # no reported pair is an existing undirected edge
+    und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
+    assert all((u, v) not in und
+               for u, v in zip(small["u"], small["v"]))
