@@ -640,6 +640,26 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
 
 
+def _q_event_gaps(sf_dir):
+    """Per-event inter-arrival gap (LAG window analogue): one hash
+    exchange on user_id, in-task lexsort + diff per group."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import lag_gaps
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "user_id", "ts"])
+    return lag_gaps(ev)
+
+
+def _q_stratified_events(sf_dir):
+    """Deterministic fixed-size stratified sample: 20 events per
+    event_type by smallest (md5('42:'||event_id) prefix, event_id)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import stratified_sample
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["event_id", "event_type"])
+    return stratified_sample(ev, "event_type", "event_id", 20, seed=42)
+
+
 def _q_link_prediction(sf_dir):
     """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
     the per-center cap is the documented scale knob)."""
@@ -1038,6 +1058,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
+        "event_gaps": _q_event_gaps,
+        "stratified_events": _q_stratified_events,
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
         "semantic_dedup": _q_semantic_dedup,
@@ -1887,6 +1909,21 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # LAG window analogue (stages/events.lag_gaps): gap to previous
+        # event per user in epoch microseconds, NULL for each user's
+        # first event; order within ties broken by event_id
+        "event_gaps":
+            "SELECT event_id, CAST(epoch_us(ts) - LAG(epoch_us(ts)) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) "
+            "AS DOUBLE) AS gap_us FROM events",
+        # deterministic stratified sample (stages/sampling.
+        # stratified_sample): 20 per event_type by md5-prefix rank
+        "stratified_events":
+            "SELECT event_id, event_type FROM ("
+            "SELECT event_id, event_type, row_number() OVER ("
+            "PARTITION BY event_type ORDER BY "
+            "substr(md5('42:' || CAST(event_id AS VARCHAR)), 1, 8), "
+            "event_id) AS rn FROM events) WHERE rn <= 20",
         # common-neighbor link prediction (graph/linkpred.py): wedge
         # expansion per center, pair-count reduce, existing edges
         # anti-joined out, deterministic (count desc, u, v) top-50

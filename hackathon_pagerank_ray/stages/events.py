@@ -343,3 +343,41 @@ def json_field_int64(ds, json_col: str = "props", key: str = "k",
         return out.drop(columns=[json_col])
 
     return ds.map_batches(_ex, batch_format="pandas")
+
+
+def lag_gaps(events_ds, by: str = "user_id", on: str = "ts",
+             id_col: str = "event_id"):
+    """Per-row previous-event gap — the SQL ``LAG`` window analogue.
+
+    For each key, order rows by ``(on, id_col)`` and emit
+    ``gap_us = t - prev_t`` in epoch microseconds (null for the first row
+    of each key).  One hash exchange on the key, then an in-task lexsort
+    + vectorized diff per group — no total-order sort of the table.
+    Partitioning assumption: one key's rows fit a worker task (same as
+    sessionize / grouped_topk)."""
+
+    def _to_us(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[on], pa.int64())
+        if isinstance(micros, pa.ChunkedArray):
+            micros = micros.combine_chunks()
+        return pa.Table.from_arrays(
+            [t[by].combine_chunks(), t[id_col].combine_chunks(), micros],
+            names=[by, id_col, "t_us"])
+
+    def _gap(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return pd.DataFrame({id_col: pd.Series(dtype="int64"),
+                                 "gap_us": pd.Series(dtype="float64")})
+        order = np.lexsort((df[id_col].to_numpy(),
+                            df["t_us"].to_numpy()))
+        t = df["t_us"].to_numpy(dtype=np.int64)[order]
+        ids = df[id_col].to_numpy()[order]
+        gap = np.empty(len(t), dtype=np.float64)
+        gap[0] = np.nan
+        gap[1:] = (t[1:] - t[:-1]).astype(np.float64)
+        return pd.DataFrame({id_col: ids, "gap_us": gap})
+
+    return (events_ds
+            .map_batches(_to_us, batch_format="pyarrow")
+            .groupby(by)
+            .map_groups(_gap, batch_format="pandas"))

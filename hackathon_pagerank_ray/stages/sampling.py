@@ -75,3 +75,31 @@ def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
         return batch
 
     return ds.map_batches(_tag, batch_format="pandas")
+
+
+def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
+                      seed=42):
+    """Keep the ``n_per_key`` rows per key with the smallest
+    ``(md5(f"{seed}:{id}")`` prefix, id)`` — a deterministic fixed-size
+    stratified sample (the key-stable analogue of per-stratum reservoir
+    sampling).
+
+    Combiner-shaped: each block first reduces to ≤ n rows per key it
+    contains, so the hash exchange moves at most ``n_per_key × blocks``
+    rows per key, never the raw table.  SQL-oracle equivalent:
+    ``row_number() OVER (PARTITION BY key ORDER BY substr(md5(...),1,8),
+    id) <= n``."""
+
+    def _with_hex(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["_h"] = [_bucket_hex(seed, k) for k in batch[id_col]]
+        return (batch.sort_values(["_h", id_col], kind="stable")
+                .groupby(key_col, sort=False).head(n_per_key))
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.sort_values(["_h", id_col], kind="stable")
+                .head(n_per_key).drop(columns=["_h"]))
+
+    partial = ds.map_batches(_with_hex, batch_format="pandas")
+    return partial.groupby(key_col).map_groups(
+        _final, batch_format="pandas")

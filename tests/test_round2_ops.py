@@ -389,3 +389,45 @@ def test_pricing_summary_matches_pandas():
     np.testing.assert_allclose(out["avg_qty"],
                                out["sum_qty"] / out["count_order"],
                                rtol=1e-12)
+
+
+def test_lag_gaps_matches_pandas():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.events import lag_gaps
+    rng = np.random.RandomState(3)
+    n = 500
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, 20, n).astype(np.int64),
+        "ts": pd.to_datetime("2024-01-01")
+        + pd.to_timedelta(rng.randint(0, 10**6, n), unit="s"),
+    })
+    out = (lag_gaps(rd.from_pandas(df).repartition(4))
+           .to_pandas().sort_values("event_id").reset_index(drop=True))
+    exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
+    t_us = exp["ts"].astype("int64")
+    exp["gap_us"] = t_us.groupby(exp["user_id"]).diff().astype("float64")
+    exp = exp.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_series_equal(out["gap_us"], exp["gap_us"],
+                                   check_names=False)
+
+
+def test_stratified_sample_deterministic_and_sized():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.sampling import (_bucket_hex,
+                                                        stratified_sample)
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"id": np.arange(1000, dtype=np.int64),
+                       "k": rng.choice(list("abc"), 1000)})
+    a = (stratified_sample(rd.from_pandas(df).repartition(6), "k", "id", 7,
+                           seed=9).to_pandas()
+         .sort_values(["k", "id"]).reset_index(drop=True))
+    b = (stratified_sample(rd.from_pandas(df).repartition(2), "k", "id", 7,
+                           seed=9).to_pandas()
+         .sort_values(["k", "id"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)          # partition-invariant
+    assert (a.groupby("k").size() == 7).all()
+    # selection = lowest (md5 prefix, id) per key
+    df["_h"] = [_bucket_hex(9, i) for i in df["id"]]
+    exp = (df.sort_values(["_h", "id"]).groupby("k").head(7))
+    assert set(zip(a["k"], a["id"])) == set(zip(exp["k"], exp["id"]))
