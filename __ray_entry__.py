@@ -640,6 +640,14 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
 
 
+def _q_unigram_logprob(sf_dir):
+    """Mean token log-probability per doc under the corpus's own
+    unigram LM — fully distributed two-shuffle plan, no driver vocab."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.lm_score import unigram_logprob
+    return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -1059,6 +1067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
         "event_gaps": _q_event_gaps,
+        "unigram_logprob": _q_unigram_logprob,
         "stratified_events": _q_stratified_events,
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
@@ -1909,6 +1918,22 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # unigram LM score (functions/lm_score.unigram_logprob): the SQL
+        # mirrors the engine's weighted form SUM(tf·ln p)/SUM(tf) so both
+        # sides evaluate identical per-term doubles
+        "unigram_logprob": r"""
+WITH tok AS (SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), '\w+')) AS term
+      FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, COUNT(*) AS tf
+      FROM tok GROUP BY 1, 2),
+freq AS MATERIALIZED (SELECT term, CAST(SUM(tf) AS DOUBLE) AS n
+      FROM tf GROUP BY term),
+tot AS (SELECT SUM(n) AS t FROM freq)
+SELECT tf.doc_id,
+       SUM(tf.tf * ln(freq.n / tot.t)) / SUM(tf.tf) AS unigram_lp
+FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
+""",
         # LAG window analogue (stages/events.lag_gaps): gap to previous
         # event per user in epoch microseconds, NULL for each user's
         # first event; order within ties broken by event_id

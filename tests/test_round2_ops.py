@@ -431,3 +431,27 @@ def test_stratified_sample_deterministic_and_sized():
     df["_h"] = [_bucket_hex(9, i) for i in df["id"]]
     exp = (df.sort_values(["_h", "id"]).groupby("k").head(7))
     assert set(zip(a["k"], a["id"])) == set(zip(exp["k"], exp["id"]))
+
+
+def test_unigram_logprob_paths_agree_and_rank():
+    import pandas as pd
+    from hackathon_pagerank_ray.functions.lm_score import unigram_logprob
+    df = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the the the common words",
+                 "the common words appear here",
+                 "zyx qwv jkl unique rare tokens",
+                 "", "the the the the the",
+                 "common the the words here"],
+    })
+    ds = rd.from_pandas(df).repartition(3)
+    bc = (unigram_logprob(ds).to_pandas()
+          .sort_values("doc_id").reset_index(drop=True))
+    dist = (unigram_logprob(ds, broadcast_vocab_max=0).to_pandas()
+            .sort_values("doc_id").reset_index(drop=True))
+    pd.testing.assert_frame_equal(bc, dist, check_exact=False, atol=1e-12)
+    # empty doc emits no row
+    assert 3 not in set(bc["doc_id"])
+    # all-rare doc scores below the all-common doc
+    s = dict(zip(bc["doc_id"], bc["unigram_lp"]))
+    assert s[2] < s[4]
