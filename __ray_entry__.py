@@ -640,6 +640,31 @@ def _q_triangle_counts(sf_dir):
     return triangle_counts(_edges_ds(sf_dir), num_partitions=8)
 
 
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _q_events_pivot(sf_dir):
+    """PIVOT/crosstab: per-user event counts, one column per type —
+    per-block partial crosstab, then a counter-sized groupby().sum()."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import pivot_counts
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    return pivot_counts(ev, "user_id", "event_type", _EVENT_TYPES)
+
+
+def _q_revenue_rollup(sf_dir):
+    """GROUP BY ROLLUP (status, priority): exact scaled-cent totals at
+    every prefix level; coarser levels fold from the finest aggregate."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import rollup_counts
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return rollup_counts(orders, ["o_orderstatus", "o_orderpriority"],
+                         "o_totalprice")
+
+
 def _q_unigram_logprob(sf_dir):
     """Mean token log-probability per doc under the corpus's own
     unigram LM — fully distributed two-shuffle plan, no driver vocab."""
@@ -1068,6 +1093,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
+        "events_pivot": _q_events_pivot,
+        "revenue_rollup": _q_revenue_rollup,
         "stratified_events": _q_stratified_events,
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
@@ -1918,6 +1945,21 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # PIVOT / crosstab (stages/aggregates.pivot_counts)
+        "events_pivot":
+            "SELECT user_id, "
+            + ", ".join(
+                f"SUM(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
+                f"AS n_{v}" for v in _EVENT_TYPES)
+            + " FROM events GROUP BY user_id",
+        # GROUP BY ROLLUP (stages/aggregates.rollup_counts): scaled-cent
+        # exact totals so the grouped sums are order-independent
+        "revenue_rollup":
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 "
+            "AS total, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
         # unigram LM score (functions/lm_score.unigram_logprob): the SQL
         # mirrors the engine's weighted form SUM(tf·ln p)/SUM(tf) so both
         # sides evaluate identical per-term doubles

@@ -99,3 +99,96 @@ def pricing_summary(li_ds, cutoff: str = "1998-09-02"):
         })
 
     return merged.map_batches(_final, batch_format="pyarrow")
+
+
+def pivot_counts(ds, row_key: str, col_key: str, values: list[str],
+                 prefix: str = "n_"):
+    """Crosstab / PIVOT: one output row per ``row_key`` value with a
+    ``{prefix}{v}`` count column per pivot value.
+
+    ``values`` must be the known pivot domain (standard for PIVOT —
+    discover it with a cheap ``distinct`` pass if unknown).  Same
+    combiner shape as :func:`pricing_summary`: per-block Arrow group_by
+    partials (one int64 column per pivot value), then a tiny
+    ``groupby().sum()`` — the exchange carries |row keys| × |values|
+    counters, never rows."""
+    cols = [f"{prefix}{v}" for v in values]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        ck = t[col_key]
+        arrays = {row_key: t[row_key]}
+        for v, c in zip(values, cols):
+            flag = pc.cast(pc.equal(ck, pa.scalar(v)), pa.int64())
+            arrays[c] = (flag.combine_chunks()
+                         if isinstance(flag, pa.ChunkedArray) else flag)
+        part = pa.table(arrays).group_by([row_key]).aggregate(
+            [(c, "sum") for c in cols])
+        return part.rename_columns([row_key] + cols)
+
+    merged = ds.map_batches(_partial, batch_format="pyarrow") \
+        .groupby(row_key).sum(cols)
+    return merged.rename_columns({f"sum({c})": c for c in cols})
+
+
+def rollup_counts(ds, keys: list[str], agg_col: str,
+                  total_label: str = "ALL"):
+    """GROUP BY ROLLUP over ``keys``: sums of ``agg_col`` (scaled-cent
+    exact) at every prefix level, subtotal rows carrying ``total_label``
+    in the rolled-up key columns (string keys only).
+
+    One pass computes the finest-level partials per block; each coarser
+    level folds from the finest aggregate — so the input is read once and
+    every exchange above the first moves only group-cardinality rows."""
+    def _partial(t: pa.Table) -> pa.Table:
+        prep = pa.table(
+            {k: t[k] for k in keys}
+            | {"v100": _scaled_int(t[agg_col], 100)})
+        part = prep.group_by(keys).aggregate(
+            [("v100", "sum"), ("v100", "count")])
+        return part.rename_columns(keys + ["v100", "n"])
+
+    finest = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby(keys).sum(["v100", "n"])
+              .rename_columns({"sum(v100)": "v100", "sum(n)": "n"})
+              .materialize())
+
+    levels = [finest]
+    for depth in range(len(keys) - 1, -1, -1):
+        kept, rolled = keys[:depth], keys[depth:]
+
+        def _fold(t: pa.Table, kept=kept, rolled=rolled) -> pa.Table:
+            n = t.num_rows
+            arrays = {k: t[k] for k in kept}
+            arrays |= {k: pa.array([total_label] * n, pa.string())
+                       for k in rolled}
+            arrays |= {"v100": t["v100"], "n": t["n"]}
+            return pa.table(arrays)
+
+        lvl = finest.map_batches(_fold, batch_format="pyarrow")
+        if kept:
+            lvl = (lvl.groupby(kept).sum(["v100", "n"])
+                   .rename_columns({"sum(v100)": "v100", "sum(n)": "n"}))
+            lvl = lvl.map_batches(
+                lambda t, kept=kept, rolled=rolled: pa.table(
+                    {k: t[k] for k in kept}
+                    | {k: pa.array([total_label] * t.num_rows, pa.string())
+                       for k in rolled}
+                    | {"v100": t["v100"], "n": t["n"]}),
+                batch_format="pyarrow")
+        else:
+            lvl = (lvl.groupby(rolled).sum(["v100", "n"])
+                   .rename_columns({"sum(v100)": "v100", "sum(n)": "n"}))
+        levels.append(lvl)
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {k: t[k] for k in keys}
+            | {"total": pc.divide(pc.cast(t["v100"], pa.float64()),
+                                  pa.scalar(100.0)),
+               "n": pc.cast(t["n"], pa.int64())})
+
+    return out.map_batches(_final, batch_format="pyarrow")

@@ -455,3 +455,38 @@ def test_unigram_logprob_paths_agree_and_rank():
     # all-rare doc scores below the all-common doc
     s = dict(zip(bc["doc_id"], bc["unigram_lp"]))
     assert s[2] < s[4]
+
+
+def test_pivot_and_rollup_match_pandas():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.aggregates import (pivot_counts,
+                                                          rollup_counts)
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "k": rng.randint(0, 9, 400).astype(np.int64),
+        "t": rng.choice(list("xyz"), 400),
+        "amt": np.round(rng.uniform(1, 500, 400), 2),
+    })
+    ds = rd.from_pandas(df).repartition(5)
+    piv = (pivot_counts(ds, "k", "t", ["x", "y", "z"]).to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    ct = pd.crosstab(df["k"], df["t"]).reindex(
+        columns=["x", "y", "z"], fill_value=0)
+    for v in "xyz":
+        assert piv[f"n_{v}"].tolist() == ct[v].tolist()
+
+    df["t2"] = rng.choice(list("ab"), 400)
+    roll = rollup_counts(rd.from_pandas(df).repartition(4), ["t", "t2"],
+                         "amt").to_pandas()
+    # grand total row
+    g = roll[(roll["t"] == "ALL") & (roll["t2"] == "ALL")]
+    assert len(g) == 1 and int(g["n"].iloc[0]) == 400
+    assert abs(g["total"].iloc[0]
+               - round(df["amt"].round(2).sum(), 2)) < 1e-6
+    # subtotal level sums to grand total; finest level matches pandas
+    sub = roll[(roll["t"] != "ALL") & (roll["t2"] == "ALL")]
+    assert int(sub["n"].sum()) == 400
+    fine = roll[(roll["t"] != "ALL") & (roll["t2"] != "ALL")]
+    exp = df.groupby(["t", "t2"])["amt"].count()
+    assert len(fine) == len(exp)
+    assert int(fine["n"].sum()) == 400
