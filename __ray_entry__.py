@@ -693,6 +693,22 @@ def _q_stratified_events(sf_dir):
     return stratified_sample(ev, "event_type", "event_id", 20, seed=42)
 
 
+def _q_adamic_adar(sf_dir):
+    """Top-50 non-adjacent pairs by Adamic-Adar score; fixed-point
+    (1e-9) weights so the top-k boundary is deterministic."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.linkpred import adamic_adar_topk
+    return adamic_adar_topk(_edges_ds(sf_dir), k=50, num_partitions=8)
+
+
+def _q_degree_histogram(sf_dir):
+    """Out-degree distribution — two count shuffles, second over
+    max-degree keys only."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import degree_histogram
+    return degree_histogram(_edges_ds(sf_dir))
+
+
 def _q_link_prediction(sf_dir):
     """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
     the per-center cap is the documented scale knob)."""
@@ -1091,6 +1107,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
+        "adamic_adar": _q_adamic_adar,
+        "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
         "events_pivot": _q_events_pivot,
@@ -2005,6 +2023,27 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
             "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
             "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
             "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
+        # Adamic-Adar link prediction (graph/linkpred.adamic_adar_topk):
+        # fixed-point 1e9-scaled center weights sum exactly, so the
+        # top-50 boundary is engine-independent
+        "adamic_adar":
+            f"{E}, e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
+            "AS u, GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "nbr AS MATERIALIZED (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "w AS (SELECT a, CAST(ROUND(1000000000.0 / ln(COUNT(*))) "
+            "AS BIGINT) AS w FROM nbr GROUP BY a HAVING COUNT(*) >= 2), "
+            "cn AS (SELECT n1.b AS u, n2.b AS v, SUM(w.w) AS s "
+            "FROM nbr n1 JOIN nbr n2 ON n1.a = n2.a AND n1.b < n2.b "
+            "JOIN w ON w.a = n1.a GROUP BY 1, 2) "
+            "SELECT cn.u, cn.v, s / 1000000000.0 AS aa_score "
+            "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
+            "ORDER BY s DESC, cn.u, cn.v LIMIT 50",
+        # out-degree distribution (stages/degrees.degree_histogram)
+        "degree_histogram":
+            f"{E} SELECT outdeg AS degree, CAST(COUNT(*) AS BIGINT) "
+            "AS n_vertices FROM (SELECT src, COUNT(*) AS outdeg "
+            "FROM edges GROUP BY src) GROUP BY outdeg",
         "triangle_counts":
             f"{E}, e AS (SELECT DISTINCT LEAST(src, dst) AS u, "
             "GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "

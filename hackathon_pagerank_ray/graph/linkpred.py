@@ -23,6 +23,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..stages.relational import anti_join, topk
 from ..stages.schema_util import drop_empty_blocks, enforce_schema
@@ -117,3 +118,103 @@ def common_neighbors_topk(edges_ds, k: int = 50, num_partitions: int = 16,
                       num_partitions=num_partitions)
     return topk(fresh, ["common_neighbors", "u", "v"], k,
                 descending=[True, False, False])
+
+
+_AA_SCALE = 1e9
+_W_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                       ("w", pa.int64())])
+
+
+def _aa_weight(deg: int) -> int:
+    """Adamic-Adar center weight 1/ln(deg), carried as a scaled int64 so
+    pair scores sum exactly and the top-k boundary is deterministic
+    across engines (same fixed-point trick as the scaled-cent sums)."""
+    return int(round(_AA_SCALE / np.log(deg)))
+
+
+def _aa_small(df: pd.DataFrame, k: int) -> pd.DataFrame:
+    empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64"),
+                          "aa_score": pd.Series(dtype="float64")})
+    u = df["u"].to_numpy()
+    v = df["v"].to_numpy()
+    if len(u) == 0:
+        return empty
+    a = np.concatenate([u, v])
+    b = np.concatenate([v, u])
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
+    ends = np.r_[starts[1:], len(a)]
+    xs, ys, ws = [], [], []
+    for s, e in zip(starts, ends):
+        nb = b[s:e]
+        if len(nb) >= 2:
+            i, j = np.triu_indices(len(nb), k=1)
+            xs.append(nb[i])
+            ys.append(nb[j])
+            ws.append(np.full(len(i), _aa_weight(len(nb)), dtype=np.int64))
+    if not xs:
+        return empty
+    x = np.concatenate(xs)
+    y = np.concatenate(ys)
+    w = np.concatenate(ws)
+    m = int(max(u.max(), v.max())) + 1
+    code = x.astype(np.int64) * m + y
+    uniq, inv = np.unique(code, return_inverse=True)
+    score = np.bincount(inv, weights=w).astype(np.int64)
+    keep = ~np.isin(uniq, u.astype(np.int64) * m + v)
+    uniq, score = uniq[keep], score[keep]
+    pu, pv = uniq // m, uniq % m
+    top = np.lexsort((pv, pu, -score))[:k]
+    return pd.DataFrame({"u": pu[top], "v": pv[top],
+                         "aa_score": score[top] / _AA_SCALE})
+
+
+def adamic_adar_topk(edges_ds, k: int = 50, num_partitions: int = 16,
+                     small_threshold: int = 2_000_000):
+    """Top-k non-adjacent pairs by Adamic-Adar score
+    Σ_center 1/ln(deg(center)) — common neighbors weighted down by how
+    promiscuous they are.  Same adaptive shape and partitioning keys as
+    :func:`common_neighbors_topk`."""
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    if und.count() <= small_threshold:
+        return drop_empty_blocks(und.repartition(1).map_batches(
+            lambda df: _aa_small(df, k),
+            batch_format="pandas", batch_size=None))
+
+    def _both(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["a", "b"])
+
+    nbr = und.map_batches(_both, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = np.sort(g["b"].to_numpy())
+        if len(b) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64"),
+                                 "w": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(b), k=1)
+        return pd.DataFrame({"u": b[i], "v": b[j],
+                             "w": np.full(len(i), _aa_weight(len(b)),
+                                          dtype=np.int64)})
+
+    wedges = drop_empty_blocks(enforce_schema(
+        nbr.groupby("a").map_groups(_pairs, batch_format="pandas"),
+        _W_SCHEMA))
+    scores = wedges.groupby(["u", "v"]).sum("w")
+    fresh = anti_join(scores, und, on=("u", "v"),
+                      num_partitions=num_partitions)
+    top = topk(fresh, ["sum(w)", "u", "v"], k,
+               descending=[True, False, False])
+    return top.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks(),
+             pc.divide(pc.cast(t["sum(w)"], pa.float64()),
+                       pa.scalar(_AA_SCALE)).combine_chunks()],
+            names=["u", "v", "aa_score"]),
+        batch_format="pyarrow")

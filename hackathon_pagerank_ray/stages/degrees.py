@@ -30,3 +30,12 @@ def dangling_vertices(vertices_ds, edges_ds, vid_col: str = "vid",
     srcs = distinct(edges_ds, [src_col], num_partitions)
     return anti_join(vertices_ds, srcs, on=vid_col, right_on=src_col,
                      num_partitions=num_partitions)
+
+
+def degree_histogram(edges_ds, src_col: str = "src"):
+    """(degree, n_vertices) — the out-degree distribution: two count
+    shuffles, the second over at most max-degree distinct keys (power-law
+    graphs: a few hundred rows regardless of graph size)."""
+    return (out_degrees(edges_ds, src_col)
+            .groupby("outdeg").count()
+            .rename_columns({"outdeg": "degree", "count()": "n_vertices"}))

@@ -83,3 +83,27 @@ def test_link_prediction_paths_agree():
     und = {(min(s, d), max(s, d)) for s, d in edges if s != d}
     assert all((u, v) not in und
                for u, v in zip(small["u"], small["v"]))
+
+
+def test_adamic_adar_paths_agree_and_weighting():
+    import pandas as pd
+    from hackathon_pagerank_ray.graph.linkpred import adamic_adar_topk
+    from hackathon_pagerank_ray.testgen import edges_to_table, gen_random_edges
+    edges = gen_random_edges(100, 700, seed=31)
+    ds = rd.from_arrow(edges_to_table(edges))
+    small = adamic_adar_topk(ds, k=20, num_partitions=4).to_pandas()
+    big = adamic_adar_topk(ds, k=20, num_partitions=4,
+                           small_threshold=0).to_pandas()
+    pd.testing.assert_frame_equal(
+        small.reset_index(drop=True),
+        big[small.columns].reset_index(drop=True), check_dtype=False)
+    s = small["aa_score"].to_numpy()
+    assert (s[:-1] >= s[1:]).all() and (s > 0).all()
+    # hand-check on a star + path: centers 0 (deg 3) and 1 (deg 2)
+    tiny = rd.from_arrow(pa.table({
+        "src": pa.array([0, 0, 0, 1, 1], pa.int64()),
+        "dst": pa.array([2, 3, 4, 2, 3], pa.int64())}))
+    out = adamic_adar_topk(tiny, k=100).to_pandas()
+    row = out[(out["u"] == 2) & (out["v"] == 3)]
+    exp = (round(1e9 / np.log(3)) + round(1e9 / np.log(2))) / 1e9
+    assert abs(row["aa_score"].iloc[0] - exp) < 1e-9
