@@ -693,6 +693,19 @@ def _q_stratified_events(sf_dir):
     return stratified_sample(ev, "event_type", "event_id", 20, seed=42)
 
 
+_EQ_QS = (0.25, 0.5, 0.9, 0.99)
+
+
+def _q_price_quantiles_exact(sf_dir):
+    """Exact interpolated quantiles by histogram-refinement selection —
+    no global sort; exchanges carry ≤65536 counter rows per level."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import exact_quantiles
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    return exact_quantiles(li, "l_extendedprice", qs=_EQ_QS)
+
+
 def _q_adamic_adar(sf_dir):
     """Top-50 non-adjacent pairs by Adamic-Adar score; fixed-point
     (1e-9) weights so the top-k boundary is deterministic."""
@@ -1108,6 +1121,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
         "adamic_adar": _q_adamic_adar,
+        "price_quantiles_exact": _q_price_quantiles_exact,
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
@@ -2023,6 +2037,13 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
             "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
             "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
             "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
+        # exact interpolated quantiles (stages/stats.exact_quantiles):
+        # DuckDB quantile_cont semantics, h=(n-1)q linear interpolation
+        "price_quantiles_exact":
+            "WITH a AS (SELECT quantile_cont(l_extendedprice, "
+            f"{list(_EQ_QS)}) AS vs FROM lineitem) "
+            f"SELECT unnest({list(_EQ_QS)}) AS q, unnest(vs) AS value "
+            "FROM a",
         # Adamic-Adar link prediction (graph/linkpred.adamic_adar_topk):
         # fixed-point 1e9-scaled center weights sum exactly, so the
         # top-50 boundary is engine-independent

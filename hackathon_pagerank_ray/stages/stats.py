@@ -204,3 +204,109 @@ def cms_estimate(registers_df, key, depth: int = 4,
         v = reg.get((d, b), 0)
         est = v if est is None else min(est, v)
     return int(est or 0)
+
+
+def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
+                    num_bins: int = 65536, max_collect: int = 5_000_000):
+    """Exact linear-interpolated quantiles (DuckDB ``quantile_cont``
+    semantics: ``h = (n-1)·q``; ``v = x_{⌊h⌋} + (h-⌊h⌋)·(x_{⌊h⌋+1} -
+    x_{⌊h⌋})``) WITHOUT a global sort.
+
+    Selection by histogram refinement: one combiner pass for
+    (min, max, count), then per level a ``num_bins``-bin histogram whose
+    exchange carries ≤ num_bins counter rows; only the bins containing
+    the needed order statistics are pulled to the driver (bounded by the
+    level's bin population), and a bin still over ``max_collect`` rows
+    recurses on a worker-side filtered dataset instead.  Bin membership
+    in the filter is the SAME index computation as in the histogram, so
+    float edge rounding can never split a value between count and
+    collect.  NULLs are dropped (SQL aggregate convention).  Returns a
+    tiny ``(q, value)`` Dataset."""
+    import pandas as pd
+    import ray.data as rd
+
+    def _vals(t: pa.Table, c: str) -> np.ndarray:
+        x = t[c].to_numpy(zero_copy_only=False).astype(np.float64)
+        return x[~np.isnan(x)]
+
+    stats = ds.map_batches(
+        lambda t: pa.table({
+            "mn": pa.array([float(np.min(v)) if len(
+                v := _vals(t, col)) else np.inf]),
+            "mx": pa.array([float(np.max(v)) if len(v) else -np.inf]),
+            "n": pa.array([len(v)], pa.int64())}),
+        batch_format="pyarrow")
+    sdf = stats.to_pandas()                    # one tiny row per block
+    n = int(sdf["n"].sum())
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"q": pd.Series(dtype="float64"),
+             "value": pd.Series(dtype="float64")}))
+    lo, hi = float(sdf["mn"].min()), float(sdf["mx"].max())
+
+    ranks = sorted({r for q in qs
+                    for r in (int(np.floor((n - 1) * q)),
+                              min(int(np.floor((n - 1) * q)) + 1, n - 1))})
+
+    def _bin_index(v: np.ndarray, lo: float, width: float) -> np.ndarray:
+        return np.minimum(((v - lo) / width).astype(np.int64),
+                          num_bins - 1)
+
+    def _order_stats(cur_ds, c, lo, hi, ranks, depth=0):
+        """rank → value for 0-based ``ranks`` over column ``c``."""
+        if lo == hi or not ranks:
+            return {r: lo for r in ranks}
+        width = (hi - lo) / num_bins
+
+        def _hist(t: pa.Table) -> pa.Table:
+            v = _vals(t, c)
+            uniq, cnt = np.unique(_bin_index(v, lo, width),
+                                  return_counts=True)
+            return pa.table({"bin": pa.array(uniq, pa.int64()),
+                             "n": pa.array(cnt.astype(np.int64))})
+
+        h = (cur_ds.map_batches(_hist, batch_format="pyarrow")
+             .groupby("bin").sum("n").to_pandas()
+             .sort_values("bin").reset_index(drop=True))
+        bins = h["bin"].to_numpy()
+        counts = h["sum(n)"].to_numpy()
+        cum = counts.cumsum()
+        out = {}
+        by_bin = {}
+        for r in ranks:
+            i = int(np.searchsorted(cum, r + 1))
+            by_bin.setdefault(i, []).append(r)
+        for i, rs in by_bin.items():
+            b = int(bins[i])
+            before = int(cum[i] - counts[i])
+
+            def _select(t: pa.Table, b=b) -> pa.Table:
+                v = _vals(t, c)
+                return pa.table(
+                    {"v": pa.array(v[_bin_index(v, lo, width) == b])})
+
+            sub_ds = cur_ds.map_batches(_select, batch_format="pyarrow")
+            if counts[i] > max_collect and depth < 4 and width > 0:
+                blo = lo + b * width
+                bhi = lo + (b + 1) * width if b < num_bins - 1 else hi
+                sub = _order_stats(sub_ds.materialize(), "v", blo, bhi,
+                                   [r - before for r in rs], depth + 1)
+                out.update({r + before: v for r, v in sub.items()})
+                continue
+            chunks = [_vals(t, "v") for t in sub_ds.iter_batches(
+                batch_format="pyarrow", batch_size=None)]
+            vals = np.sort(np.concatenate(chunks)
+                           if chunks else np.array([]))
+            for r in rs:
+                out[r] = float(vals[r - before])
+        return out
+
+    ov = _order_stats(ds, col, lo, hi, ranks)
+    rows = []
+    for q in qs:
+        h = (n - 1) * q
+        f = int(np.floor(h))
+        c = min(f + 1, n - 1)
+        v = ov[f] + (h - f) * (ov[c] - ov[f])
+        rows.append({"q": float(q), "value": float(v)})
+    return rd.from_pandas(pd.DataFrame(rows))

@@ -490,3 +490,21 @@ def test_pivot_and_rollup_match_pandas():
     exp = df.groupby(["t", "t2"])["amt"].count()
     assert len(fine) == len(exp)
     assert int(fine["n"].sum()) == 400
+
+
+def test_exact_quantiles_matches_numpy_and_recursion():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.stats import exact_quantiles
+    rng = np.random.RandomState(13)
+    x = np.concatenate([rng.lognormal(3, 1, 5000),
+                        np.full(100, 7.25), [np.nan] * 50])
+    ds = rd.from_pandas(pd.DataFrame({"x": x})).repartition(6)
+    qs = (0.1, 0.5, 0.9)
+    out = exact_quantiles(ds, "x", qs=qs).to_pandas().sort_values("q")
+    clean = x[~np.isnan(x)]
+    exp = np.quantile(clean, qs)          # numpy 'linear' == quantile_cont
+    np.testing.assert_allclose(out["value"].to_numpy(), exp, rtol=1e-12)
+    # force the refinement recursion with tiny bins/collect caps
+    out2 = exact_quantiles(ds, "x", qs=qs, num_bins=8,
+                           max_collect=200).to_pandas().sort_values("q")
+    np.testing.assert_allclose(out2["value"].to_numpy(), exp, rtol=1e-12)
