@@ -706,6 +706,17 @@ def _q_price_quantiles_exact(sf_dir):
     return exact_quantiles(li, "l_extendedprice", qs=_EQ_QS)
 
 
+def _q_acctbal_zscore(sf_dir):
+    """Per-nation z-score of customer account balance — window-aggregate
+    analogue via scaled-int combiner partials + broadcast stats."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import group_zscore
+    cust = _rd().read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey", "c_acctbal"])
+    return group_zscore(cust, "c_nationkey", "c_acctbal")
+
+
 def _q_adamic_adar(sf_dir):
     """Top-50 non-adjacent pairs by Adamic-Adar score; fixed-point
     (1e-9) weights so the top-k boundary is deterministic."""
@@ -1122,6 +1133,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "adamic_adar": _q_adamic_adar,
         "price_quantiles_exact": _q_price_quantiles_exact,
+        "acctbal_zscore": _q_acctbal_zscore,
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
@@ -2037,6 +2049,22 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
             "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
             "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
             "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
+        # per-group z-score (stages/aggregates.group_zscore): the SQL
+        # mirrors the engine's scaled-int mean/var exactly (s/100.0/n,
+        # sq/10000.0/n - mean*mean) so z values are bit-identical
+        "acctbal_zscore": """
+WITH s AS (SELECT c_nationkey,
+    SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s100,
+    SUM(CAST(ROUND(c_acctbal * c_acctbal * 10000) AS BIGINT)) AS sq4,
+    COUNT(*) AS n FROM customer GROUP BY c_nationkey),
+mv AS (SELECT c_nationkey, s100 / 100.0 / n AS mean,
+    sq4 / 10000.0 / n - (s100 / 100.0 / n) * (s100 / 100.0 / n) AS var
+    FROM s)
+SELECT c_custkey, c_nationkey, c_acctbal,
+  CASE WHEN var <= 0 THEN 0.0
+       ELSE (c_acctbal - mean) / sqrt(var) END AS z
+FROM customer JOIN mv USING (c_nationkey)
+""",
         # exact interpolated quantiles (stages/stats.exact_quantiles):
         # DuckDB quantile_cont semantics, h=(n-1)q linear interpolation
         "price_quantiles_exact":

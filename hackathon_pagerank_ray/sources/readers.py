@@ -39,3 +39,10 @@ def read_edge_txt(path):
             names=["src", "dst"])
 
     return rd.read_text(path).map_batches(_parse, batch_format="pyarrow")
+
+
+def read_jsonl(path, **kw):
+    """JSON-lines reader (S-family extension): Ray's native ``read_json``
+    handles .jsonl / .json line-delimited files with block-parallel
+    parsing; schema is unified from the sampled blocks."""
+    return rd.read_json(path, **kw)

@@ -115,3 +115,9 @@ def write_pagerank_json(ranks_ds, vertices_ds, path: str,
                 n += 1
         f.write("\n]")
     return n
+
+
+def write_jsonl(ds, path: str) -> None:
+    """JSON-lines sink: one file per block under ``path`` (directory),
+    streaming — resumable at block granularity like the parquet sinks."""
+    ds.write_json(path)

@@ -192,3 +192,79 @@ def rollup_counts(ds, keys: list[str], agg_col: str,
                "n": pc.cast(t["n"], pa.int64())})
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+def group_zscore(ds, key: str, col: str, out_col: str = "z",
+                 broadcast_groups_max: int = 100_000):
+    """Per-group z-score — the ``(x - AVG(x) OVER (PARTITION BY key)) /
+    STDDEV_POP(...)`` window-aggregate analogue.
+
+    Combiner pass: per-block per-key (Σx·100, Σx²·10⁴, n) scaled-int
+    partials (exact for 2-decimal inputs, summation-order independent),
+    reduced by one small ``groupby().sum()``.  The group-stats table then
+    flows back: broadcast once via ``ray.put`` when ≤
+    ``broadcast_groups_max`` groups (a per-batch dict lookup, no second
+    shuffle), hash-joined otherwise.  Degenerate groups (var ≤ 0) get
+    z = 0."""
+    import numpy as np
+
+    import ray
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t[col]
+        prep = pa.table({
+            key: t[key],
+            "s100": _scaled_int(x, 100),
+            "sq4": _scaled_int(pc.multiply(x, x), 10_000),
+        })
+        part = prep.group_by([key]).aggregate(
+            [("s100", "sum"), ("sq4", "sum"), ("s100", "count")])
+        return part.rename_columns([key, "s100", "sq4", "n"])
+
+    stats = (ds.map_batches(_partial, batch_format="pyarrow")
+             .groupby(key).sum(["s100", "sq4", "n"]).materialize())
+
+    def _mean_var(s100, sq4, n):
+        mean = s100 / 100.0 / n
+        var = sq4 / 10_000.0 / n - mean * mean
+        return mean, var
+
+    if stats.count() <= broadcast_groups_max:
+        sdf = stats.to_pandas()
+        mv = {}
+        for k, s100, sq4, n in zip(sdf[key], sdf[f"sum(s100)"],
+                                   sdf["sum(sq4)"], sdf["sum(n)"]):
+            mv[k] = _mean_var(float(s100), float(sq4), int(n))
+        ref = ray.put(mv)
+
+        def _z(batch):
+            import pandas as pd
+            mv = ray.get(ref)
+            x = batch[col].to_numpy(dtype=np.float64)
+            mean = np.empty(len(x))
+            sd = np.empty(len(x))
+            for i, k in enumerate(batch[key]):
+                m, v = mv[k]
+                mean[i] = m
+                sd[i] = np.sqrt(v) if v > 0 else np.inf
+            batch[out_col] = (x - mean) / sd
+            batch.loc[~np.isfinite(batch[out_col]), out_col] = 0.0
+            return batch
+
+        return ds.map_batches(_z, batch_format="pandas")
+
+    from .relational import inner_join
+    joined = inner_join(ds, stats, on=key)
+
+    def _zj(batch):
+        x = batch[col].to_numpy(dtype=np.float64)
+        mean = batch["sum(s100)"].to_numpy(np.float64) / 100.0 \
+            / batch["sum(n)"].to_numpy(np.float64)
+        var = (batch["sum(sq4)"].to_numpy(np.float64) / 10_000.0
+               / batch["sum(n)"].to_numpy(np.float64)) - mean * mean
+        sd = np.where(var > 0, np.sqrt(np.maximum(var, 0)), np.inf)
+        batch[out_col] = (x - mean) / sd
+        batch.loc[~np.isfinite(batch[out_col]), out_col] = 0.0
+        return batch.drop(columns=["sum(s100)", "sum(sq4)", "sum(n)"])
+
+    return joined.map_batches(_zj, batch_format="pandas")

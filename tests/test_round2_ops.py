@@ -508,3 +508,26 @@ def test_exact_quantiles_matches_numpy_and_recursion():
     out2 = exact_quantiles(ds, "x", qs=qs, num_bins=8,
                            max_collect=200).to_pandas().sort_values("q")
     np.testing.assert_allclose(out2["value"].to_numpy(), exp, rtol=1e-12)
+
+
+def test_group_zscore_paths_agree():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.aggregates import group_zscore
+    rng = np.random.RandomState(17)
+    df = pd.DataFrame({
+        "id": np.arange(600, dtype=np.int64),
+        "g": rng.randint(0, 7, 600).astype(np.int64),
+        "x": np.round(rng.normal(100, 25, 600), 2),
+    })
+    # one constant group exercises the var<=0 -> z=0 rule
+    df.loc[df["g"] == 6, "x"] = 42.0
+    ds = rd.from_pandas(df).repartition(4)
+    bc = (group_zscore(ds, "g", "x").to_pandas()
+          .sort_values("id").reset_index(drop=True))
+    jn = (group_zscore(ds, "g", "x", broadcast_groups_max=0).to_pandas()
+          .sort_values("id").reset_index(drop=True))
+    pd.testing.assert_series_equal(bc["z"], jn["z"], atol=1e-12,
+                                   check_exact=False)
+    assert (bc.loc[bc["g"] == 6, "z"] == 0).all()
+    stats = bc.groupby("g")["z"].agg(["mean", "std"])
+    assert stats.loc[[g for g in range(6)], "mean"].abs().max() < 1e-9

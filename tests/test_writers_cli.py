@@ -98,3 +98,17 @@ def test_teleport_mode_matches_oracle():
             assert np.abs(r - ro).max() < 1e-12
     finally:
         g.shutdown()
+
+
+def test_jsonl_roundtrip(tmp_path):
+    import pandas as pd
+    from hackathon_pagerank_ray.sources.readers import read_jsonl
+    from hackathon_pagerank_ray.sources.writers import write_jsonl
+    df = pd.DataFrame({"a": np.arange(20, dtype=np.int64),
+                       "s": [f"x{i}" for i in range(20)],
+                       "f": np.linspace(0, 1, 20)})
+    out = str(tmp_path / "j")
+    write_jsonl(rd.from_pandas(df).repartition(3), out)
+    back = (read_jsonl(out).to_pandas()
+            .sort_values("a").reset_index(drop=True))
+    pd.testing.assert_frame_equal(back[["a", "s", "f"]], df)
