@@ -132,7 +132,11 @@ def run_queries(sf_dir: str) -> dict:
              "clustering_coeff", "semantic_dedup", "domain_stats",
              "kcore_membership", "hll_users", "weighted_pagerank",
              "bfs_distances", "strongly_connected_components",
-             "cms_event_users"]
+             "cms_event_users", "dataprep_corpus", "pricing_summary",
+             "link_prediction", "adamic_adar", "degree_histogram",
+             "event_gaps", "stratified_events", "unigram_logprob",
+             "events_pivot", "revenue_rollup", "price_quantiles_exact",
+             "acctbal_zscore"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -112,3 +112,29 @@ def test_jsonl_roundtrip(tmp_path):
     back = (read_jsonl(out).to_pandas()
             .sort_values("a").reset_index(drop=True))
     pd.testing.assert_frame_equal(back[["a", "s", "f"]], df)
+
+
+def test_partitioned_write_resume_skips_committed(tmp_path):
+    import os
+    import pandas as pd
+    from hackathon_pagerank_ray.sources.part_writer import (read_partitioned,
+                                                            write_partitioned)
+    df = pd.DataFrame({"g": np.repeat([1, 2, 3], 10).astype(np.int64),
+                       "x": np.arange(30, dtype=np.int64)})
+    out = str(tmp_path / "p")
+    m1 = write_partitioned(rd.from_pandas(df).repartition(4), out, "g")
+    assert m1["skipped"].tolist() == [False, False, False]
+    assert sorted(m1["rows"]) == [10, 10, 10]
+    # simulate a failed partition: remove one _SUCCESS marker
+    os.remove(os.path.join(out, "g=2", "_SUCCESS"))
+    f1 = os.path.join(out, "g=1", "part-0.parquet")
+    mtime_before = os.path.getmtime(f1)
+    m2 = write_partitioned(rd.from_pandas(df).repartition(2), out, "g")
+    m2 = m2.set_index("key")
+    assert bool(m2.loc["1", "skipped"]) and bool(m2.loc["3", "skipped"])
+    assert not bool(m2.loc["2", "skipped"])        # rewritten
+    assert os.path.getmtime(f1) == mtime_before    # untouched
+    back = read_partitioned(out, "g").to_pandas().sort_values("x")
+    pd.testing.assert_frame_equal(back.reset_index(drop=True),
+                                  df.sort_values("x").reset_index(drop=True),
+                                  check_like=True)
