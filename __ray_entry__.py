@@ -665,6 +665,33 @@ def _q_revenue_rollup(sf_dir):
                          "o_totalprice")
 
 
+def _q_top_bigrams(sf_dir):
+    """Global top-100 word bigrams by corpus count — per-block Counter
+    partials, one groupby exchange, deterministic (n desc, ngram)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import top_ngrams
+    return top_ngrams(_docs_ds(sf_dir, ["text"]), n=2, k=100)
+
+
+def _q_quality_resample(sf_dir):
+    """Quality-temperature resampling: per-doc keep probability
+    min(1, n_tokens/100), decided by the key-stable md5 rule."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import quality_weighted_sample
+    from hackathon_pagerank_ray.stages.text_ops import TokenCount
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    toks = docs.map_batches(TokenCount(), batch_format="pandas",
+                            concurrency=4)
+
+    def _w(batch):
+        batch["w"] = np.minimum(1.0, batch["n_tokens"] / 100.0)
+        return batch[["doc_id", "n_tokens", "w"]]
+
+    wd = toks.map_batches(_w, batch_format="pandas")
+    out = quality_weighted_sample(wd, "doc_id", "w", seed=42)
+    return out.select_columns(["doc_id", "n_tokens"])
+
+
 def _q_unigram_logprob(sf_dir):
     """Mean token log-probability per doc under the corpus's own
     unigram LM — fully distributed two-shuffle plan, no driver vocab."""
@@ -1137,6 +1164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
+        "top_bigrams": _q_top_bigrams,
+        "quality_resample": _q_quality_resample,
         "events_pivot": _q_events_pivot,
         "revenue_rollup": _q_revenue_rollup,
         "stratified_events": _q_stratified_events,
@@ -1989,6 +2018,29 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # corpus bigram table (stages/text_ops.top_ngrams)
+        "top_bigrams": r"""
+WITH toks AS (SELECT regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents),
+bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS ngram
+       FROM toks WHERE len(t) >= 2)
+SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY ngram
+ORDER BY n DESC, ngram LIMIT 100
+""",
+        # quality-temperature resample (stages/sampling.
+        # quality_weighted_sample): keep prob min(1, n_tokens/100),
+        # md5-keyed rule mirrored verbatim
+        "quality_resample": r"""
+WITH q AS (SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT) AS n_tokens
+      FROM documents),
+w AS (SELECT doc_id, n_tokens,
+        LEAST(1.0, n_tokens / 100.0) AS w FROM q)
+SELECT doc_id, n_tokens FROM w
+WHERE w >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
+  < printf('%08x', CAST(FLOOR(w * 4294967296.0) AS BIGINT))
+""",
         # PIVOT / crosstab (stages/aggregates.pivot_counts)
         "events_pivot":
             "SELECT user_id, "

@@ -103,3 +103,25 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
     partial = ds.map_batches(_with_hex, batch_format="pandas")
     return partial.groupby(key_col).map_groups(
         _final, batch_format="pandas")
+
+
+def quality_weighted_sample(ds, key_col: str, weight_col: str, seed=42):
+    """Per-row Bernoulli keep with row-specific probability
+    ``min(1, weight)`` — deterministic (md5-keyed like hash_sample), so
+    quality-temperature resampling is stable across retries and engines.
+
+    Keep rule (mirrored verbatim by the SQL oracle): weight ≥ 1 always
+    keeps; otherwise keep iff ``substr(md5('{seed}:{key}'),1,8) <
+    printf('%08x', floor(weight · 2³²))``."""
+
+    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        w = batch[weight_col].to_numpy(dtype=np.float64)
+        keep = np.ones(len(batch), dtype=bool)
+        for i, (k, wi) in enumerate(zip(batch[key_col], w)):
+            if wi >= 1.0:
+                continue
+            thr = format(int(np.floor(wi * 4294967296.0)), "08x")
+            keep[i] = _bucket_hex(seed, k) < thr
+        return batch[keep]
+
+    return ds.map_batches(_keep, batch_format="pandas")

@@ -295,3 +295,38 @@ def add_repetition_stats(ds, text_col: str = "text", concurrency=None):
 
 def add_redaction(ds, text_col: str = "text", concurrency=None):
     return _task_stage(ds, "Redact", text_col)
+
+
+def top_ngrams(docs_ds, text_col: str = "text", n: int = 2, k: int = 100):
+    """Global top-k word n-grams by corpus count — the n-gram frequency
+    table every corpus-statistics / contamination pipeline starts from.
+
+    Per-block Counter partials (each block contributes each of its
+    distinct n-grams once, pre-summed) → one ``groupby(ngram).sum()``
+    exchange → tiny deterministic top-k ordered by (count desc, ngram).
+    """
+    from collections import Counter
+
+    from .relational import topk
+
+    def _partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in batch[text_col]:
+            toks = tokenize(text)
+            c.update(" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1))
+        if not c:
+            return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"ngram": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64)})
+
+    import pyarrow as pa
+
+    from .schema_util import enforce_schema
+    partials = enforce_schema(
+        docs_ds.map_batches(_partial, batch_format="pandas"),
+        pa.schema([("ngram", pa.string()), ("n", pa.int64())]))
+    totals = (partials.groupby("ngram").sum("n")
+              .rename_columns({"sum(n)": "n"}))
+    return topk(totals, ["n", "ngram"], k, descending=[True, False])

@@ -603,3 +603,34 @@ def test_json_field_int64_drop_invalid():
     assert out["id"].tolist() == [0, 1, 6]
     assert out["k"].tolist() == [5, 7, 2]
     assert "props" not in out.columns
+
+
+def test_top_ngrams_and_weighted_sample():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.sampling import quality_weighted_sample
+    from hackathon_pagerank_ray.stages.text_ops import top_ngrams
+    docs = pd.DataFrame({
+        "doc_id": np.arange(4, dtype=np.int64),
+        "text": ["a b c a b", "a b x", "q r", ""],
+    })
+    out = top_ngrams(rd.from_pandas(docs).repartition(3), k=3).to_pandas()
+    assert out.iloc[0]["ngram"] == "a b" and out.iloc[0]["n"] == 3
+    assert len(out) == 3
+    tri = top_ngrams(rd.from_pandas(docs), n=3, k=10).to_pandas()
+    assert ("a b c" in set(tri["ngram"])
+            and int(tri.set_index("ngram").loc["a b c", "n"]) == 1)
+
+    # weighted sample: w=1 keeps everything; w=0 drops everything
+    df = pd.DataFrame({"id": np.arange(200, dtype=np.int64)})
+    df["w_all"] = 1.0
+    df["w_none"] = 0.0
+    ds = rd.from_pandas(df).repartition(3)
+    assert quality_weighted_sample(ds, "id", "w_all").count() == 200
+    assert quality_weighted_sample(ds, "id", "w_none").count() == 0
+    # intermediate w keeps a stable, key-determined subset
+    df["w_half"] = 0.5
+    a = sorted(quality_weighted_sample(rd.from_pandas(df), "id", "w_half")
+               .to_pandas()["id"])
+    b = sorted(quality_weighted_sample(rd.from_pandas(df).repartition(7),
+                                       "id", "w_half").to_pandas()["id"])
+    assert a == b and 50 < len(a) < 150
