@@ -733,6 +733,38 @@ def _q_price_quantiles_exact(sf_dir):
     return exact_quantiles(li, "l_extendedprice", qs=_EQ_QS)
 
 
+def _q_qty_discount_corr(sf_dir):
+    """Pearson corr(l_quantity, l_discount) — one combiner pass of exact
+    scaled-int moments, formula evaluated once on six scalars."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import pearson_corr
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_quantity", "l_discount"])
+    return pearson_corr(li, "l_quantity", "l_discount")
+
+
+def _q_repeat_buyers(sf_dir):
+    """Customers ordering in ≥2 distinct years: distinct (cust, year) →
+    count per customer → filter (two bounded exchanges)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import distinct
+    orders = _rd().read_parquet(f"{sf_dir}/orders.parquet",
+                                columns=["o_custkey", "o_orderdate"])
+
+    def _year(t: pa.Table) -> pa.Table:
+        y = pc.year(t["o_orderdate"])
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(),
+             pc.cast(y, pa.int64()).combine_chunks()],
+            names=["o_custkey", "yr"])
+
+    cy = distinct(orders.map_batches(_year, batch_format="pyarrow"),
+                  ["o_custkey", "yr"], 8)
+    counts = (cy.groupby("o_custkey").count()
+              .rename_columns({"count()": "n_years"}))
+    return counts.filter(expr="n_years >= 2")
+
+
 def _q_acctbal_zscore(sf_dir):
     """Per-nation z-score of customer account balance — window-aggregate
     analogue via scaled-int combiner partials + broadcast stats."""
@@ -1161,6 +1193,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "price_quantiles_exact": _q_price_quantiles_exact,
         "acctbal_zscore": _q_acctbal_zscore,
+        "qty_discount_corr": _q_qty_discount_corr,
+        "repeat_buyers": _q_repeat_buyers,
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
@@ -2101,6 +2135,27 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
             "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
             "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
             "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
+        # Pearson corr (stages/aggregates.pearson_corr): exact HUGEINT
+        # moments, one float expression — mirrored verbatim
+        "qty_discount_corr": """
+WITH s AS (SELECT
+  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx,
+  SUM(CAST(ROUND(l_discount * 100) AS BIGINT)) AS sy,
+  SUM(CAST(ROUND(l_quantity * l_discount * 10000) AS BIGINT)) AS sxy,
+  SUM(CAST(ROUND(l_quantity * l_quantity * 10000) AS BIGINT)) AS sxx,
+  SUM(CAST(ROUND(l_discount * l_discount * 10000) AS BIGINT)) AS syy,
+  COUNT(*) AS n FROM lineitem)
+SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy,
+  CAST(n AS BIGINT) AS n FROM s
+""",
+        # distinct-year repeat buyers (query composition over
+        # stages/relational.distinct + groupby count)
+        "repeat_buyers":
+            "SELECT o_custkey, CAST(COUNT(DISTINCT year(o_orderdate)) "
+            "AS BIGINT) AS n_years FROM orders GROUP BY o_custkey "
+            "HAVING COUNT(DISTINCT year(o_orderdate)) >= 2",
         # per-group z-score (stages/aggregates.group_zscore): the SQL
         # mirrors the engine's scaled-int mean/var exactly (s/100.0/n,
         # sq/10000.0/n - mean*mean) so z values are bit-identical

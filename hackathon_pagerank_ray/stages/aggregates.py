@@ -268,3 +268,53 @@ def group_zscore(ds, key: str, col: str, out_col: str = "z",
         return batch.drop(columns=["sum(s100)", "sum(sq4)", "sum(n)"])
 
     return joined.map_batches(_zj, batch_format="pandas")
+
+
+def pearson_corr(ds, x_col: str, y_col: str, scale: int = 100):
+    """Pearson correlation of two ≤2-decimal columns as one combiner
+    pass: per-block scaled-int partial sums of (x, y, xy, x², y², n) —
+    exact and order-independent — merged with a single tiny reduce, then
+    the textbook formula on the driver (one row out).
+
+    int64 bound: |Σ x²·scale²| must stay under 2⁶³ — with 2-decimal
+    inputs ≤ 10⁴ that holds to ~10¹⁴ rows; widen to decimal128 partials
+    beyond.  Returns a one-row Dataset ``(corr_xy, n)``."""
+    import math
+
+    import pandas as pd
+    import ray.data as rd
+
+    s2 = scale * scale
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t[x_col]
+        y = t[y_col]
+        return pa.table({
+            "sx": [_sum64(_scaled_int(x, scale))],
+            "sy": [_sum64(_scaled_int(y, scale))],
+            "sxy": [_sum64(_scaled_int(pc.multiply(x, y), s2))],
+            "sxx": [_sum64(_scaled_int(pc.multiply(x, x), s2))],
+            "syy": [_sum64(_scaled_int(pc.multiply(y, y), s2))],
+            "n": [t.num_rows],
+        })
+
+    p = ds.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    n = int(p["n"].sum()) if "n" in p.columns else 0
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame(
+            {"corr_xy": pd.Series(dtype="float64"),
+             "n": pd.Series(dtype="int64")}))
+    sx, sy = int(p["sx"].sum()), int(p["sy"].sum())
+    sxy, sxx, syy = (int(p["sxy"].sum()), int(p["sxx"].sum()),
+                     int(p["syy"].sum()))
+    # exact integer moments, then one float expression (mirrored in SQL)
+    num = float(n * sxy - sx * sy)
+    den = math.sqrt(float(n * sxx - sx * sx)) * math.sqrt(
+        float(n * syy - sy * sy))
+    corr = num / den if den > 0 else float("nan")
+    return rd.from_pandas(pd.DataFrame([{"corr_xy": corr, "n": n}]))
+
+
+def _sum64(arr: pa.Array) -> int:
+    v = pc.sum(arr)
+    return int(v.as_py() or 0)

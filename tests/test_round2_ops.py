@@ -531,3 +531,20 @@ def test_group_zscore_paths_agree():
     assert (bc.loc[bc["g"] == 6, "z"] == 0).all()
     stats = bc.groupby("g")["z"].agg(["mean", "std"])
     assert stats.loc[[g for g in range(6)], "mean"].abs().max() < 1e-9
+
+
+def test_pearson_corr_matches_numpy():
+    import pandas as pd
+    from hackathon_pagerank_ray.stages.aggregates import pearson_corr
+    rng = np.random.RandomState(19)
+    x = np.round(rng.uniform(1, 50, 3000), 2)
+    y = np.round(0.5 * x + rng.normal(0, 5, 3000), 2)
+    ds = rd.from_pandas(pd.DataFrame({"x": x, "y": y})).repartition(5)
+    out = pearson_corr(ds, "x", "y").to_pandas()
+    assert int(out["n"].iloc[0]) == 3000
+    exp = np.corrcoef(x, y)[0, 1]
+    assert abs(out["corr_xy"].iloc[0] - exp) < 1e-9
+    # empty input -> empty result, no crash
+    empty = rd.from_pandas(pd.DataFrame({"x": pd.Series(dtype="float64"),
+                                         "y": pd.Series(dtype="float64")}))
+    assert pearson_corr(empty, "x", "y").count() == 0
