@@ -38,6 +38,8 @@ def _quiet():
     DataContext.get_current().enable_progress_bars = False
     from hackathon_pagerank_ray.stages.relational import tune_shuffle
     tune_shuffle()
+    from hackathon_pagerank_ray.state.alloc import tune_allocator
+    tune_allocator()
 
 
 def _edges_ds(sf_dir: str):

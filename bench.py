@@ -31,6 +31,8 @@ CORPUS_PAGES = int(os.environ.get("GRAFT_BENCH_PAGES", "4000"))
 
 
 def _init_ray(num_cpus: int):
+    from hackathon_pagerank_ray.state.alloc import tune_allocator
+    tune_allocator()   # before ray.init so workers inherit the env vars
     import ray
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR")

@@ -27,46 +27,63 @@ import pyarrow.compute as pc
 
 from ..stages.relational import anti_join, topk
 from ..stages.schema_util import drop_empty_blocks, enforce_schema
-from .triangles import canonical_undirected
+from .triangles import canonical_undirected, segment_pairs
 
 _PAIR_SCHEMA = pa.schema([("u", pa.int64()), ("v", pa.int64())])
 
 
-def _cn_small(df: pd.DataFrame, k: int,
-              cap: int | None) -> pd.DataFrame:
-    """Single-task exact path: same semantics as the distributed plan."""
-    u = df["u"].to_numpy()
-    v = df["v"].to_numpy()
+def _canon_neighbors(df: pd.DataFrame):
+    """Canonicalize raw (src, dst) in-task (packed-int64 dedup, vids < 2^31
+    guaranteed by the caller's max-id gate) and return the symmetrized
+    neighbor layout: ``packed`` edge codes, flat sorted ``b`` grouped by
+    center, and per-center group ``lens``."""
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    keep = src != dst
+    u = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    v = np.maximum(src[keep], dst[keep]).astype(np.int64)
     if len(u) == 0:
-        return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                             "v": pd.Series(dtype="int64"),
-                             "common_neighbors": pd.Series(dtype="int64")})
+        return None
+    packed = np.unique((u << 32) | v)
+    u, v = packed >> 32, packed & 0xFFFFFFFF
     a = np.concatenate([u, v])
     b = np.concatenate([v, u])
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-    ends = np.r_[starts[1:], len(a)]
-    xs, ys = [], []
-    for s, e in zip(starts, ends):
-        nb = b[s:e]
-        if cap is not None and len(nb) > cap:
-            nb = nb[:cap]
-        if len(nb) >= 2:
-            i, j = np.triu_indices(len(nb), k=1)
-            xs.append(nb[i])
-            ys.append(nb[j])
-    if not xs:
-        return pd.DataFrame({"u": pd.Series(dtype="int64"),
-                             "v": pd.Series(dtype="int64"),
-                             "common_neighbors": pd.Series(dtype="int64")})
-    x = np.concatenate(xs)
-    y = np.concatenate(ys)
-    m = int(max(u.max(), v.max())) + 1
-    code, cnt = np.unique(x.astype(np.int64) * m + y, return_counts=True)
-    keep = ~np.isin(code, u.astype(np.int64) * m + v)
+    lens = np.diff(np.r_[starts, len(a)])
+    return packed, b, starts, lens
+
+
+def _cn_small(df: pd.DataFrame, k: int,
+              cap: int | None) -> pd.DataFrame:
+    """Single-task exact path: same semantics as the distributed plan,
+    fully vectorized (segmented pair expansion, no per-center loop)."""
+    empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
+                          "v": pd.Series(dtype="int64"),
+                          "common_neighbors": pd.Series(dtype="int64")})
+    layout = _canon_neighbors(df) if len(df) else None
+    if layout is None:
+        return empty
+    packed, b, starts, lens = layout
+    if cap is not None:
+        pos = np.arange(len(b), dtype=np.int64) - np.repeat(starts, lens)
+        b = b[pos < cap]        # keep the cap lowest-vid neighbors
+        lens = np.minimum(lens, cap)
+    li, ri, _ = segment_pairs(lens)
+    if len(li) == 0:
+        return empty
+    code = (b[li] << 32) | b[ri]
+    del li, ri                      # free before the sort-heavy unique
+    code, cnt = np.unique(code, return_counts=True)
+    pos = np.minimum(np.searchsorted(packed, code), len(packed) - 1)
+    keep = packed[pos] != code      # drop pairs already adjacent
     code, cnt = code[keep], cnt[keep]
-    pu, pv = code // m, code % m
+    if len(code) > k:               # prune to the boundary before lexsort
+        thresh = np.partition(cnt, len(cnt) - k)[len(cnt) - k]
+        sel = cnt >= thresh
+        code, cnt = code[sel], cnt[sel]
+    pu, pv = code >> 32, code & 0xFFFFFFFF
     top = np.lexsort((pv, pu, -cnt))[:k]
     return pd.DataFrame({"u": pu[top], "v": pv[top],
                          "common_neighbors": cnt[top].astype(np.int64)})
@@ -79,16 +96,22 @@ def common_neighbors_topk(edges_ds, k: int = 50, num_partitions: int = 16,
     ``(u, v, common_neighbors)`` with u < v, ordered by
     (count desc, u, v).
 
-    Adaptive: undirected edge tables under ``small_threshold`` rows run
-    the identical algorithm in one vectorized task (the distributed plan
-    is ~4 hash exchanges whose fixed spin-up dwarfs small inputs); the
-    wedge-join plan below is the shape at scale.
+    Adaptive: raw edge tables under ``small_threshold`` rows run the
+    identical algorithm in one vectorized task — including the
+    canonicalization, so no distributed distinct shuffle is paid at all
+    (the distributed plan is ~5 hash exchanges whose fixed spin-up
+    dwarfs small inputs); the wedge-join plan below is the shape at
+    scale.
     """
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
+        if max_id < 2 ** 31:
+            return drop_empty_blocks(edges_ds.repartition(1).map_batches(
+                lambda df: _cn_small(df, k, max_center_degree),
+                batch_format="pandas", batch_size=None))
     und = canonical_undirected(edges_ds, num_partitions).materialize()
-    if und.count() <= small_threshold:
-        return drop_empty_blocks(und.repartition(1).map_batches(
-            lambda df: _cn_small(df, k, max_center_degree),
-            batch_format="pandas", batch_size=None))
 
     def _both(t: pa.Table) -> pa.Table:
         u = t["u"].combine_chunks()
@@ -136,36 +159,31 @@ def _aa_small(df: pd.DataFrame, k: int) -> pd.DataFrame:
     empty = pd.DataFrame({"u": pd.Series(dtype="int64"),
                           "v": pd.Series(dtype="int64"),
                           "aa_score": pd.Series(dtype="float64")})
-    u = df["u"].to_numpy()
-    v = df["v"].to_numpy()
-    if len(u) == 0:
+    layout = _canon_neighbors(df) if len(df) else None
+    if layout is None:
         return empty
-    a = np.concatenate([u, v])
-    b = np.concatenate([v, u])
-    order = np.lexsort((b, a))
-    a, b = a[order], b[order]
-    starts = np.flatnonzero(np.r_[True, a[1:] != a[:-1]])
-    ends = np.r_[starts[1:], len(a)]
-    xs, ys, ws = [], [], []
-    for s, e in zip(starts, ends):
-        nb = b[s:e]
-        if len(nb) >= 2:
-            i, j = np.triu_indices(len(nb), k=1)
-            xs.append(nb[i])
-            ys.append(nb[j])
-            ws.append(np.full(len(i), _aa_weight(len(nb)), dtype=np.int64))
-    if not xs:
+    packed, b, _starts, lens = layout
+    li, ri, grp = segment_pairs(lens, want_groups=True)
+    if len(li) == 0:
         return empty
-    x = np.concatenate(xs)
-    y = np.concatenate(ys)
-    w = np.concatenate(ws)
-    m = int(max(u.max(), v.max())) + 1
-    code = x.astype(np.int64) * m + y
+    aw = np.zeros(len(lens), dtype=np.int64)
+    m2 = lens >= 2
+    aw[m2] = np.rint(_AA_SCALE / np.log(lens[m2])).astype(np.int64)
+    code = (b[li] << 32) | b[ri]
+    w = aw[grp]
+    del li, ri, grp                 # free before the sort-heavy unique
     uniq, inv = np.unique(code, return_inverse=True)
+    del code
     score = np.bincount(inv, weights=w).astype(np.int64)
-    keep = ~np.isin(uniq, u.astype(np.int64) * m + v)
+    del inv, w
+    pos = np.minimum(np.searchsorted(packed, uniq), len(packed) - 1)
+    keep = packed[pos] != uniq      # drop pairs already adjacent
     uniq, score = uniq[keep], score[keep]
-    pu, pv = uniq // m, uniq % m
+    if len(uniq) > k:               # prune to the boundary before lexsort
+        thresh = np.partition(score, len(score) - k)[len(score) - k]
+        sel = score >= thresh
+        uniq, score = uniq[sel], score[sel]
+    pu, pv = uniq >> 32, uniq & 0xFFFFFFFF
     top = np.lexsort((pv, pu, -score))[:k]
     return pd.DataFrame({"u": pu[top], "v": pv[top],
                          "aa_score": score[top] / _AA_SCALE})
@@ -177,11 +195,15 @@ def adamic_adar_topk(edges_ds, k: int = 50, num_partitions: int = 16,
     Σ_center 1/ln(deg(center)) — common neighbors weighted down by how
     promiscuous they are.  Same adaptive shape and partitioning keys as
     :func:`common_neighbors_topk`."""
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
+        if max_id < 2 ** 31:
+            return drop_empty_blocks(edges_ds.repartition(1).map_batches(
+                lambda df: _aa_small(df, k),
+                batch_format="pandas", batch_size=None))
     und = canonical_undirected(edges_ds, num_partitions).materialize()
-    if und.count() <= small_threshold:
-        return drop_empty_blocks(und.repartition(1).map_batches(
-            lambda df: _aa_small(df, k),
-            batch_format="pandas", batch_size=None))
 
     def _both(t: pa.Table) -> pa.Table:
         u = t["u"].combine_chunks()

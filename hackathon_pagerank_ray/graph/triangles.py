@@ -31,6 +31,50 @@ _CLOSE_SCHEMA = pa.schema([pa.field("b", pa.int64()), pa.field("c", pa.int64())]
 _CORNER_SCHEMA = pa.schema([pa.field("vid", pa.int64())])
 
 
+def segment_pairs(lengths: np.ndarray, want_groups: bool = False):
+    """All within-group unordered pairs over contiguous groups — the
+    vectorized segmented ``triu_indices``.
+
+    Given group ``lengths`` describing consecutive segments of a flat
+    array of ``lengths.sum()`` elements, return ``(left, right, grp)``:
+    GLOBAL element indices of every within-group pair with local i < j,
+    plus (when ``want_groups``) each pair's group index, else None.
+    Pure run-length arithmetic — no per-group Python loop, so a task
+    over 100k+ small groups stays in numpy instead of interpreting 100k
+    loop bodies.  Indices come back int32 when they fit (they do until a
+    single task holds 2^31 elements) — pair arrays dominate the task's
+    memory, and on lazily-paged hosts first-touch bytes are the cost.
+    """
+    from ..state.alloc import tune_allocator
+    tune_allocator()   # pair expansion is allocation-heavy; see alloc.py
+    lengths = np.asarray(lengths, dtype=np.int64)
+    total = int(lengths.sum())
+    idx_t = np.int32 if total < 2 ** 31 else np.int64
+    empty = np.empty(0, dtype=idx_t)
+    if total == 0:
+        return empty, empty, (empty if want_groups else None)
+    starts = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+    pos = np.arange(total, dtype=idx_t) - np.repeat(starts.astype(idx_t),
+                                                    lengths)
+    cnt = np.repeat(lengths.astype(idx_t), lengths) - 1 - pos
+    npairs = int(cnt.sum(dtype=np.int64))
+    if npairs == 0:
+        return empty, empty, (empty if want_groups else None)
+    left = np.repeat(np.arange(total, dtype=idx_t), cnt)
+    cstart = np.concatenate(([0], np.cumsum(cnt, dtype=np.int64)[:-1]))
+    pair_t = np.int32 if (npairs < 2 ** 31 and total < 2 ** 31) else np.int64
+    right = np.arange(npairs, dtype=pair_t)
+    right -= np.repeat(cstart.astype(pair_t), cnt)   # now the local offset
+    right += left
+    right += 1
+    grp = None
+    if want_groups:
+        grp_t = np.int32 if len(lengths) < 2 ** 31 else np.int64
+        grp = np.repeat(np.arange(len(lengths), dtype=grp_t),
+                        lengths * (lengths - 1) // 2)
+    return left, right, grp
+
+
 def canonical_undirected(edges_ds, num_partitions: int = 16):
     """(src,dst) digraph → unique undirected simple edges (u < v)."""
     def _canon(t: pa.Table) -> pa.Table:
@@ -79,18 +123,16 @@ def _triangle_counts_small(df: pd.DataFrame) -> pd.DataFrame:
     boundary[1:] = a[1:] != a[:-1]
     gs = np.flatnonzero(boundary)
     ge = np.append(gs[1:], len(a))
-    wa, wb, wc = [], [], []
-    for s, e in zip(gs[ge - gs >= 2], ge[ge - gs >= 2]):
-        i, j = np.triu_indices(e - s, k=1)
-        wa.append(np.full(len(i), a[s]))
-        wb.append(b[s:e][i])
-        wc.append(b[s:e][j])
+    li, ri, _ = segment_pairs(ge - gs)
     counts = np.zeros(n, dtype=np.int64)
-    if wa:
-        wa = np.concatenate(wa)
-        wb = np.concatenate(wb)
-        wc = np.concatenate(wc)
-        closed = np.isin((wb << 32) | wc, (a << 32) | b)
+    if len(li):
+        wa, wb, wc = a[li], b[li], b[ri]
+        del li, ri
+        ecode = np.sort((a << 32) | b)
+        wcode = (wb << 32) | wc
+        pos = np.minimum(np.searchsorted(ecode, wcode), len(ecode) - 1)
+        closed = ecode[pos] == wcode
+        del wcode, pos
         counts = (np.bincount(wa[closed], minlength=n)
                   + np.bincount(wb[closed], minlength=n)
                   + np.bincount(wc[closed], minlength=n))
