@@ -83,6 +83,8 @@ def histogram_quantiles(ds, col: str, bin_width: float,
 # -- HyperLogLog distinct-count sketch --------------------------------------
 
 _HEX = "0123456789abcdef"
+# worker-process (bucket, rho) cache — see _CMS_CACHE below
+_HLL_CACHE: dict = {}
 # leading zero bits within one hex digit (of the first nonzero digit)
 _LZ4 = {d: (3 if d == "1" else 2 if d in "23" else 1 if d in "4567" else 0)
         for d in _HEX[1:]}
@@ -103,15 +105,22 @@ def _hll_partial(batch: pd.DataFrame, key_col: str, m: int) -> pd.DataFrame:
     keys = np.unique(batch[key_col].astype(str).to_numpy())
     buckets = np.empty(len(keys), dtype=np.int64)
     rhos = np.empty(len(keys), dtype=np.int64)
+    cache = _HLL_CACHE
     for i, key in enumerate(keys):
-        hx = hashlib.md5(key.encode()).hexdigest()[:16]
-        buckets[i] = _HEX.index(hx[0]) * 16 + _HEX.index(hx[1])
-        tail = hx[2:]
-        stripped = tail.lstrip("0")
-        if not stripped:
-            rhos[i] = 4 * 14 + 1
-        else:
-            rhos[i] = 4 * (14 - len(stripped)) + _LZ4[stripped[0]] + 1
+        v = cache.get(key)
+        if v is None:
+            hx = hashlib.md5(key.encode()).hexdigest()[:16]
+            b = _HEX.index(hx[0]) * 16 + _HEX.index(hx[1])
+            tail = hx[2:]
+            stripped = tail.lstrip("0")
+            if not stripped:
+                r = 4 * 14 + 1
+            else:
+                r = 4 * (14 - len(stripped)) + _LZ4[stripped[0]] + 1
+            v = (b, r)
+            if len(cache) < _CMS_CACHE_MAX:
+                cache[key] = v
+        buckets[i], rhos[i] = v
     # batch-local combine: max rho per bucket
     mx = np.zeros(m, dtype=np.int64)
     np.maximum.at(mx, buckets, rhos)
@@ -157,6 +166,13 @@ def hll_estimate(registers_df, m: int = 256) -> float:
 # -- count-min frequency sketch ----------------------------------------------
 
 
+# worker-process bucket cache: event/user keys repeat across batches, so
+# the md5 cost drops from per-batch-distinct to per-process-distinct —
+# bit-identical output (caches only the pure hash), bounded size
+_CMS_CACHE: dict = {}
+_CMS_CACHE_MAX = 2_000_000
+
+
 def _cms_partial(batch: pd.DataFrame, key_col: str, depth: int,
                  width: int) -> pd.DataFrame:
     """Per-batch count-min partial: for each of ``depth`` seeded md5 hash
@@ -169,13 +185,23 @@ def _cms_partial(batch: pd.DataFrame, key_col: str, depth: int,
     # and depth× fewer md5 calls on repeated-key columns
     uniq, mult = np.unique(batch[key_col].astype(str).to_numpy(),
                            return_counts=True)
+    cache = _CMS_CACHE.setdefault((depth, width), {})
+    prefixes = [f"{d}:".encode() for d in range(depth)]
+    bmat = np.empty((depth, len(uniq)), dtype=np.int64)
+    for i, k in enumerate(uniq):
+        v = cache.get(k)
+        if v is None:
+            kb = k.encode()
+            # first 8 hex chars of md5 == big-endian int of digest[:4]
+            v = tuple(int.from_bytes(
+                hashlib.md5(p + kb).digest()[:4], "big") % width
+                for p in prefixes)
+            if len(cache) < _CMS_CACHE_MAX:
+                cache[k] = v
+        bmat[:, i] = v
     out_d, out_b, out_n = [], [], []
     for d in range(depth):
-        buckets = np.fromiter(
-            (int(hashlib.md5(f"{d}:{k}".encode()).hexdigest()[:8], 16)
-             % width for k in uniq),
-            dtype=np.int64, count=len(uniq))
-        counts = np.bincount(buckets, weights=mult,
+        counts = np.bincount(bmat[d], weights=mult,
                              minlength=width).astype(np.int64)
         nz = np.flatnonzero(counts)
         out_d.append(np.full(len(nz), d, dtype=np.int64))
