@@ -552,6 +552,16 @@ def _q_exact_text_dedup(sf_dir):
     return out.select_columns(["keep_id", "dup_count"])
 
 
+def _q_setsim_pairs(sf_dir):
+    """Exact token-set Jaccard >= 4/5 self-join (AllPairs prefix filter);
+    integer (inter, uni) output so the threshold is cross-multiplied
+    exactly on both sides."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import setsim_pairs
+    return setsim_pairs(_docs_ds(sf_dir, ["doc_id", "text"]),
+                        tau_num=4, tau_den=5, num_partitions=8)
+
+
 def _q_doc_dedup_longest(sf_dir):
     _quiet()
     import pandas as pd
@@ -1186,6 +1196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df": _q_term_df,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
+        "setsim_pairs": _q_setsim_pairs,
         "doc_dedup_longest": _q_doc_dedup_longest,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2031,6 +2042,25 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         "exact_text_dedup":
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY text",
+        # exact AllPairs set-similarity join (dedup_near.setsim_pairs):
+        # integer inter/uni so the tau=4/5 test is exact cross-multiply
+        "setsim_pairs": r"""
+WITH tok AS (
+  SELECT doc_id, unnest(list_distinct(
+      regexp_extract_all(lower(text), '\w+'))) AS term
+  FROM documents
+), sz AS (SELECT doc_id, COUNT(*) AS s FROM tok GROUP BY doc_id),
+ints AS (
+  SELECT t1.doc_id AS doc_a, t2.doc_id AS doc_b, COUNT(*) AS inter
+  FROM tok t1 JOIN tok t2 ON t1.term = t2.term AND t1.doc_id < t2.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, inter, sa.s + sb.s - inter AS uni
+FROM ints
+JOIN sz sa ON sa.doc_id = doc_a
+JOIN sz sb ON sb.doc_id = doc_b
+WHERE 5 * inter >= 4 * (sa.s + sb.s - inter)
+""",
         "doc_dedup_longest":
             "SELECT doc_id, lang, source, n_chars FROM documents "
             "QUALIFY ROW_NUMBER() OVER (PARTITION BY lang, source "

@@ -830,3 +830,228 @@ def semantic_dedup(emb_ds, id_col="vec_id", emb_col="embedding",
         [id_col])
     universe = emb_ds.select_columns([id_col])
     return anti_join(universe, drop_empty_blocks(dominated), on=id_col)
+
+
+# ---------------------------------------------------------------------------
+# Exact set-similarity self-join (AllPairs / prefix filtering)
+# ---------------------------------------------------------------------------
+
+def _setsim_small(df: pd.DataFrame, tau_num: int, tau_den: int,
+                  id_col: str, text_col: str) -> pd.DataFrame:
+    """Single-task exact path: same algorithm as the distributed plan
+    (token-frequency order → prefix postings → candidate pairs → exact
+    intersection), all in one vectorized task."""
+    empty = pd.DataFrame({"doc_a": pd.Series(dtype="int64"),
+                          "doc_b": pd.Series(dtype="int64"),
+                          "inter": pd.Series(dtype="int64"),
+                          "uni": pd.Series(dtype="int64")})
+    if not len(df):
+        return empty
+    from ..graph.triangles import segment_pairs
+    ids = df[id_col].to_numpy()
+    # collapse identical token sets FIRST: the quadratic candidate work
+    # then runs over DISTINCT sets only, and the (output-sized) member
+    # expansion is pure arithmetic — a mass-duplicated cluster costs one
+    # representative, not c²/2 set intersections
+    vocab: dict[str, int] = {}
+    groups: dict[bytes, list[int]] = {}
+    rep_tok: list[np.ndarray] = []
+    grp_members: list[np.ndarray] = []
+    key_to_grp: dict[bytes, int] = {}
+    for i, t in enumerate(df[text_col]):
+        s = set(tokenize(t or ""))
+        if not s:
+            continue                        # no tokens → no pairs
+        arr = np.fromiter((vocab.setdefault(w, len(vocab)) for w in s),
+                          dtype=np.int64, count=len(s))
+        arr.sort()
+        key = arr.tobytes()
+        g = key_to_grp.get(key)
+        if g is None:
+            key_to_grp[key] = len(rep_tok)
+            rep_tok.append(arr)
+            groups[key] = [i]
+        else:
+            groups[key].append(i)
+    if not rep_tok:
+        return empty
+    grp_members = [np.sort(ids[m]) for m in
+                   (groups[a.tobytes()] for a in rep_tok)]
+    sz = np.array([len(a) for a in rep_tok], dtype=np.int64)
+    nv = len(vocab)
+    # frequency = number of DOCS containing the token (weights = cluster
+    # sizes), matching the distributed plan's posting-length heuristic;
+    # any total order is lossless, this one just minimizes candidates
+    freq = np.bincount(
+        np.concatenate(rep_tok), minlength=nv,
+        weights=np.repeat([len(m) for m in grp_members], sz)
+    ).astype(np.int64)
+    rank = np.empty(nv, dtype=np.int64)
+    rank[np.lexsort((np.arange(nv), freq))] = np.arange(nv)
+    post_tok, post_rep = [], []
+    for i, arr in enumerate(rep_tok):
+        n = len(arr)
+        # prefix filter: two sets with J >= τ share a token among each
+        # one's (n - ceil(τ·n) + 1) rarest tokens — integer-exact ceil
+        p = n - (n * tau_num + tau_den - 1) // tau_den + 1
+        if p <= 0:
+            continue
+        sel = arr[np.argsort(rank[arr])[:p]]
+        post_tok.append(rank[sel])
+        post_rep.append(np.full(len(sel), i, dtype=np.int64))
+    out_a, out_b, out_i, out_u = [], [], [], []
+    if post_tok:
+        ptok = np.concatenate(post_tok)
+        prep = np.concatenate(post_rep)
+        order = np.lexsort((prep, ptok))
+        ptok, prep = ptok[order], prep[order]
+        starts = np.flatnonzero(np.r_[True, ptok[1:] != ptok[:-1]])
+        li, ri, _ = segment_pairs(np.diff(np.r_[starts, len(ptok)]))
+        if len(li):
+            cand = np.unique((prep[li] << 32) | prep[ri])
+            ca, cb = cand >> 32, cand & 0xFFFFFFFF
+            inter = np.fromiter(
+                (len(np.intersect1d(rep_tok[x], rep_tok[y],
+                                    assume_unique=True))
+                 for x, y in zip(ca, cb)),
+                dtype=np.int64, count=len(cand))
+            uni = sz[ca] + sz[cb] - inter
+            keep = tau_den * inter >= tau_num * uni   # exact cross-multiply
+            # expand qualifying rep pairs to all cross-cluster doc pairs
+            for x, y, iv, uv in zip(ca[keep], cb[keep],
+                                    inter[keep], uni[keep]):
+                m1, m2 = grp_members[x], grp_members[y]
+                out_a.append(np.repeat(m1, len(m2)))
+                out_b.append(np.tile(m2, len(m1)))
+                out_i.append(np.full(len(m1) * len(m2), iv, dtype=np.int64))
+                out_u.append(np.full(len(m1) * len(m2), uv, dtype=np.int64))
+    if tau_den >= tau_num:
+        # within-cluster pairs are J = 1 (inter = uni = sz) by definition
+        for g, m in enumerate(grp_members):
+            if len(m) < 2:
+                continue
+            i, j = np.triu_indices(len(m), k=1)
+            out_a.append(m[i])
+            out_b.append(m[j])
+            out_i.append(np.full(len(i), sz[g], dtype=np.int64))
+            out_u.append(np.full(len(i), sz[g], dtype=np.int64))
+    if not out_a:
+        return empty
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    inter = np.concatenate(out_i)
+    uni = np.concatenate(out_u)
+    doc_a, doc_b = np.minimum(a, b), np.maximum(a, b)
+    order = np.lexsort((doc_b, doc_a))
+    return pd.DataFrame({"doc_a": doc_a[order], "doc_b": doc_b[order],
+                         "inter": inter[order], "uni": uni[order]})
+
+
+def setsim_pairs(docs_ds, tau_num: int = 4, tau_den: int = 5,
+                 id_col: str = "doc_id", text_col: str = "text",
+                 num_partitions: int = 16,
+                 small_threshold: int = 100_000):
+    """Exact token-set similarity self-join (the AllPairs / prefix-filter
+    family — Bayardo et al., WWW'07): every unordered doc pair whose
+    token-set Jaccard >= tau_num/tau_den, as ``(doc_a, doc_b, inter,
+    uni)`` with doc_a < doc_b.
+
+    All-integer output: the threshold test is the exact cross-
+    multiplication ``tau_den·|∩| >= tau_num·|∪|``, so a SQL oracle
+    computing the same intersection/union counts matches bit-for-bit
+    (no float Jaccard boundary).
+
+    Unlike MinHash/SimHash (probabilistic recall) this is EXACT: prefix
+    filtering is lossless — two sets with J >= τ must share at least one
+    token among each one's (n - ceil(τ·n) + 1) rarest tokens under any
+    global token order.
+
+    Scale shape (the default once the corpus exceeds ``small_threshold``
+    docs): distinct-token explode → token-frequency hash join (NO
+    driver-side vocabulary — the order key travels by join) → per-doc
+    prefix postings (groupby doc) → per-token posting pair expansion
+    (groupby token; postings stay short because prefixes keep only RARE
+    tokens) → distinct pairs → exact verify via two hash joins of the
+    candidate table against the docs.  Skew note: a mass-duplicated
+    cluster shares its rare tokens, so those postings grow with the
+    cluster size — inherent to exactness (every pair in the cluster IS a
+    result row).  Partitioning assumption: one token's posting list and
+    one doc's token set each fit a worker task.
+    """
+    from .relational import distinct, inner_join, rename
+    from .schema_util import drop_empty_blocks, enforce_schema
+
+    docs_ds = docs_ds.materialize()
+    if docs_ds.count() <= small_threshold:
+        return drop_empty_blocks(docs_ds.repartition(1).map_batches(
+            lambda d: _setsim_small(d, tau_num, tau_den, id_col, text_col),
+            batch_format="pandas", batch_size=None))
+
+    def _explode(batch: pd.DataFrame) -> pa.Table:
+        out_id, out_tok = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            toks = sorted(set(tokenize(t or "")))
+            out_id.extend([int(i)] * len(toks))
+            out_tok.extend(toks)
+        return pa.Table.from_arrays(
+            [pa.array(out_id, pa.int64()), pa.array(out_tok, pa.string())],
+            names=[id_col, "token"])
+
+    ex = docs_ds.map_batches(_explode, batch_format="pandas").materialize()
+    freq = rename(ex.groupby("token").count(), {"count()": "freq"})
+    exf = inner_join(ex, freq, on="token", num_partitions=num_partitions)
+
+    def _prefix(g: pd.DataFrame) -> pd.DataFrame:
+        n = len(g)
+        p = n - (n * tau_num + tau_den - 1) // tau_den + 1
+        if p <= 0:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 id_col: pd.Series(dtype="int64")})
+        g = g.sort_values(["freq", "token"], kind="stable").head(p)
+        return pd.DataFrame({"token": g["token"].to_numpy(),
+                             id_col: g[id_col].to_numpy()})
+
+    pref_schema = pa.schema([("token", pa.string()), (id_col, pa.int64())])
+    pref = enforce_schema(
+        exf.groupby(id_col).map_groups(_prefix, batch_format="pandas"),
+        pref_schema)
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.unique(g[id_col].to_numpy())
+        if len(d) < 2:
+            e64 = pd.Series(dtype="int64")
+            return pd.DataFrame({"a": e64, "b": e64})
+        i, j = np.triu_indices(len(d), k=1)
+        return pd.DataFrame({"a": d[i], "b": d[j]})
+
+    pair_schema = pa.schema([("a", pa.int64()), ("b", pa.int64())])
+    cands = distinct(
+        enforce_schema(pref.groupby("token").map_groups(
+            _pairs, batch_format="pandas"), pair_schema),
+        ["a", "b"], num_partitions)
+
+    d_a = rename(docs_ds.select_columns([id_col, text_col]),
+                 {id_col: "a", text_col: "text_a"})
+    d_b = rename(docs_ds.select_columns([id_col, text_col]),
+                 {id_col: "b", text_col: "text_b"})
+    joined = inner_join(inner_join(drop_empty_blocks(cands), d_a, on="a",
+                                   num_partitions=num_partitions),
+                        d_b, on="b", num_partitions=num_partitions)
+
+    def _verify(batch: pd.DataFrame) -> pd.DataFrame:
+        n = len(batch)
+        inter = np.zeros(n, dtype=np.int64)
+        uni = np.zeros(n, dtype=np.int64)
+        for i, (x, y) in enumerate(zip(batch["text_a"], batch["text_b"])):
+            sx = set(tokenize(x or ""))
+            sy = set(tokenize(y or ""))
+            inter[i] = len(sx & sy)
+            uni[i] = len(sx) + len(sy) - inter[i]
+        a = batch["a"].to_numpy(dtype=np.int64)
+        b = batch["b"].to_numpy(dtype=np.int64)
+        keep = (tau_den * inter >= tau_num * uni) & (uni > 0)
+        return pd.DataFrame({"doc_a": np.minimum(a, b)[keep],
+                             "doc_b": np.maximum(a, b)[keep],
+                             "inter": inter[keep], "uni": uni[keep]})
+
+    return joined.map_batches(_verify, batch_format="pandas")

@@ -634,3 +634,65 @@ def test_top_ngrams_and_weighted_sample():
     b = sorted(quality_weighted_sample(rd.from_pandas(df).repartition(7),
                                        "id", "w_half").to_pandas()["id"])
     assert a == b and 50 < len(a) < 150
+
+
+def test_setsim_pairs_exact_and_paths_agree():
+    """AllPairs prefix-filter join: exact vs a brute-force oracle, small
+    and distributed paths identical, duplicate clusters fully expanded."""
+    from itertools import combinations
+
+    from hackathon_pagerank_ray.stages.dedup_near import setsim_pairs
+    from hackathon_pagerank_ray.stages.text_ops import tokenize
+
+    texts = ["the quick brown fox jumps over the lazy dog",
+             "the quick brown fox jumps over the lazy cat",
+             "completely different words entirely here now",
+             "the quick brown fox jumps over the lazy dog",   # dup of 0
+             "",                                              # tokenless
+             "quick brown fox jumps over lazy dog the",       # same set as 0
+             "alpha beta gamma delta epsilon",
+             "alpha beta gamma delta zeta",                   # J = 4/6
+             "alpha beta gamma delta epsilon zeta"]           # J vs 6 = 5/6
+    docs = pd.DataFrame({"doc_id": np.arange(1, len(texts) + 1,
+                                             dtype=np.int64),
+                         "text": texts})
+
+    # brute-force oracle at tau = 4/5
+    want = []
+    sets = [set(tokenize(t)) for t in texts]
+    for i, j in combinations(range(len(texts)), 2):
+        si, sj = sets[i], sets[j]
+        if not si or not sj:
+            continue
+        inter = len(si & sj)
+        uni = len(si | sj)
+        if 5 * inter >= 4 * uni:
+            want.append((i + 1, j + 1, inter, uni))
+    want = sorted(want)
+
+    ds = rd.from_pandas(docs).repartition(3)
+    small = setsim_pairs(ds, 4, 5).to_pandas()
+    got = sorted(map(tuple, small[["doc_a", "doc_b", "inter", "uni"]]
+                     .to_numpy()))
+    assert got == want and len(want) >= 4
+
+    big = (setsim_pairs(ds, 4, 5, small_threshold=0, num_partitions=4)
+           .to_pandas())
+    got_big = sorted(map(tuple, big[["doc_a", "doc_b", "inter", "uni"]]
+                         .to_numpy()))
+    assert got_big == want
+
+
+def test_setsim_pairs_duplicate_cluster_not_quadratic_in_reps():
+    """A 60-copy cluster must come back as all 1770 J=1 pairs (the output
+    IS quadratic) while candidate work runs over one representative."""
+    from hackathon_pagerank_ray.stages.dedup_near import setsim_pairs
+
+    n = 60
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n + 1, dtype=np.int64),
+        "text": ["identical boilerplate page body text"] * n
+                + ["something else entirely unrelated"]})
+    out = setsim_pairs(rd.from_pandas(docs), 4, 5).to_pandas()
+    assert len(out) == n * (n - 1) // 2
+    assert (out["inter"] == out["uni"]).all()
