@@ -788,6 +788,17 @@ def _q_acctbal_zscore(sf_dir):
     return group_zscore(cust, "c_nationkey", "c_acctbal")
 
 
+def _q_acctbal_quantiles_by_nation(sf_dir):
+    """Per-nation exact quantile_cont of customer balances — one hash
+    shuffle, in-task sort per group."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import group_quantiles
+    cust = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                              columns=["c_nationkey", "c_acctbal"])
+    return group_quantiles(cust, "c_nationkey", "c_acctbal",
+                           qs=(0.25, 0.5, 0.9))
+
+
 def _q_adamic_adar(sf_dir):
     """Top-50 non-adjacent pairs by Adamic-Adar score; fixed-point
     (1e-9) weights so the top-k boundary is deterministic."""
@@ -1197,6 +1208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
         "setsim_pairs": _q_setsim_pairs,
+        "acctbal_quantiles_by_nation": _q_acctbal_quantiles_by_nation,
         "doc_dedup_longest": _q_doc_dedup_longest,
         "ann_topk": _q_ann_topk,
         "ivf_topk": _q_ivf_topk,
@@ -2042,6 +2054,14 @@ FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
         "exact_text_dedup":
             "SELECT MIN(doc_id) AS keep_id, COUNT(*) AS dup_count "
             "FROM documents GROUP BY text",
+        # per-group exact quantiles (stats.group_quantiles)
+        "acctbal_quantiles_by_nation": """
+WITH a AS (SELECT c_nationkey,
+                  quantile_cont(c_acctbal, [0.25, 0.5, 0.9]) AS vs
+           FROM customer GROUP BY c_nationkey)
+SELECT c_nationkey, unnest([0.25, 0.5, 0.9]) AS q, unnest(vs) AS value
+FROM a
+""",
         # exact AllPairs set-similarity join (dedup_near.setsim_pairs):
         # integer inter/uni so the tau=4/5 test is exact cross-multiply
         "setsim_pairs": r"""

@@ -343,6 +343,48 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
         h = (n - 1) * q
         f = int(np.floor(h))
         c = min(f + 1, n - 1)
-        v = ov[f] + (h - f) * (ov[c] - ov[f])
+        # DuckDB's interpolator is lower·(CRN−RN) + upper·(RN−FRN) —
+        # algebraically equal to lower + frac·(upper−lower) but NOT
+        # bit-equal in float64; match it exactly so 9-dp value hashing
+        # can never land on a different side of a rounding boundary
+        v = ov[f] if c == f else ov[f] * (c - h) + ov[c] * (h - f)
         rows.append({"q": float(q), "value": float(v)})
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def group_quantiles(ds, by: str, col: str, qs=(0.25, 0.5, 0.9)):
+    """Per-group exact linear-interpolated quantiles (same
+    ``quantile_cont`` rule as :func:`exact_quantiles`: ``h = (n-1)·q``,
+    ``v = x_⌊h⌋ + (h-⌊h⌋)·(x_⌊h⌋+1 - x_⌊h⌋)``), grouped by a key.
+
+    One hash shuffle on ``by``, then an in-task sort per group — the
+    right shape when group count is large and per-group rows are
+    bounded (the usual per-nation / per-domain / per-language profile).
+    For a handful of giant groups use :func:`exact_quantiles` per key
+    instead (histogram refinement, no per-group sort).  NULLs dropped.
+    Returns ``(by, q, value)``.
+    """
+    qs = tuple(float(q) for q in qs)
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[col].to_numpy(dtype=np.float64)
+        x = np.sort(x[~np.isnan(x)])
+        n = len(x)
+        empty = pd.DataFrame({by: pd.Series(dtype="int64"),
+                              "q": pd.Series(dtype="float64"),
+                              "value": pd.Series(dtype="float64")})
+        if n == 0:
+            return empty
+        vals = []
+        for q in qs:
+            h = (n - 1) * q
+            f = int(np.floor(h))
+            c = min(f + 1, n - 1)
+            # DuckDB interpolator form (see exact_quantiles): bit-exact
+            # vs quantile_cont, not just allclose
+            vals.append(x[f] if c == f else x[f] * (c - h) + x[c] * (h - f))
+        return pd.DataFrame({by: np.full(len(qs), g[by].iloc[0]),
+                             "q": np.asarray(qs, dtype=np.float64),
+                             "value": np.asarray(vals, dtype=np.float64)})
+
+    return ds.groupby(by).map_groups(_q, batch_format="pandas")

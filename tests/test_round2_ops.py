@@ -548,3 +548,25 @@ def test_pearson_corr_matches_numpy():
     empty = rd.from_pandas(pd.DataFrame({"x": pd.Series(dtype="float64"),
                                          "y": pd.Series(dtype="float64")}))
     assert pearson_corr(empty, "x", "y").count() == 0
+
+
+def test_group_quantiles_matches_numpy_per_group():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.stats import group_quantiles
+
+    rng = np.random.RandomState(7)
+    df = pd.DataFrame({"k": rng.randint(0, 5, size=400),
+                       "v": rng.uniform(-100, 100, size=400)})
+    df.loc[3, "v"] = np.nan                      # NULLs dropped
+    out = (group_quantiles(rd.from_pandas(df).repartition(4), "k", "v",
+                           qs=(0.25, 0.5, 0.9)).to_pandas()
+           .sort_values(["k", "q"]).reset_index(drop=True))
+    assert len(out) == 5 * 3
+    for k, g in df.dropna().groupby("k"):
+        for q in (0.25, 0.5, 0.9):
+            want = np.quantile(g["v"].to_numpy(), q)  # 'linear' = same rule
+            got = out[(out["k"] == k) & (out["q"] == q)]["value"].iloc[0]
+            assert abs(got - want) < 1e-9, (k, q, got, want)
