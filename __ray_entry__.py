@@ -807,6 +807,18 @@ def _q_adamic_adar(sf_dir):
     return adamic_adar_topk(_edges_ds(sf_dir), k=50, num_partitions=8)
 
 
+def _q_effective_diameter(sf_dir):
+    """HyperBall neighborhood function + q=0.9 effective diameter over
+    the undirected edge graph (approximate by construction → rows-only;
+    md5-seeded registers make it deterministic across runs)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.hyperball import neighborhood_function
+    nf, d_eff = neighborhood_function(_edges_ds(sf_dir), num_partitions=8,
+                                      m=16)
+    nf["d_eff"] = d_eff
+    return nf
+
+
 def _q_degree_histogram(sf_dir):
     """Out-degree distribution — two count shuffles, second over
     max-degree keys only."""
@@ -1216,6 +1228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
         "adamic_adar": _q_adamic_adar,
+        "effective_diameter": _q_effective_diameter,
         "price_quantiles_exact": _q_price_quantiles_exact,
         "acctbal_zscore": _q_acctbal_zscore,
         "qty_discount_corr": _q_qty_discount_corr,

@@ -1,0 +1,254 @@
+"""HyperBall / HyperANF: neighborhood function + effective diameter.
+
+The classic web-graph analysis after PageRank (Boldi, Rosa & Vigna,
+"HyperANF", WWW'11; "HyperBall", 2013): estimate the neighborhood
+function N(t) = #ordered vertex pairs within distance <= t by giving
+every vertex a HyperLogLog counter of its ball and iterating
+
+    B(u, t+1) = B(u, t)  ∪  ⋃_{(u,v) ∈ E}  B(v, t)
+
+until no counter changes.  HLL union is register-wise max, so the whole
+sweep is expressible in Dataset ops: the state is a (vid, bucket, rho)
+table of nonzero registers, one sweep = ship state across edges with a
+hash join + ``groupby(vid, bucket).max(rho)``.  No driver-side state —
+the only driver values are the per-sweep scalar Σ|B| estimates.
+
+Scale shape: per sweep the join ships ≤ |E|·m register rows and the
+groupby reduces them back to ≤ n·m — the documented HyperBall cost
+(m counters per edge per sweep, ~diameter sweeps).  Partitioning key is
+the destination vertex in the ship join and (vid, bucket) in the merge,
+both plain hash shuffles.  Registers use the md5-hex scheme of
+``stages.stats._hll_partial`` (deterministic across engines/runs).
+
+Effective diameter d_q = the smallest t (linearly interpolated) with
+N(t) >= q·N(∞); approximate by construction (HLL), so the driver query
+is rows-only — the unit tests pin the deterministic md5-seeded outputs
+against exact BFS on small graphs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.schema_util import drop_empty_blocks
+
+_STATE_SCHEMA = pa.schema([("vid", pa.int64()), ("bucket", pa.int64()),
+                           ("rho", pa.int64())])
+
+
+def _vid_registers(vids: np.ndarray, m: int):
+    """(bucket, rho) of each vid's own singleton ball — md5-hex scheme:
+    bucket = first log16(m) hex digits, rho = leading-zero bits (+1) of
+    the remaining digits (integer-exact, no float log2)."""
+    import hashlib
+
+    from ..stages.stats import _HEX, _LZ4
+    p = {16: 1, 256: 2}[m]
+    ndig = 16 - p                      # hex digits feeding rho
+    buckets = np.empty(len(vids), dtype=np.int64)
+    rhos = np.empty(len(vids), dtype=np.int64)
+    for i, v in enumerate(vids):
+        hx = hashlib.md5(str(int(v)).encode()).hexdigest()[:16]
+        b = 0
+        for d in hx[:p]:
+            b = b * 16 + _HEX.index(d)
+        stripped = hx[p:].lstrip("0")
+        if not stripped:
+            r = 4 * (ndig - 1) + 1
+        else:
+            r = 4 * (ndig - len(stripped)) + _LZ4[stripped[0]] + 1
+        buckets[i] = b
+        rhos[i] = r
+    return buckets, rhos
+
+
+def _sweep_stats(state, m: int):
+    """(Σ_u |B(u)| estimate, Σ rho) in ONE plan execution — no driver
+    pull of the register table.
+
+    After the (vid, bucket) groupby the state holds ONE row per nonzero
+    register, so a vertex's harmonic sum Σ 2^-rho, its nonzero-bucket
+    count, and its rho total are all ADDITIVE over blocks: per-block
+    partials → ``groupby(vid).sum`` → a vectorized per-vertex estimator
+    map → one ``sum()``.  Σ rho is the exact fixpoint signature
+    (registers only grow under the max merge).  Only scalars reach the
+    driver."""
+    def _partial(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vid"])
+        rho = np.asarray(t["rho"])
+        order = np.argsort(vid, kind="stable")
+        vid, rho = vid[order], rho[order]
+        starts = np.flatnonzero(np.r_[True, vid[1:] != vid[:-1]])
+        # rho ≤ 61, so 2^-rho is exact in float64
+        s = np.add.reduceat(np.ldexp(1.0, -rho), starts)
+        rsum = np.add.reduceat(rho.astype(np.int64), starts)
+        nnz = np.diff(np.r_[starts, len(vid)])
+        return pa.table({"vid": pa.array(vid[starts], pa.int64()),
+                         "s": pa.array(s, pa.float64()),
+                         "nnz": pa.array(nnz.astype(np.int64)),
+                         "rsum": pa.array(rsum)})
+
+    agg = (state.map_batches(_partial, batch_format="pyarrow")
+           .groupby("vid").sum(["s", "nnz", "rsum"]))
+    alpha = {16: 0.673, 256: 0.7213 / (1.0 + 1.079 / 256)}[m]
+
+    def _est(t: pa.Table) -> pa.Table:
+        s = np.asarray(t["sum(s)"], dtype=np.float64)
+        nnz = np.asarray(t["sum(nnz)"], dtype=np.int64)
+        zeros = (m - nnz).astype(np.float64)
+        est = alpha * m * m / (s + zeros)      # zeros contribute 2^0 each
+        small = (est <= 2.5 * m) & (zeros > 0)
+        est[small] = m * np.log(m / zeros[small])
+        return pa.table({"est": pa.array(est, pa.float64()),
+                         "rsum": t["sum(rsum)"]})
+
+    out = agg.map_batches(_est, batch_format="pyarrow").sum(["est", "rsum"])
+    if not out:
+        return 0.0, 0
+    return float(out["sum(est)"] or 0.0), int(out["sum(rsum)"] or 0)
+
+
+def _hyperball_small(df: pd.DataFrame, m: int, max_t: int):
+    """Single-task path: dense (n, m) rho matrix, one synchronous
+    ``np.maximum.at`` max-merge per sweep — same registers, same
+    estimator, same fixpoint rule as the distributed plan."""
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    keep = src != dst
+    u = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    v = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    if len(u) == 0:
+        return []
+    vids = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(vids)}
+    ui = np.fromiter((idx[int(x)] for x in u), dtype=np.int64, count=len(u))
+    vi = np.fromiter((idx[int(x)] for x in v), dtype=np.int64, count=len(v))
+    up = np.concatenate([ui, vi])
+    nbr = np.concatenate([vi, ui])
+    n = len(vids)
+    rho = np.zeros((n, m), dtype=np.int64)       # 0 = empty register
+    b, r = _vid_registers(vids, m)
+    np.maximum.at(rho, (np.arange(n), b), r)
+    alpha = {16: 0.673, 256: 0.7213 / (1.0 + 1.079 / 256)}[m]
+
+    def _est_sum(rho):
+        # empty registers hold rho=0, so 2^-rho is exactly their 2^0 term
+        s = np.ldexp(1.0, -rho).sum(axis=1)
+        est = alpha * m * m / s
+        zeros = (rho == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        est[small] = m * np.log(m / zeros[small])
+        return float(est.sum())
+
+    nf = [(0, _est_sum(rho))]
+    last_sig = int(rho.sum())
+    for t in range(1, max_t + 1):
+        new = rho.copy()
+        np.maximum.at(new, up, rho[nbr])
+        rho = new
+        sig = int(rho.sum())
+        nf.append((t, _est_sum(rho)))
+        if sig == last_sig:
+            nf.pop()
+            break
+        last_sig = sig
+    return nf
+
+
+def neighborhood_function(edges_ds, num_partitions: int = 8, m: int = 16,
+                          max_t: int = 64, q: float = 0.9,
+                          small_threshold: int = 2_000_000):
+    """Run HyperBall on the UNDIRECTED simple graph of ``edges_ds``
+    (src, dst).  Returns ``(nf, d_eff)``: ``nf`` a pandas DataFrame
+    ``(t, n_pairs)`` with the estimated #ordered pairs within distance t
+    (t = 0 .. convergence), and ``d_eff`` the interpolated effective
+    diameter at quantile ``q``.
+
+    The per-sweep fixpoint test is exact: registers only grow (max
+    merge), so an unchanged Σrho means no register moved.
+    """
+    if m not in (16, 256):
+        raise ValueError("m must be 16 or 256 (md5 hex-digit buckets)")
+    from ..stages.relational import inner_join, rename
+    from .triangles import canonical_undirected
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        rows = edges_ds.repartition(1).map_batches(
+            lambda df: pd.DataFrame(_hyperball_small(df, m, max_t),
+                                    columns=["t", "n_pairs"]),
+            batch_format="pandas", batch_size=None).to_pandas()
+        nf_df = rows.sort_values("t").reset_index(drop=True)
+        return nf_df, _interp_d_eff(nf_df, q)
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+
+    # symmetrize: ship B(dst) to src along both directions
+    both = und.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["u"].combine_chunks(),
+                               t["v"].combine_chunks()]),
+             pa.concat_arrays([t["v"].combine_chunks(),
+                               t["u"].combine_chunks()])],
+            names=["up", "nbr"]),
+        batch_format="pyarrow").materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        vids = np.unique(np.asarray(t["u"]))
+        b, r = _vid_registers(vids, m)
+        return pa.Table.from_arrays(
+            [pa.array(vids, pa.int64()), pa.array(b), pa.array(r)],
+            names=["vid", "bucket", "rho"])
+
+    verts = und.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["u"].combine_chunks(),
+                               t["v"].combine_chunks()])], names=["u"]),
+        batch_format="pyarrow")
+    state = (verts.map_batches(_init, batch_format="pyarrow")
+             .groupby(["vid", "bucket"]).max("rho"))
+    state = rename(state, {"max(rho)": "rho"}).materialize()
+
+    est0, last_sig = _sweep_stats(state, m)
+    nf = [(0, est0)]
+    for t in range(1, max_t + 1):
+        # ship: every (up, nbr) edge pulls nbr's registers to up
+        shipped = inner_join(
+            both, rename(state, {"vid": "nbr"}),
+            on="nbr", num_partitions=num_partitions)
+        shipped = shipped.map_batches(
+            lambda tb: pa.Table.from_arrays(
+                [tb["up"].combine_chunks().cast(pa.int64()),
+                 tb["bucket"].combine_chunks().cast(pa.int64()),
+                 tb["rho"].combine_chunks().cast(pa.int64())],
+                names=["vid", "bucket", "rho"]),
+            batch_format="pyarrow")
+        merged = (state.union(drop_empty_blocks(shipped))
+                  .groupby(["vid", "bucket"]).max("rho"))
+        state = rename(merged, {"max(rho)": "rho"}).materialize()
+        est, sig = _sweep_stats(state, m)
+        nf.append((t, est))
+        if sig == last_sig:              # exact fixpoint: no register grew
+            nf.pop()                     # final sweep added no information
+            break
+        last_sig = sig
+
+    nf_df = pd.DataFrame(nf, columns=["t", "n_pairs"])
+    return nf_df, _interp_d_eff(nf_df, q)
+
+
+def _interp_d_eff(nf_df: pd.DataFrame, q: float) -> float:
+    """Smallest (linearly interpolated) t with N(t) >= q·N(∞)."""
+    if not len(nf_df):
+        return 0.0
+    target = q * nf_df["n_pairs"].iloc[-1]
+    vals = nf_df["n_pairs"].to_numpy()
+    d_eff = 0.0
+    if vals[0] < target:
+        i = int(np.searchsorted(vals, target))
+        lo, hi = vals[i - 1], vals[i]
+        d_eff = (i - 1) + (target - lo) / (hi - lo) if hi > lo else float(i)
+    return float(d_eff)

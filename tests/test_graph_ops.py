@@ -107,3 +107,56 @@ def test_adamic_adar_paths_agree_and_weighting():
     row = out[(out["u"] == 2) & (out["v"] == 3)]
     exp = (round(1e9 / np.log(3)) + round(1e9 / np.log(2))) / 1e9
     assert abs(row["aa_score"].iloc[0] - exp) < 1e-9
+
+
+def test_hyperball_neighborhood_function_path_graph():
+    """HyperBall vs exact BFS on a 10-path: md5-seeded registers are
+    deterministic, so the estimates are reproducible; m=256 keeps every
+    ball in the near-exact linear-counting regime."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.graph.hyperball import neighborhood_function
+
+    n = 10
+    edges = pd.DataFrame({"src": np.arange(n - 1), "dst": np.arange(1, n)})
+    nf, d_eff = neighborhood_function(rd.from_pandas(edges),
+                                      num_partitions=2, m=256)
+    # converges in exactly diameter sweeps (t = 0..9)
+    assert list(nf["t"]) == list(range(n))
+    exact = [sum(min(u + t, n - 1) - max(u - t, 0) + 1 for u in range(n))
+             for t in range(n)]
+    rel = np.abs(nf["n_pairs"].to_numpy() - np.asarray(exact)) / np.asarray(exact)
+    assert rel.max() < 0.10, (nf, exact)
+    assert (np.diff(nf["n_pairs"].to_numpy()) >= 0).all()
+    # exact d90 = 6 + (90-88)/(94-88) = 6.333…
+    assert abs(d_eff - 19 / 3) < 0.5, d_eff
+    # distributed path: identical registers, same estimator (float-order
+    # differences only)
+    nf2, d2 = neighborhood_function(rd.from_pandas(edges),
+                                    num_partitions=2, m=256,
+                                    small_threshold=0)
+    assert list(nf2["t"]) == list(nf["t"])
+    assert np.allclose(nf2["n_pairs"], nf["n_pairs"], rtol=1e-9)
+    assert abs(d2 - d_eff) < 1e-6
+
+
+def test_hyperball_star_graph_diameter_two():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.graph.hyperball import neighborhood_function
+
+    k = 20   # hub 0 with 20 leaves: diameter 2
+    edges = pd.DataFrame({"src": np.zeros(k, dtype=np.int64),
+                          "dst": np.arange(1, k + 1)})
+    nf, d_eff = neighborhood_function(rd.from_pandas(edges),
+                                      num_partitions=2, m=256)
+    assert list(nf["t"]) == [0, 1, 2]
+    n = k + 1
+    exact = [n, n + 2 * k, n * n]
+    rel = np.abs(nf["n_pairs"].to_numpy() - np.asarray(exact)) / np.asarray(exact)
+    assert rel.max() < 0.10
+    assert 1.0 < d_eff <= 2.0
