@@ -138,7 +138,8 @@ def run_queries(sf_dir: str) -> dict:
              "link_prediction", "adamic_adar", "degree_histogram",
              "event_gaps", "stratified_events", "unigram_logprob",
              "events_pivot", "revenue_rollup", "price_quantiles_exact",
-             "acctbal_zscore"]
+             "acctbal_zscore", "setsim_pairs",
+             "acctbal_quantiles_by_nation", "effective_diameter"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
@@ -169,7 +170,28 @@ def run_extract_bench() -> dict:
             "pages_per_sec": round(n_docs / dt, 1)}
 
 
+def _host_calibration() -> dict:
+    """Record the host's speed phase alongside the numbers: the sandbox is
+    time-shared and fresh-page first-touch throughput swings 10-100x
+    between phases (see state/alloc.py), so round-over-round comparisons
+    need this denominator."""
+    import numpy as np
+    t0 = time.perf_counter()
+    s = 0
+    for i in range(2_000_000):
+        s += i
+    cpu_sec = time.perf_counter() - t0
+    a = np.empty(8_000_000, dtype=np.int64)   # 64 MB
+    t0 = time.perf_counter()
+    a[::512] = 1                               # touch every 4 KiB page
+    fault_sec = time.perf_counter() - t0
+    del a
+    return {"cpu_loop_2m_sec": round(cpu_sec, 3),
+            "fresh_page_touch_mb_s": round(64 / max(fault_sec, 1e-9), 1)}
+
+
 def main():
+    host = _host_calibration()
     ray = _init_ray(NUM_CPUS)
     pr = run_pagerank_bench(NUM_CPUS)
     pr_sub = run_pagerank_bench(NUM_CPUS, gather_mode="subscribe")
@@ -188,6 +210,7 @@ def main():
         "pagerank": pr,
         "pagerank_subscribe": pr_sub,
         "extract": ex,
+        "host": host,
     }
     print(json.dumps(out))
     ray.shutdown()
