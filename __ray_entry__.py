@@ -256,6 +256,40 @@ def _q_revenue_topk(sf_dir):
                 descending=[True, False, False])
 
 
+def _q_hourly_distinct_users(sf_dir):
+    """Exact COUNT(DISTINCT user) per hour — per-batch combiner dedup,
+    then one hash distinct + a bounded count."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import distinct_count_by
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        if isinstance(hour, pa.ChunkedArray):
+            hour = hour.combine_chunks()
+        return pa.Table.from_arrays(
+            [hour, t["user_id"].combine_chunks()],
+            names=["hour_bucket", "user_id"])
+
+    return distinct_count_by(ev.map_batches(_bucket, batch_format="pyarrow"),
+                             "hour_bucket", "user_id",
+                             out_col="n_distinct_users")
+
+
+def _q_order_price_ntile(sf_dir):
+    """NTILE(4) of each customer's orders by price (orderkey tiebreak) —
+    the SQL window-bucket analogue, one hash shuffle."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import ntile
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return ntile(orders, "o_custkey", "o_totalprice", "o_orderkey", 4,
+                 out_col="tile")
+
+
 def _q_events_hourly(sf_dir):
     _quiet()
     ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
@@ -1196,6 +1230,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sum_normalize_orders": _q_sum_normalize_orders,
         "revenue_topk": _q_revenue_topk,
         "events_hourly": _q_events_hourly,
+        "hourly_distinct_users": _q_hourly_distinct_users,
+        "order_price_ntile": _q_order_price_ntile,
         "user_sessions": _q_user_sessions,
         "purchase_attribution": _q_purchase_attribution,
         "event_sessions": _q_event_sessions,
@@ -1868,6 +1904,17 @@ GROUP BY x.a
             "MAX(value) AS max_value FROM events GROUP BY 1, 2",
         "event_type_counts":
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+        # exact grouped distinct count (events.distinct_count_by)
+        "hourly_distinct_users":
+            "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, "
+            "COUNT(DISTINCT user_id) AS n_distinct_users "
+            "FROM events GROUP BY 1",
+        # SQL window-bucket analogue (events.ntile)
+        "order_price_ntile":
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(NTILE(4) OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile "
+            "FROM orders",
         "region_customer_counts":
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "

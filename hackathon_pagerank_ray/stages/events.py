@@ -381,3 +381,57 @@ def lag_gaps(events_ds, by: str = "user_id", on: str = "ts",
             .map_batches(_to_us, batch_format="pyarrow")
             .groupby(by)
             .map_groups(_gap, batch_format="pandas"))
+
+
+def distinct_count_by(events_ds, by_expr_col: str, key: str,
+                      out_col: str = "n_distinct"):
+    """Exact ``COUNT(DISTINCT key) GROUP BY by`` with a per-batch
+    combiner: each batch first dedups its own (by, key) rows (packed
+    lexsort — removes the bulk of repeats before anything moves), then
+    ONE hash ``groupby(by, key)`` dedups globally and a second,
+    bounded-cardinality ``groupby(by).count`` produces the counts.  The
+    wide exchange carries distinct (by, key) rows, not raw events —
+    the standard two-level exact-distinct shape (use the HLL sketch
+    when approximate is acceptable and even that exchange is too wide).
+    """
+    from .relational import distinct, rename
+
+    def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
+        sub = df[[by_expr_col, key]].drop_duplicates()
+        return sub
+
+    ded = events_ds.map_batches(_local_dedup, batch_format="pandas")
+    uniq = distinct(ded, [by_expr_col, key])
+    return rename(uniq.groupby(by_expr_col).count(),
+                  {"count()": out_col})
+
+
+def ntile(ds, by: str, order_col: str, tiebreak: str, n: int,
+          out_col: str = "tile"):
+    """SQL ``NTILE(n) OVER (PARTITION BY by ORDER BY order_col,
+    tiebreak)`` — per key, split the ordered rows into n buckets, the
+    first ``count % n`` buckets one row larger (DuckDB/ANSI rule).
+    The (order_col, tiebreak) pair must be unique per key for an
+    engine-independent result.  One hash shuffle on the key, in-task
+    argsort per group; emits ``by, tiebreak, order_col, out_col``.
+    Partitioning assumption: one key's rows fit a worker task."""
+
+    def _tile(df: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((df[tiebreak].to_numpy(),
+                            df[order_col].to_numpy()))
+        cnt = len(df)
+        base = cnt // n
+        extra = cnt % n
+        sizes = np.full(min(n, cnt) if base == 0 else n, base,
+                        dtype=np.int64)
+        if base == 0:
+            sizes[:] = 1        # fewer rows than tiles: one row per tile
+        else:
+            sizes[:extra] += 1
+        tiles = np.repeat(np.arange(1, len(sizes) + 1, dtype=np.int64),
+                          sizes[:len(sizes)])[:cnt]
+        out = df.iloc[order][[by, tiebreak, order_col]].copy()
+        out[out_col] = tiles
+        return out
+
+    return ds.groupby(by).map_groups(_tile, batch_format="pandas")

@@ -570,3 +570,30 @@ def test_group_quantiles_matches_numpy_per_group():
             want = np.quantile(g["v"].to_numpy(), q)  # 'linear' = same rule
             got = out[(out["k"] == k) & (out["q"] == q)]["value"].iloc[0]
             assert abs(got - want) < 1e-9, (k, q, got, want)
+
+
+def test_distinct_count_by_and_ntile():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.events import distinct_count_by, ntile
+
+    df = pd.DataFrame({"g": [1, 1, 1, 2, 2, 2, 2],
+                       "k": [7, 7, 8, 9, 9, 9, 10]})
+    out = (distinct_count_by(rd.from_pandas(df).repartition(3), "g", "k")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert list(out["n_distinct"]) == [2, 2]
+
+    # NTILE(3) over 7 rows in one key: buckets of sizes 3,2,2
+    df2 = pd.DataFrame({"g": np.ones(7, dtype=np.int64),
+                        "v": [5.0, 1.0, 3.0, 2.0, 4.0, 7.0, 6.0],
+                        "id": np.arange(7, dtype=np.int64)})
+    t = (ntile(rd.from_pandas(df2).repartition(2), "g", "v", "id", 3)
+         .to_pandas().sort_values("v").reset_index(drop=True))
+    assert list(t["tile"]) == [1, 1, 1, 2, 2, 3, 3]
+    # fewer rows than tiles: one row per tile
+    df3 = pd.DataFrame({"g": [1, 1], "v": [2.0, 1.0], "id": [0, 1]})
+    t3 = (ntile(rd.from_pandas(df3), "g", "v", "id", 4).to_pandas()
+          .sort_values("v").reset_index(drop=True))
+    assert list(t3["tile"]) == [1, 2]
