@@ -853,6 +853,14 @@ def _q_effective_diameter(sf_dir):
     return nf
 
 
+def _q_harmonic_centrality(sf_dir):
+    """HyperBall harmonic centrality H(u) = Σ 1/d(u,v) (approximate,
+    md5-deterministic → rows-only)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.hyperball import harmonic_centrality
+    return harmonic_centrality(_edges_ds(sf_dir), num_partitions=8, m=16)
+
+
 def _q_degree_histogram(sf_dir):
     """Out-degree distribution — two count shuffles, second over
     max-degree keys only."""
@@ -1265,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_prediction": _q_link_prediction,
         "adamic_adar": _q_adamic_adar,
         "effective_diameter": _q_effective_diameter,
+        "harmonic_centrality": _q_harmonic_centrality,
         "price_quantiles_exact": _q_price_quantiles_exact,
         "acctbal_zscore": _q_acctbal_zscore,
         "qty_discount_corr": _q_qty_discount_corr,

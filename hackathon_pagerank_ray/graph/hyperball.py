@@ -65,9 +65,9 @@ def _vid_registers(vids: np.ndarray, m: int):
     return buckets, rhos
 
 
-def _sweep_stats(state, m: int):
-    """(Σ_u |B(u)| estimate, Σ rho) in ONE plan execution — no driver
-    pull of the register table.
+def _vertex_estimates(state, m: int):
+    """Per-vertex (vid, est, rsum) as a Dataset — no driver pull of the
+    register table; summing it gives the sweep scalars in one execution.
 
     After the (vid, bucket) groupby the state holds ONE row per nonzero
     register, so a vertex's harmonic sum Σ 2^-rho, its nonzero-bucket
@@ -102,10 +102,15 @@ def _sweep_stats(state, m: int):
         est = alpha * m * m / (s + zeros)      # zeros contribute 2^0 each
         small = (est <= 2.5 * m) & (zeros > 0)
         est[small] = m * np.log(m / zeros[small])
-        return pa.table({"est": pa.array(est, pa.float64()),
+        return pa.table({"vid": t["vid"],
+                         "est": pa.array(est, pa.float64()),
                          "rsum": t["sum(rsum)"]})
 
-    out = agg.map_batches(_est, batch_format="pyarrow").sum(["est", "rsum"])
+    return agg.map_batches(_est, batch_format="pyarrow")
+
+
+def _sweep_stats(state, m: int):
+    out = _vertex_estimates(state, m).sum(["est", "rsum"])
     if not out:
         return 0.0, 0
     return float(out["sum(est)"] or 0.0), int(out["sum(rsum)"] or 0)
@@ -252,3 +257,148 @@ def _interp_d_eff(nf_df: pd.DataFrame, q: float) -> float:
         lo, hi = vals[i - 1], vals[i]
         d_eff = (i - 1) + (target - lo) / (hi - lo) if hi > lo else float(i)
     return float(d_eff)
+
+
+def _harmonic_small(df: pd.DataFrame, m: int, max_t: int) -> pd.DataFrame:
+    """Single-task harmonic centrality: same matrix sweeps as
+    :func:`_hyperball_small`, accumulating H(u) += (|B(u,t)| −
+    |B(u,t−1)|)/t per sweep (HyperBall's centrality recurrence)."""
+    empty = pd.DataFrame({"vid": pd.Series(dtype="int64"),
+                          "harmonic": pd.Series(dtype="float64")})
+    src = df["src"].to_numpy()
+    dst = df["dst"].to_numpy()
+    keep = src != dst
+    u = np.minimum(src[keep], dst[keep]).astype(np.int64)
+    v = np.maximum(src[keep], dst[keep]).astype(np.int64)
+    if len(u) == 0:
+        return empty
+    vids = np.unique(np.concatenate([u, v]))
+    idx = {int(x): i for i, x in enumerate(vids)}
+    ui = np.fromiter((idx[int(x)] for x in u), dtype=np.int64, count=len(u))
+    vi = np.fromiter((idx[int(x)] for x in v), dtype=np.int64, count=len(v))
+    up = np.concatenate([ui, vi])
+    nbr = np.concatenate([vi, ui])
+    n = len(vids)
+    rho = np.zeros((n, m), dtype=np.int64)
+    b, r = _vid_registers(vids, m)
+    np.maximum.at(rho, (np.arange(n), b), r)
+    alpha = {16: 0.673, 256: 0.7213 / (1.0 + 1.079 / 256)}[m]
+
+    def _est(rho):
+        s = np.ldexp(1.0, -rho).sum(axis=1)
+        est = alpha * m * m / s
+        zeros = (rho == 0).sum(axis=1)
+        small = (est <= 2.5 * m) & (zeros > 0)
+        est[small] = m * np.log(m / zeros[small])
+        return est
+
+    prev = _est(rho)
+    h = np.zeros(n, dtype=np.float64)
+    last_sig = int(rho.sum())
+    for t in range(1, max_t + 1):
+        new = rho.copy()
+        np.maximum.at(new, up, rho[nbr])
+        rho = new
+        sig = int(rho.sum())
+        if sig == last_sig:
+            break
+        cur = _est(rho)
+        h += (cur - prev) / t
+        prev = cur
+        last_sig = sig
+    return pd.DataFrame({"vid": vids, "harmonic": h})
+
+
+def harmonic_centrality(edges_ds, num_partitions: int = 8, m: int = 16,
+                        max_t: int = 64, small_threshold: int = 2_000_000):
+    """HyperBall harmonic centrality H(u) = Σ_{v≠u} 1/d(u, v) on the
+    undirected simple graph — the centrality HyperBall was built for
+    (Boldi & Vigna 2013): each sweep's per-vertex ball-size delta pays
+    1/t into the running total, so the whole computation is the
+    neighborhood-function loop plus ONE extra hash join per sweep
+    (previous estimates → new estimates, keyed on vid).  Approximate
+    (HLL); returns a Dataset/DataFrame ``(vid, harmonic)``.
+    """
+    if m not in (16, 256):
+        raise ValueError("m must be 16 or 256 (md5 hex-digit buckets)")
+    from ..stages.relational import inner_join, rename
+    from .triangles import canonical_undirected
+
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        return drop_empty_blocks(edges_ds.repartition(1).map_batches(
+            lambda df: _harmonic_small(df, m, max_t),
+            batch_format="pandas", batch_size=None))
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    both = und.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["u"].combine_chunks(),
+                               t["v"].combine_chunks()]),
+             pa.concat_arrays([t["v"].combine_chunks(),
+                               t["u"].combine_chunks()])],
+            names=["up", "nbr"]),
+        batch_format="pyarrow").materialize()
+
+    def _init(t: pa.Table) -> pa.Table:
+        vids = np.unique(np.asarray(t["u"]))
+        b, r = _vid_registers(vids, m)
+        return pa.Table.from_arrays(
+            [pa.array(vids, pa.int64()), pa.array(b), pa.array(r)],
+            names=["vid", "bucket", "rho"])
+
+    verts = und.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [pa.concat_arrays([t["u"].combine_chunks(),
+                               t["v"].combine_chunks()])], names=["u"]),
+        batch_format="pyarrow")
+    state = (verts.map_batches(_init, batch_format="pyarrow")
+             .groupby(["vid", "bucket"]).max("rho"))
+    state = rename(state, {"max(rho)": "rho"}).materialize()
+
+    # cent carries (vid, h, prev) — prev = |B(u, t-1)| estimate
+    est0 = _vertex_estimates(state, m)
+    cent = est0.map_batches(
+        lambda t: pa.table({"vid": t["vid"],
+                            "h": pa.array(np.zeros(len(t)), pa.float64()),
+                            "prev": t["est"]}),
+        batch_format="pyarrow").materialize()
+    last_sig = int(est0.sum("rsum") or 0)
+
+    for t in range(1, max_t + 1):
+        shipped = inner_join(
+            both, rename(state, {"vid": "nbr"}),
+            on="nbr", num_partitions=num_partitions)
+        shipped = shipped.map_batches(
+            lambda tb: pa.Table.from_arrays(
+                [tb["up"].combine_chunks().cast(pa.int64()),
+                 tb["bucket"].combine_chunks().cast(pa.int64()),
+                 tb["rho"].combine_chunks().cast(pa.int64())],
+                names=["vid", "bucket", "rho"]),
+            batch_format="pyarrow")
+        merged = (state.union(drop_empty_blocks(shipped))
+                  .groupby(["vid", "bucket"]).max("rho"))
+        state = rename(merged, {"max(rho)": "rho"}).materialize()
+        est = _vertex_estimates(state, m).materialize()
+        sig = int(est.sum("rsum") or 0)
+        if sig == last_sig:
+            break
+        last_sig = sig
+
+        def _upd(tb: pa.Table, t=t) -> pa.Table:
+            h = np.asarray(tb["h"], dtype=np.float64)
+            prev = np.asarray(tb["prev"], dtype=np.float64)
+            cur = np.asarray(tb["est"], dtype=np.float64)
+            return pa.table({"vid": tb["vid"],
+                             "h": pa.array(h + (cur - prev) / t),
+                             "prev": tb["est"]})
+
+        cent = inner_join(cent, est.drop_columns(["rsum"]),
+                          on="vid", num_partitions=num_partitions
+                          ).map_batches(_upd, batch_format="pyarrow"
+                                        ).materialize()
+
+    return cent.map_batches(
+        lambda tb: pa.table({"vid": pc.cast(tb["vid"], pa.int64()),
+                             "harmonic": tb["h"]}),
+        batch_format="pyarrow")

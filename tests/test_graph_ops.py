@@ -160,3 +160,30 @@ def test_hyperball_star_graph_diameter_two():
     rel = np.abs(nf["n_pairs"].to_numpy() - np.asarray(exact)) / np.asarray(exact)
     assert rel.max() < 0.10
     assert 1.0 < d_eff <= 2.0
+
+
+def test_hyperball_harmonic_centrality():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.graph.hyperball import harmonic_centrality
+
+    n = 10
+    edges = pd.DataFrame({"src": np.arange(n - 1), "dst": np.arange(1, n)})
+    small = (harmonic_centrality(rd.from_pandas(edges), num_partitions=2,
+                                 m=256).to_pandas()
+             .sort_values("vid").reset_index(drop=True))
+    exact = np.array([sum(1.0 / abs(u - v) for v in range(n) if v != u)
+                      for u in range(n)])
+    assert len(small) == n
+    rel = np.abs(small["harmonic"].to_numpy() - exact) / exact
+    assert rel.max() < 0.15, (small, exact)
+    # endpoints are least central, middle most central — ordering holds
+    h = small["harmonic"].to_numpy()
+    assert h[0] < h[4] and h[9] < h[5]
+
+    big = (harmonic_centrality(rd.from_pandas(edges), num_partitions=2,
+                               m=256, small_threshold=0).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    assert np.allclose(big["harmonic"], small["harmonic"], rtol=1e-9)
