@@ -256,6 +256,24 @@ def _q_revenue_topk(sf_dir):
                 descending=[True, False, False])
 
 
+def _q_price_band_counts(sf_dir):
+    """Broadcast BETWEEN-join of lineitem prices against a tiny band
+    dimension (ray.put once, per-batch searchsorted, zero shuffle of the
+    fact side), then a bounded count."""
+    _quiet()
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.relational import band_join, rename
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_extendedprice"])
+    bands = pd.DataFrame({
+        "label": ["low", "mid", "high", "lux"],
+        "lo": [0.0, 20000.0, 45000.0, 70000.0],
+        "hi": [20000.0, 45000.0, 70000.0, 1e12]})
+    joined = band_join(li, bands, "l_extendedprice", out_col="band")
+    return rename(joined.groupby("band").count(), {"count()": "n"})
+
+
 def _q_hourly_distinct_users(sf_dir):
     """Exact COUNT(DISTINCT user) per hour — per-batch combiner dedup,
     then one hash distinct + a bounded count."""
@@ -1239,6 +1257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_topk": _q_revenue_topk,
         "events_hourly": _q_events_hourly,
         "hourly_distinct_users": _q_hourly_distinct_users,
+        "price_band_counts": _q_price_band_counts,
         "order_price_ntile": _q_order_price_ntile,
         "user_sessions": _q_user_sessions,
         "purchase_attribution": _q_purchase_attribution,
@@ -1913,6 +1932,16 @@ GROUP BY x.a
             "MAX(value) AS max_value FROM events GROUP BY 1, 2",
         "event_type_counts":
             "SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1",
+        # broadcast BETWEEN-join (relational.band_join)
+        "price_band_counts": """
+SELECT b.label AS band, COUNT(*) AS n
+FROM lineitem l
+JOIN (VALUES ('low', 0.0, 20000.0), ('mid', 20000.0, 45000.0),
+             ('high', 45000.0, 70000.0), ('lux', 70000.0, 1e12))
+     b(label, lo, hi)
+  ON l.l_extendedprice >= b.lo AND l.l_extendedprice < b.hi
+GROUP BY 1
+""",
         # exact grouped distinct count (events.distinct_count_by)
         "hourly_distinct_users":
             "SELECT epoch_us(ts) // 3600000000 AS hour_bucket, "

@@ -7,6 +7,7 @@ where the semantics demand it.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -150,3 +151,39 @@ def _t(on):
     if on is None:
         return None
     return (on,) if isinstance(on, str) else tuple(on)
+
+
+def band_join(ds, bands_df, col: str, lo_col: str = "lo",
+              hi_col: str = "hi", label_col: str = "label",
+              out_col: str = "band"):
+    """Broadcast range join: attach to each row the band whose
+    ``[lo, hi)`` interval contains ``col``.
+
+    The dimension side is a SMALL in-memory table (non-overlapping
+    intervals); it is ``ray.put`` once and every task assigns bands with
+    one vectorized ``searchsorted`` — NO shuffle of the fact table, the
+    only data movement is the tiny broadcast.  This is the 100 TB shape
+    for every BETWEEN-style dimension join (price bands, size classes,
+    date ranges): shuffling a petabyte fact table against a 10-row
+    dimension is never right.  Rows outside every band are dropped
+    (inner semantics).
+    """
+    import ray
+
+    bands = bands_df.sort_values(lo_col).reset_index(drop=True)
+    lo = np.ascontiguousarray(bands[lo_col].to_numpy(dtype=np.float64))
+    hi = np.ascontiguousarray(bands[hi_col].to_numpy(dtype=np.float64))
+    labels = bands[label_col].to_numpy()
+    ref = ray.put((lo, hi, labels))
+
+    def _assign(t: pa.Table) -> pa.Table:
+        blo, bhi, blab = ray.get(ref)
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(blo, x, side="right") - 1
+        safe = np.maximum(idx, 0)
+        keep = (idx >= 0) & (x < bhi[safe]) & ~np.isnan(x)
+        t = t.filter(pa.array(keep))
+        return t.append_column(out_col,
+                               pa.array(blab[safe[keep]], pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")

@@ -274,3 +274,19 @@ def test_parse_pages_actor_mode_matches_tasks_mode():
     got_tasks = _norm(parse_pages(pages, mode="tasks"))
     got_actors = _norm(parse_pages(pages, mode="actors", concurrency=2))
     assert got_tasks.equals(got_actors)
+
+
+def test_band_join_broadcast_between():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.relational import band_join
+
+    df = pd.DataFrame({"x": [5.0, 25.0, 19.999, 20.0, -3.0, np.nan, 100.0]})
+    bands = pd.DataFrame({"label": ["a", "b"],
+                          "lo": [0.0, 20.0], "hi": [20.0, 50.0]})
+    out = band_join(rd.from_pandas(df).repartition(2), bands, "x").to_pandas()
+    got = sorted(zip(out["x"], out["band"]))
+    # -3 (below), nan, and 100 (above) drop; boundary 20.0 goes to 'b'
+    assert got == [(5.0, "a"), (19.999, "a"), (20.0, "b"), (25.0, "b")]
