@@ -871,6 +871,19 @@ def _q_effective_diameter(sf_dir):
     return nf
 
 
+_TRUSS_K = 4
+_TRUSS_SQL_ROUNDS = 6   # measured fixpoint at 3 rounds on this graph
+
+
+def _q_truss_edges(sf_dir):
+    """Edges of the 4-truss (every edge in >= 2 triangles within the
+    surviving subgraph) — run-to-fixpoint peel; the oracle unrolls more
+    rounds than the measured fixpoint (peeling is stationary there)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.truss import ktruss_edges
+    return ktruss_edges(_edges_ds(sf_dir), k=_TRUSS_K, num_partitions=8)
+
+
 def _q_harmonic_centrality(sf_dir):
     """HyperBall harmonic centrality H(u) = Σ 1/d(u,v) (approximate,
     md5-deterministic → rows-only)."""
@@ -1293,6 +1306,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "adamic_adar": _q_adamic_adar,
         "effective_diameter": _q_effective_diameter,
         "harmonic_centrality": _q_harmonic_centrality,
+        "truss_edges": _q_truss_edges,
         "price_quantiles_exact": _q_price_quantiles_exact,
         "acctbal_zscore": _q_acctbal_zscore,
         "qty_discount_corr": _q_qty_discount_corr,
@@ -1435,6 +1449,29 @@ def _wpr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
 
 
 _KCORE_SQL_ROUNDS = 30
+
+
+def _truss_oracle_sql(k: int = _TRUSS_K,
+                      rounds: int = _TRUSS_SQL_ROUNDS) -> str:
+    """Unrolled synchronous k-truss peel: per round keep edges with
+    >= k-2 common neighbors WITHIN the surviving edge set (the
+    common-neighbor count via a symmetrized self-join).  Peeling is
+    stationary at the fixpoint, so unrolling past it equals the
+    engine's run-to-fixpoint result exactly."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+             "GREATEST(src, dst) AS v FROM edges WHERE src <> dst)"]
+    for r in range(1, rounds + 1):
+        prev = f"e{r-1}"
+        parts.append(
+            f"s{r} AS MATERIALIZED (SELECT u AS x, v AS y FROM {prev} "
+            f"UNION ALL SELECT v, u FROM {prev})")
+        parts.append(
+            f"e{r} AS MATERIALIZED (SELECT t.u, t.v FROM {prev} t "
+            f"JOIN s{r} a ON a.x = t.u JOIN s{r} b ON b.x = t.v "
+            f"AND b.y = a.y GROUP BY t.u, t.v "
+            f"HAVING COUNT(*) >= {k - 2})")
+    return f"WITH {', '.join(parts)} SELECT u, v FROM e{rounds}"
 
 
 def _kcore_oracle_sql(k: int = _KCORE_K,
@@ -1843,6 +1880,7 @@ def oracle_sql() -> dict[str, str]:
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
+        "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
 p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),

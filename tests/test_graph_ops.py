@@ -187,3 +187,35 @@ def test_hyperball_harmonic_centrality():
                                m=256, small_threshold=0).to_pandas()
            .sort_values("vid").reset_index(drop=True))
     assert np.allclose(big["harmonic"], small["harmonic"], rtol=1e-9)
+
+
+def test_ktruss_decomposition_and_fixed_k():
+    from itertools import combinations
+
+    import pandas as pd
+
+    from hackathon_pagerank_ray.graph.truss import ktruss, ktruss_edges
+
+    # K5 + pendant on vertex 4 + disjoint triangle {6,7,8}
+    e = list(combinations(range(5), 2)) + [(4, 9), (6, 7), (7, 8), (6, 8)]
+    df = pd.DataFrame({"src": [a for a, b in e], "dst": [b for a, b in e]})
+    ds = rd.from_pandas(df)
+    small = (ktruss(ds).to_pandas()
+             .sort_values(["u", "v"]).reset_index(drop=True))
+    want = {(a, b): 5 for a, b in combinations(range(5), 2)}
+    want[(4, 9)] = 2
+    want.update({(6, 7): 3, (6, 8): 3, (7, 8): 3})
+    got = {(int(r.u), int(r.v)): int(r.truss) for r in small.itertuples()}
+    assert got == want
+    big = (ktruss(ds, num_partitions=2, small_threshold=0).to_pandas()
+           .sort_values(["u", "v"]).reset_index(drop=True))
+    assert small.equals(big)
+
+    # fixed-k edge sets, both paths
+    for k, n_edges in ((3, 13), (4, 10), (5, 10), (6, 0)):
+        e_small = ktruss_edges(ds, k=k).to_pandas()
+        assert len(e_small) == n_edges, (k, e_small)
+        e_big = ktruss_edges(ds, k=k, num_partitions=2,
+                             small_threshold=0).to_pandas()
+        assert (sorted(map(tuple, e_small.to_numpy()))
+                == sorted(map(tuple, e_big.to_numpy())))
