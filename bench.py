@@ -138,8 +138,14 @@ def run_queries(sf_dir: str) -> dict:
              "link_prediction", "adamic_adar", "degree_histogram",
              "event_gaps", "stratified_events", "unigram_logprob",
              "events_pivot", "revenue_rollup", "price_quantiles_exact",
-             "acctbal_zscore", "setsim_pairs",
-             "acctbal_quantiles_by_nation", "effective_diameter"]
+             "acctbal_zscore",
+             # setsim_pairs is deliberately NOT timed here: at sf0.1 the
+             # dup-heavy corpus makes its ANSWER ~3M rows (within-cluster
+             # J=1 pairs), so its wall time measures output volume, not
+             # engine speed — the correctness gate covers it at sf0.01
+             "acctbal_quantiles_by_nation", "effective_diameter",
+             "truss_edges", "harmonic_centrality", "hourly_distinct_users",
+             "order_price_ntile", "price_band_counts"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

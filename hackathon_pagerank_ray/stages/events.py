@@ -397,8 +397,24 @@ def distinct_count_by(events_ds, by_expr_col: str, key: str,
     from .relational import distinct, rename
 
     def _local_dedup(df: pd.DataFrame) -> pd.DataFrame:
-        sub = df[[by_expr_col, key]].drop_duplicates()
-        return sub
+        b = df[by_expr_col].to_numpy()
+        k = df[key].to_numpy()
+        if (np.issubdtype(b.dtype, np.integer)
+                and np.issubdtype(k.dtype, np.integer)
+                and len(k) and (k >= 0).all() and k.max() < 2 ** 32
+                and (b >= 0).all()):
+            # packed-int fast path: one np.unique instead of a pandas
+            # hash dedup (ids/buckets are the common case)
+            packed = np.unique((b.astype(np.int64) << 32)
+                               | k.astype(np.int64))
+            return pd.DataFrame({by_expr_col: packed >> 32,
+                                 key: packed & 0xFFFFFFFF})
+        out = df[[by_expr_col, key]].drop_duplicates()
+        # keep block dtypes identical across batches whichever branch ran
+        for c in (by_expr_col, key):
+            if np.issubdtype(out[c].dtype, np.integer):
+                out[c] = out[c].astype(np.int64)
+        return out
 
     ded = events_ds.map_batches(_local_dedup, batch_format="pandas")
     uniq = distinct(ded, [by_expr_col, key])
