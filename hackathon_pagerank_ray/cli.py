@@ -76,8 +76,10 @@ def main(argv=None):
     gr.add_argument("edges")
     gr.add_argument("--out", required=True)
     gr.add_argument("--op", required=True,
-                    choices=["cc", "scc", "lp", "kcore", "hits", "bfs"])
-    gr.add_argument("--k", type=int, default=3, help="kcore threshold")
+                    choices=["cc", "scc", "lp", "kcore", "hits", "bfs",
+                             "truss", "diameter", "harmonic"])
+    gr.add_argument("--k", type=int, default=3,
+                    help="kcore/truss threshold")
     gr.add_argument("--source", type=int, default=0, help="bfs source vid")
     gr.add_argument("--max-iter", type=int, default=None)
     gr.add_argument("--owners", type=int, default=8)
@@ -121,7 +123,24 @@ def main(argv=None):
                 edges = read_edges_parquet(args.edges)
             os.makedirs(args.out, exist_ok=True)
             kw = {} if args.max_iter is None else {"max_iter": args.max_iter}
-            if args.op == "hits":
+            if args.op == "truss":
+                from .graph.truss import ktruss_edges
+                out = ktruss_edges(edges, k=args.k,
+                                   num_partitions=args.owners).materialize()
+                info = {"k": args.k, "edges": out.count()}
+            elif args.op == "diameter":
+                from .graph.hyperball import neighborhood_function
+                import ray.data as rd
+                nf, d_eff = neighborhood_function(
+                    edges, num_partitions=args.owners)
+                out = rd.from_pandas(nf)
+                info = {"d_eff": d_eff, "sweeps": int(nf["t"].iloc[-1])}
+            elif args.op == "harmonic":
+                from .graph.hyperball import harmonic_centrality
+                out = harmonic_centrality(
+                    edges, num_partitions=args.owners).materialize()
+                info = {"vertices": out.count()}
+            elif args.op == "hits":
                 out, info = hits(edges, num_owners=args.owners, **kw)
             elif args.op == "scc":
                 from .graph.engine import strongly_connected_components
