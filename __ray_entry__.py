@@ -384,6 +384,31 @@ def _q_token_counts(sf_dir):
         ["doc_id", "n_tokens"])
 
 
+_PACK_TOKENS = 2048
+
+
+def _q_pack_offsets(sf_dir):
+    """Sequence-packing offsets for LLM training prep: global token
+    prefix sum over doc_id order (distributed two-phase scan), plus the
+    2048-token pack each document starts in under contiguous
+    concatenation."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import prefix_sum
+    from hackathon_pagerank_ray.stages.text_ops import add_token_counts
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    counted = add_token_counts(docs, concurrency=4).select_columns(
+        ["doc_id", "n_tokens"])
+    cum = prefix_sum(counted, "doc_id", "n_tokens", out_col="cum_tokens")
+
+    def _pack(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["cum_tokens"], dtype=np.int64)
+        n = np.asarray(t["n_tokens"], dtype=np.int64)
+        return t.append_column(
+            "pack_id", pa.array((c - n) // _PACK_TOKENS, pa.int64()))
+
+    return cum.map_batches(_pack, batch_format="pyarrow")
+
+
 def _q_repetition_stats(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.text_ops import add_repetition_stats
@@ -1283,6 +1308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_filter": _q_part_filter,
         "pricing_summary": _q_pricing_summary,
         "token_counts": _q_token_counts,
+        "pack_offsets": _q_pack_offsets,
         "repetition_stats": _q_repetition_stats,
         "pii_redaction": _q_pii_redaction,
         "dataprep_corpus": _q_dataprep_corpus,
@@ -2023,6 +2049,17 @@ GROUP BY l_returnflag, l_linestatus
         "token_counts":
             r"SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+')) "
             r"AS BIGINT) AS n_tokens FROM documents",
+        # distributed prefix-sum scan + sequence packing (aggregates.
+        # prefix_sum): SUM OVER (ORDER BY) is integer-exact both sides
+        "pack_offsets": r"""
+WITH tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+'))
+                            AS BIGINT) AS n_tokens FROM documents)
+SELECT doc_id, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens,
+       CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
+                  / 2048) AS BIGINT) AS pack_id
+FROM tok
+""",
         # Gopher-style repetition signals (stages/text_ops.RepetitionStats):
         # dup_line_frac over non-empty \n-split lines; top_bigram_frac =
         # max bigram count / (n_tokens - 1) on the reference tokenizer

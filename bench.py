@@ -145,7 +145,7 @@ def run_queries(sf_dir: str) -> dict:
              # engine speed — the correctness gate covers it at sf0.01
              "acctbal_quantiles_by_nation", "effective_diameter",
              "truss_edges", "harmonic_centrality", "hourly_distinct_users",
-             "order_price_ntile", "price_band_counts"]
+             "order_price_ntile", "price_band_counts", "pack_offsets"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

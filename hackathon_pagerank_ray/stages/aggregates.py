@@ -17,6 +17,7 @@ Arrow supports with the same layout.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -318,3 +319,57 @@ def pearson_corr(ds, x_col: str, y_col: str, scale: int = 100):
 def _sum64(arr: pa.Array) -> int:
     v = pc.sum(arr)
     return int(v.as_py() or 0)
+
+
+def prefix_sum(ds, order_col: str, value_col: str,
+               out_col: str = "cum"):
+    """Distributed inclusive prefix sum — the ``SUM(v) OVER (ORDER BY
+    key)`` scan, a Dataset-API gap.
+
+    Classic two-phase scan: (1) range-sort on ``order_col`` (the global
+    order IS the semantics — this is the one shuffle), materialize, and
+    reduce each block to (first_key, block_sum) — a block-count-sized
+    table; (2) exclusive-scan those partials on the driver (tiny) and
+    broadcast, then a second pass adds each block's offset to its
+    in-block cumulative sum.  Blocks are matched to offsets by their
+    first key, so ``order_col`` must be UNIQUE (ties would make block
+    attribution ambiguous); ``value_col`` must be integer (exact sums,
+    bit-identical to the SQL window).  Emits ``order_col, value_col,
+    out_col``.
+    """
+    import ray
+
+    srt = ds.select_columns([order_col, value_col]) \
+            .sort(order_col).materialize()
+
+    def _part(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({"first": pa.array([], pa.int64()),
+                             "total": pa.array([], pa.int64())})
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = t[order_col].to_numpy(zero_copy_only=False)
+        return pa.table({"first": pa.array([int(k[0])], pa.int64()),
+                         "total": pa.array([int(v.sum())], pa.int64())})
+
+    parts = (srt.map_batches(_part, batch_format="pyarrow",
+                             batch_size=None).to_pandas()
+             .sort_values("first").reset_index(drop=True))
+    firsts = parts["first"].to_numpy()
+    offsets = np.concatenate(([0], np.cumsum(parts["total"].to_numpy())[:-1]))
+    ref = ray.put((firsts, offsets))
+
+    def _scan(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({order_col: pa.array([], pa.int64()),
+                             value_col: pa.array([], pa.int64()),
+                             out_col: pa.array([], pa.int64())})
+        f, off = ray.get(ref)
+        k = t[order_col].to_numpy(zero_copy_only=False)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = int(np.searchsorted(f, int(k[0])))
+        base = int(off[i])
+        return pa.table({order_col: pa.array(k.astype(np.int64)),
+                         value_col: pa.array(v),
+                         out_col: pa.array(base + np.cumsum(v))})
+
+    return srt.map_batches(_scan, batch_format="pyarrow", batch_size=None)

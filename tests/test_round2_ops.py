@@ -597,3 +597,21 @@ def test_distinct_count_by_and_ntile():
     t3 = (ntile(rd.from_pandas(df3), "g", "v", "id", 4).to_pandas()
           .sort_values("v").reset_index(drop=True))
     assert list(t3["tile"]) == [1, 2]
+
+
+def test_prefix_sum_multiblock_exact():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.aggregates import prefix_sum
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({"id": rng.permutation(1000).astype(np.int64),
+                       "v": rng.randint(0, 500, size=1000)})
+    out = (prefix_sum(rd.from_pandas(df).repartition(7), "id", "v")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    want = df.sort_values("id").reset_index(drop=True)
+    assert np.array_equal(out["cum"].to_numpy(),
+                          np.cumsum(want["v"].to_numpy()))
+    assert np.array_equal(out["v"].to_numpy(), want["v"].to_numpy())
