@@ -1279,6 +1279,44 @@ def _q_tfidf_search(sf_dir):
     return out
 
 
+def _q_mutual_edges(sf_dir):
+    """Per-source reciprocated-edge counts: distinct edges semi-joined
+    against themselves with swapped keys, then a count shuffle."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import mutual_edge_counts
+    return mutual_edge_counts(_edges_ds(sf_dir))
+
+
+def _q_order_price_prank(sf_dir):
+    """PERCENT_RANK of each order's price within its customer (ties on
+    price share a rank, exactly the SQL window)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import percent_rank
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    return percent_rank(orders, "o_custkey", "o_totalprice", "o_orderkey",
+                        out_col="pr")
+
+
+def _q_acctbal_mad_by_nation(sf_dir):
+    """Per-nation median absolute deviation of customer balances
+    (robust spread; matches DuckDB mad() bit-for-bit)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import group_mad
+    c = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_acctbal"])
+    return group_mad(c, "c_nationkey", "c_acctbal", out_col="mad_acctbal")
+
+
+def _q_dup_windows(sf_dir):
+    """Cross-document exact-substring windows (64-char, stride 16):
+    per-doc count of sampled windows whose text occurs in ≥2 docs."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import dup_window_stats
+    return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "out_degrees": _q_out_degrees,
@@ -1348,6 +1386,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
         "semantic_dedup": _q_semantic_dedup,
+        "mutual_edges": _q_mutual_edges,
+        "order_price_prank": _q_order_price_prank,
+        "acctbal_mad_by_nation": _q_acctbal_mad_by_nation,
+        "dup_windows": _q_dup_windows,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
@@ -2499,6 +2541,33 @@ pairs AS (
 SELECT CAST(d AS BIGINT) AS d, CAST(bucket AS BIGINT) AS bucket,
        COUNT(*) AS n
 FROM pairs GROUP BY d, bucket
+""",
+        "mutual_edges": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL}))
+SELECT a.src AS src, COUNT(*) AS mutual_cnt
+FROM e a JOIN e b ON b.src = a.dst AND b.dst = a.src
+GROUP BY a.src
+""",
+        "order_price_prank":
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "percent_rank() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice) AS pr FROM orders",
+        "acctbal_mad_by_nation":
+            "SELECT c_nationkey, mad(CAST(c_acctbal AS DOUBLE)) "
+            "AS mad_acctbal FROM customer GROUP BY c_nationkey",
+        # stride-sampled exact-substring duplication
+        # (stages/dedup_near.dup_window_stats): 64-char windows at
+        # 1-based positions 1, 17, 33, …; duplicated = same window text
+        # in >= 2 distinct documents
+        "dup_windows": """
+WITH pos AS (
+  SELECT doc_id, text,
+         unnest(generate_series(1, length(text) - 63, 16)) AS i
+  FROM documents),
+w AS (SELECT doc_id, substr(text, CAST(i AS INT), 64) AS win FROM pos),
+dup AS (SELECT win FROM w GROUP BY win HAVING COUNT(DISTINCT doc_id) >= 2)
+SELECT w.doc_id, COUNT(*) AS dup_windows
+FROM w JOIN dup USING (win) GROUP BY w.doc_id
 """,
         # SemDeDup keep-min-id rule over the planted-union table
         # (stages/dedup_near.semantic_dedup)

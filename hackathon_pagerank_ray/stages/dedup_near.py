@@ -594,6 +594,100 @@ def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
 
 
 # ---------------------------------------------------------------------------
+# Cross-document exact-substring windows (Lee et al. 2022-style signal)
+# ---------------------------------------------------------------------------
+
+def _window_hashes(text: str, width: int, stride: int) -> np.ndarray:
+    """Vectorized 64-bit polynomial hash of every ``width``-CHAR window
+    at stride ``stride`` (1-based SQL positions 1, 1+stride, … — i.e.
+    ``substr(text, i, width)``).  Char-indexed via a utf-32 decode so
+    the result matches SQL substr semantics on non-ASCII too; one
+    numpy polynomial pass over the stacked window matrix, no per-byte
+    Python loop."""
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = len(codes) - width
+    if n < 0:
+        return np.empty(0, dtype=np.int64)
+    from numpy.lib.stride_tricks import sliding_window_view
+    win = sliding_window_view(codes, width)[::stride].astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h = win[:, 0].copy()
+        for i in range(1, width):
+            h = h * np.uint64(1099511628211) + win[:, i]
+    return h.astype(np.int64)
+
+
+def dup_window_stats(docs_ds, id_col="doc_id", text_col="text",
+                     width: int = 64, stride: int = 16,
+                     num_partitions: int | None = None):
+    """Per-document count of ``width``-char windows (sampled every
+    ``stride`` chars) whose exact text also occurs at a sampled window
+    position in at least one OTHER document — the cross-document
+    exact-substring duplication signal of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    bounded by striding instead of a full suffix array.  Only documents
+    with ≥1 duplicated window are emitted: ``(id, dup_windows)``.
+
+    Scale shape (mirrors :func:`cross_doc_line_stats`): pass 1 explodes
+    each doc to unique ``(id, window_hash)`` rows (8-byte hashes, never
+    window text, move through the one corpus-wide ``groupby(wh)``
+    count — rows are unique per doc, so the row count IS the distinct
+    document count); hashes seen in ≥2 docs are broadcast sorted via
+    ``ray.put`` and pass 2 recounts per-doc positions batch-locally.
+    Window hashing is a single numpy polynomial pass per batch — no
+    per-byte Python loop.
+    """
+    import ray
+
+    from .relational import default_num_partitions, rename
+
+    if num_partitions is None:
+        num_partitions = default_num_partitions()
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, hashes = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            hs = np.unique(_window_hashes(t or "", width, stride))
+            if len(hs):
+                ids.append(np.full(len(hs), i, dtype=np.int64))
+                hashes.append(hs)
+        if not ids:
+            return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
+                                 "wh": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame({id_col: np.concatenate(ids),
+                             "wh": np.concatenate(hashes)})
+
+    doc_wins = docs_ds.map_batches(_explode, batch_format="pandas")
+    dup = (rename(doc_wins.groupby("wh").count(), {"count()": "n_docs"})
+           .filter(expr="n_docs >= 2").select_columns(["wh"]))
+    parts = [ray.get(r)["wh"].to_numpy() for r in dup.to_arrow_refs()]
+    dup_arr = np.sort(np.concatenate(parts)) if parts \
+        else np.array([], dtype=np.int64)
+    dup_ref = ray.put(dup_arr)
+
+    def _count_dup(batch: pd.DataFrame) -> pd.DataFrame:
+        dup_sorted = ray.get(dup_ref)
+        out_ids, out_cnt = [], []
+        for i, t in zip(batch[id_col], batch[text_col]):
+            if not len(dup_sorted):
+                break
+            hs = _window_hashes(t or "", width, stride)
+            if not len(hs):
+                continue
+            pos = np.minimum(np.searchsorted(dup_sorted, hs),
+                             len(dup_sorted) - 1)
+            c = int(np.count_nonzero(dup_sorted[pos] == hs))
+            if c:
+                out_ids.append(int(i))
+                out_cnt.append(c)
+        return pd.DataFrame({id_col: pd.Series(out_ids, dtype=np.int64),
+                             "dup_windows": pd.Series(out_cnt,
+                                                      dtype=np.int64)})
+
+    return docs_ds.map_batches(_count_dup, batch_format="pandas")
+
+
+# ---------------------------------------------------------------------------
 # Benchmark decontamination (broadcast n-gram overlap)
 # ---------------------------------------------------------------------------
 

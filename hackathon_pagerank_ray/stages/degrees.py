@@ -32,6 +32,28 @@ def dangling_vertices(vertices_ds, edges_ds, vid_col: str = "vid",
                      num_partitions=num_partitions)
 
 
+def mutual_edge_counts(edges_ds, src_col: str = "src",
+                       dst_col: str = "dst", num_partitions: int = 16):
+    """(src, mutual_cnt) — per source vertex, how many of its distinct
+    out-edges are reciprocated (the reverse edge exists).  Link-graph
+    reciprocity: the fraction of mutual links is a standard web-graph
+    health signal (directed edges u→v with v→u also present).
+
+    Shape: dedup the edge table, then ONE hash-partitioned semi-join of
+    the distinct edges against themselves with the key columns swapped
+    (``left.(src,dst) = right.(dst,src)``), then a count shuffle on src.
+    Because the left side is distinct, each row matches at most once, so
+    the semi-join count equals the SQL inner-join COUNT(*).
+    """
+    from .relational import distinct, semi_join
+    e = distinct(edges_ds, [src_col, dst_col], num_partitions)
+    mutual = semi_join(e, e, on=(src_col, dst_col),
+                       right_on=(dst_col, src_col),
+                       num_partitions=num_partitions)
+    return (mutual.groupby(src_col).count()
+            .rename_columns({"count()": "mutual_cnt"}))
+
+
 def degree_histogram(edges_ds, src_col: str = "src"):
     """(degree, n_vertices) — the out-degree distribution: two count
     shuffles, the second over at most max-degree distinct keys (power-law

@@ -422,6 +422,33 @@ def distinct_count_by(events_ds, by_expr_col: str, key: str,
                   {"count()": out_col})
 
 
+def percent_rank(ds, by: str, order_col: str, tiebreak: str,
+                 out_col: str = "pr"):
+    """SQL ``PERCENT_RANK() OVER (PARTITION BY by ORDER BY order_col)``
+    — per key, ``(rank - 1) / (n - 1)`` where ``rank`` is the 1-based
+    minimum rank (ties on ``order_col`` share a rank); a single-row
+    group gets 0.0.  ``tiebreak`` is carried through as the row identity
+    column only — it does NOT affect the rank, exactly like the SQL
+    window (ties share ``pr`` regardless of physical order).  One hash
+    shuffle on the key, in-task sort per group; emits
+    ``by, tiebreak, order_col, out_col``.  Partitioning assumption: one
+    key's rows fit a worker task."""
+
+    def _pr(df: pd.DataFrame) -> pd.DataFrame:
+        v = df[order_col].to_numpy()
+        order = np.argsort(v, kind="stable")
+        sv = v[order]
+        n = len(df)
+        # min-rank with ties: position of first equal value in the sort
+        rank0 = np.searchsorted(sv, sv, side="left").astype(np.float64)
+        pr = rank0 / (n - 1) if n > 1 else np.zeros(1, dtype=np.float64)
+        out = df.iloc[order][[by, tiebreak, order_col]].copy()
+        out[out_col] = pr
+        return out
+
+    return ds.groupby(by).map_groups(_pr, batch_format="pandas")
+
+
 def ntile(ds, by: str, order_col: str, tiebreak: str, n: int,
           out_col: str = "tile"):
     """SQL ``NTILE(n) OVER (PARTITION BY by ORDER BY order_col,

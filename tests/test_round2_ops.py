@@ -615,3 +615,87 @@ def test_prefix_sum_multiblock_exact():
     assert np.array_equal(out["cum"].to_numpy(),
                           np.cumsum(want["v"].to_numpy()))
     assert np.array_equal(out["v"].to_numpy(), want["v"].to_numpy())
+
+
+def test_percent_rank_ties_and_single_row():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.events import percent_rank
+
+    df = pd.DataFrame({"g": [1, 1, 1, 1, 2],
+                       "v": [10.0, 20.0, 20.0, 30.0, 5.0],
+                       "id": [0, 1, 2, 3, 4]})
+    out = (percent_rank(rd.from_pandas(df).repartition(2), "g", "v", "id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    # group 1: ranks 1,2,2,4 over n=4 -> pr 0, 1/3, 1/3, 1
+    assert np.allclose(out["pr"].to_numpy(),
+                       [0.0, 1 / 3, 1 / 3, 1.0, 0.0])
+
+
+def test_group_mad_matches_duckdb_rule():
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.stats import group_mad
+
+    # mad([1,2,4,7]) = 1.5 (median 3.0, |dev| sorted [1,1,2,4] -> 1.5)
+    df = pd.DataFrame({"g": [1, 1, 1, 1, 2, 2, 2],
+                       "v": [1.0, 2.0, 4.0, 7.0, 1.0, 2.0, 4.0]})
+    out = (group_mad(rd.from_pandas(df).repartition(3), "g", "v")
+           .to_pandas().sort_values("g").reset_index(drop=True))
+    assert np.allclose(out["mad"].to_numpy(), [1.5, 1.0])
+
+
+def test_mutual_edge_counts_exact():
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.degrees import mutual_edge_counts
+
+    # mutual: (1,2)/(2,1), (2,3)/(3,2); (4,4) self-loop is its own
+    # reverse; (1,5) unreciprocated; duplicate (1,2) must not double
+    df = pd.DataFrame({"src": [1, 2, 2, 3, 4, 1, 1],
+                       "dst": [2, 1, 3, 2, 4, 5, 2]})
+    out = (mutual_edge_counts(rd.from_pandas(df).repartition(3))
+           .to_pandas().sort_values("src").reset_index(drop=True))
+    assert list(out["src"]) == [1, 2, 3, 4]
+    assert list(out["mutual_cnt"]) == [1, 2, 1, 1]
+
+
+def test_dup_window_stats_plants_and_counts():
+    import pandas as pd
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.dedup_near import dup_window_stats
+
+    shared = "S" * 80                      # 80 identical chars
+    uniq_a = "".join(chr(97 + (i * 7) % 26) for i in range(200))
+    uniq_b = "".join(chr(97 + (i * 11 + 3) % 26) for i in range(200))
+    docs = pd.DataFrame({
+        "doc_id": [0, 1, 2, 3],
+        "text": [shared + uniq_a,          # windows at 1,17: both in dup
+                 uniq_b + shared,          # stride-aligned copy of shared
+                 uniq_a[:50],              # too short for any dup
+                 "x" * 30]})               # shorter than the window
+    out = (dup_window_stats(rd.from_pandas(docs).repartition(2),
+                            width=64, stride=16)
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    # doc 0: windows at pos 1 and 17 are pure-S (80-64=16 offset fits);
+    # doc 1: shared starts at 201 -> sampled positions 209, 225 inside
+    # the S-run give pure-S windows only if aligned; verify vs a direct
+    # recomputation instead of hand counting
+    def wins(t):
+        return [t[i:i + 64] for i in range(0, len(t) - 63, 16)]
+    allw = {}
+    for d, t in zip(docs["doc_id"], docs["text"]):
+        for w in set(wins(t)):
+            allw.setdefault(w, set()).add(d)
+    dup = {w for w, ds in allw.items() if len(ds) >= 2}
+    want = {d: sum(1 for w in wins(t) if w in dup)
+            for d, t in zip(docs["doc_id"], docs["text"])}
+    want = {d: c for d, c in want.items() if c}
+    got = dict(zip(out["doc_id"], out["dup_windows"]))
+    assert got == want and len(want) >= 2
