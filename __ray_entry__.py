@@ -1317,6 +1317,15 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_random_walks(sf_dir):
+    """Deterministic 8-step random walks from every source vertex
+    (DeepWalk-style embedding-training corpus; md5 step rule replayed
+    bit-exactly by the recursive-CTE oracle)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.walks import random_walks
+    return random_walks(_edges_ds(sf_dir), steps=8, num_partitions=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "out_degrees": _q_out_degrees,
@@ -1390,6 +1399,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_price_prank": _q_order_price_prank,
         "acctbal_mad_by_nation": _q_acctbal_mad_by_nation,
         "dup_windows": _q_dup_windows,
+        "random_walks": _q_random_walks,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
@@ -2585,5 +2595,31 @@ allv AS MATERIALIZED (
 SELECT v.vec_id FROM allv v WHERE NOT EXISTS (
   SELECT 1 FROM allv u WHERE u.vec_id < v.vec_id
   AND list_cosine_similarity(u.e, v.e) >= 0.99)
+""",
+        # deterministic 8-step walks (graph/walks.random_walks): at step
+        # t on vertex v in the walk from `start`, the next vertex is the
+        # sorted-distinct-neighbor at rank
+        # H(md5('start:t:v')[:8 hex]) % outdeg — hex parsed positionally
+        # so both engines compute the identical 32-bit integer
+        "random_walks": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+nbr AS (SELECT src, dst,
+        CAST(ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) - 1
+             AS BIGINT) AS r,
+        CAST(COUNT(*) OVER (PARTITION BY src) AS BIGINT) AS deg FROM e),
+walk(start, step, v) AS (
+  SELECT src, CAST(0 AS BIGINT), src FROM (SELECT DISTINCT src FROM e)
+  UNION ALL
+  SELECT w.start, w.step + 1, n.dst
+  FROM walk w JOIN nbr n ON n.src = w.v AND n.r = (
+    list_sum(list_transform(range(1, 9), i ->
+      CAST((strpos('0123456789abcdef', substr(md5(
+        CAST(w.start AS VARCHAR) || ':' || CAST(w.step + 1 AS VARCHAR)
+        || ':' || CAST(w.v AS VARCHAR)), i, 1)) - 1) AS BIGINT)
+      * CAST(POWER(16, 8 - i) AS BIGINT))) % n.deg)
+  WHERE w.step < 8)
+SELECT CAST(start AS BIGINT) AS start, step, CAST(v AS BIGINT) AS v
+FROM walk
 """,
     }

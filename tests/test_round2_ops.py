@@ -699,3 +699,38 @@ def test_dup_window_stats_plants_and_counts():
     want = {d: c for d, c in want.items() if c}
     got = dict(zip(out["doc_id"], out["dup_windows"]))
     assert got == want and len(want) >= 2
+
+
+def test_random_walks_paths_agree_and_replay():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.graph.walks import _h32, random_walks
+
+    rng = np.random.default_rng(7)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 60, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    # pure-python replay of the documented step rule
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(s, []).append(d)
+    adj = {k: sorted(v) for k, v in adj.items()}
+    rows = []
+    for st in sorted(set(src.tolist())):
+        v = st
+        rows.append((st, 0, st))
+        for t in range(1, 7):
+            if v not in adj:
+                break
+            nb = adj[v]
+            v = nb[_h32(f"{st}:{t}:{v}") % len(nb)]
+            rows.append((st, t, v))
+    ref = pd.DataFrame(rows, columns=["start", "step", "v"]) \
+        .sort_values(["start", "step"]).reset_index(drop=True)
+
+    for bme in (10**9, 1):         # broadcast-CSR, then join-per-step
+        out = random_walks(ds, steps=6, num_partitions=4,
+                           broadcast_max_edges=bme).to_pandas() \
+            .sort_values(["start", "step"]).reset_index(drop=True)
+        assert out.equals(ref), f"plan broadcast_max_edges={bme} diverged"
