@@ -1317,6 +1317,17 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_betweenness(sf_dir):
+    """Brandes betweenness centrality, source-parallel over a broadcast
+    CSR (exact pytest oracle; no SQL twin — Brandes' backward dependency
+    accumulation is not expressible in DuckDB SQL → rows-only)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.betweenness import \
+        betweenness_centrality
+    return betweenness_centrality(_edges_ds(sf_dir), num_partitions=8,
+                                  max_sources=512)
+
+
 def _q_random_walks(sf_dir):
     """Deterministic 8-step random walks from every source vertex
     (DeepWalk-style embedding-training corpus; md5 step rule replayed
@@ -1400,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_mad_by_nation": _q_acctbal_mad_by_nation,
         "dup_windows": _q_dup_windows,
         "random_walks": _q_random_walks,
+        "betweenness": _q_betweenness,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,

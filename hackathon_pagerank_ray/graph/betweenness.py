@@ -1,0 +1,192 @@
+"""Betweenness centrality via source-parallel Brandes (Brandes 2001).
+
+Directed, unweighted betweenness over the distinct edge table: for every
+ordered pair (s, t), each intermediate vertex v earns
+sigma_st(v) / sigma_st — the fraction of shortest s→t paths through v.
+
+Parallel decomposition: the SOURCES are the data-parallel axis.  The CSR
+adjacency is built once and ``ray.put`` into the object store; a stateful
+actor pool maps over batches of source vertices, each actor running a
+level-synchronous (numpy-vectorized) Brandes forward/backward sweep per
+source and accumulating the dependency vector locally across its whole
+batch.  One tiny ``groupby("vid").sum`` merges the per-actor partials.
+This is exact for ``max_sources=None`` and the standard unbiased sampled
+estimator (scaled by n_sources/|sample|) otherwise; the sample is chosen
+by md5 rank so runs are deterministic and resumable.
+
+Partitioning assumption (documented per SURVEY.md custom-operator rule):
+the CSR adjacency must fit in one worker's heap — the same broadcast
+contract as stages/similarity's brute-force ANN.  At cluster scale the
+sampled mode (``max_sources``) bounds compute, not memory; a
+shards-distributed multi-source BFS would lift the memory bound and is
+out of scope here.
+
+Reference scope note: the reference engine (begum-kara/Hackathon-PageRank,
+backend/cuda/pagerank_gpu.cu) ships PageRank only; betweenness extends the
+same link-graph analytics surface (SURVEY.md §2 G-family).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ..stages.relational import distinct
+
+
+def _collect_csr(edges_ds, num_partitions: int):
+    """Distinct edges → (verts, indptr, nbrs) CSR over dense 0..n-1 ids.
+
+    ``verts`` is the sorted union of src and dst; ``nbrs`` holds dense
+    ids.  Pulled to the calling process once (broadcast contract above).
+    """
+    import ray
+
+    e = distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
+    parts = [ray.get(r) for r in e.to_arrow_refs()]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return np.empty(0, np.int64), np.zeros(1, np.int64), \
+            np.empty(0, np.int64)
+    tbl = pa.concat_tables(parts)
+    src = tbl["src"].to_numpy(zero_copy_only=False)
+    dst = tbl["dst"].to_numpy(zero_copy_only=False)
+    verts = np.unique(np.concatenate([src, dst]))
+    s = np.searchsorted(verts, src)
+    d = np.searchsorted(verts, dst)
+    order = np.argsort(s, kind="stable")
+    s, d = s[order], d[order]
+    indptr = np.zeros(len(verts) + 1, dtype=np.int64)
+    np.add.at(indptr, s + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return verts, indptr, d
+
+
+def _brandes_source(src_dense: int, indptr: np.ndarray, nbrs: np.ndarray,
+                    n: int, bc: np.ndarray) -> None:
+    """One exact Brandes sweep from ``src_dense``, accumulated into ``bc``.
+
+    Level-synchronous: each BFS level expands every frontier out-edge in
+    one vectorized gather, so the python-level loop count is the graph
+    diameter, not the vertex count.
+    """
+    dist = np.full(n, -1, dtype=np.int64)
+    sigma = np.zeros(n, dtype=np.float64)
+    dist[src_dense] = 0
+    sigma[src_dense] = 1.0
+    frontier = np.array([src_dense], dtype=np.int64)
+    levels = [frontier]
+    level = 0
+    while True:
+        u, w = _expand(indptr, nbrs, frontier)
+        if not len(u):
+            break
+        level += 1
+        nxt = np.unique(w[dist[w] == -1])
+        dist[nxt] = level
+        on_sp = dist[w] == level
+        np.add.at(sigma, w[on_sp], sigma[u[on_sp]])
+        if not len(nxt):
+            break
+        frontier = nxt
+        levels.append(nxt)
+    # backward accumulation
+    delta = np.zeros(n, dtype=np.float64)
+    for frontier in reversed(levels[:-1]):
+        u, w = _expand(indptr, nbrs, frontier)
+        on_sp = dist[w] == dist[u] + 1
+        u, w = u[on_sp], w[on_sp]
+        np.add.at(delta, u, (sigma[u] / sigma[w]) * (1.0 + delta[w]))
+    delta[src_dense] = 0.0
+    bc += delta
+
+
+def _expand(indptr: np.ndarray, nbrs: np.ndarray, frontier: np.ndarray):
+    """All out-edges of the frontier as parallel (u, w) arrays — one
+    vectorized gather, no per-vertex python loop."""
+    counts = indptr[frontier + 1] - indptr[frontier]
+    f = frontier[counts > 0]
+    counts = counts[counts > 0]
+    if not len(f):
+        e = np.empty(0, dtype=np.int64)
+        return e, e
+    total = int(counts.sum())
+    # concatenated ranges [indptr[v], indptr[v+1]) via the cumsum trick
+    step = np.ones(total, dtype=np.int64)
+    seg = np.zeros(len(f), dtype=np.int64)
+    np.cumsum(counts[:-1], out=seg[1:])
+    prev_end = indptr[f[:-1]] + counts[:-1]
+    step[0] = indptr[f[0]]
+    step[seg[1:]] = indptr[f[1:]] - prev_end + 1
+    idx = np.cumsum(step)
+    return np.repeat(f, counts), nbrs[idx]
+
+
+class _BrandesBatch:
+    """Actor-pool stage: CSR fetched once in __init__, Brandes per source
+    in __call__, dependencies accumulated locally across the batch."""
+
+    def __init__(self, csr_ref, scale: float):
+        import ray
+        self.verts, self.indptr, self.nbrs = ray.get(csr_ref)
+        self.scale = scale
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        n = len(self.verts)
+        bc = np.zeros(n, dtype=np.float64)
+        for s in np.searchsorted(self.verts,
+                                 batch["start"].to_numpy()):
+            _brandes_source(int(s), self.indptr, self.nbrs, n, bc)
+        nz = np.flatnonzero(bc)
+        return pa.table({
+            "vid": pa.array(self.verts[nz], pa.int64()),
+            "part": pa.array(bc[nz] * self.scale, pa.float64())})
+
+
+def betweenness_centrality(edges_ds, num_partitions: int = 16,
+                           max_sources: int | None = None, seed: int = 42,
+                           concurrency: int = 8):
+    """(vid, betweenness) for every vertex with positive centrality.
+
+    Exact (all vertices with out-edges as sources) when ``max_sources``
+    is None; otherwise the md5-rank-sampled estimator scaled by
+    n_sources / max_sources.  Zero-centrality vertices are omitted
+    (same contract as mutual_edge_counts).
+    """
+    import ray
+
+    verts, indptr, nbrs = _collect_csr(edges_ds, num_partitions)
+    sources = verts[(indptr[1:] - indptr[:-1]) > 0]
+    scale = 1.0
+    if max_sources is not None and len(sources) > max_sources:
+        ranks = np.array([hashlib.md5(f"{seed}:{s}".encode()).digest()[:8]
+                          for s in sources])
+        order = np.argsort(ranks.view("S8").ravel(), kind="stable")
+        scale = len(sources) / max_sources
+        sources = np.sort(sources[order[:max_sources]])
+    if not len(sources):
+        return ray.data.from_arrow(pa.table({
+            "vid": pa.array([], pa.int64()),
+            "betweenness": pa.array([], pa.float64())}))
+
+    csr_ref = ray.put((verts, indptr, nbrs))
+    src_ds = ray.data.from_arrow(
+        pa.table({"start": pa.array(sources, pa.int64())}))
+    # leave headroom for the downstream groupby's shuffle aggregators —
+    # a fixed pool sized past the session's CPUs deadlocks small sessions
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    conc = max(1, min(concurrency, cpus - 2, len(sources)))
+    batch = max(1, (len(sources) + conc - 1) // conc)
+    parts = src_ds.map_batches(
+        _BrandesBatch, fn_constructor_args=(csr_ref, scale),
+        concurrency=conc, batch_size=min(batch, 4096),
+        batch_format="pandas")
+    out = parts.groupby("vid").sum("part")
+    return out.map_batches(
+        lambda t: pa.table({
+            "vid": t["vid"].combine_chunks().cast(pa.int64()),
+            "betweenness": t["sum(part)"].combine_chunks()}),
+        batch_format="pyarrow")

@@ -734,3 +734,58 @@ def test_random_walks_paths_agree_and_replay():
                            broadcast_max_edges=bme).to_pandas() \
             .sort_values(["start", "step"]).reset_index(drop=True)
         assert out.equals(ref), f"plan broadcast_max_edges={bme} diverged"
+
+
+def test_betweenness_matches_naive_brandes():
+    from collections import defaultdict, deque
+
+    from hackathon_pagerank_ray.graph.betweenness import \
+        betweenness_centrality
+
+    rng = np.random.default_rng(3)
+    src = rng.integers(0, 50, 400).astype(np.int64)
+    dst = rng.integers(0, 50, 400).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    adj = defaultdict(set)
+    for s, d in zip(src.tolist(), dst.tolist()):
+        adj[s].add(d)
+    bc = defaultdict(float)
+    for s in sorted(set(src.tolist()) | set(dst.tolist())):
+        S, P, sigma = [], defaultdict(list), defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            S.append(v)
+            for w in sorted(adj[v]):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    P[w].append(v)
+        delta = defaultdict(float)
+        while S:
+            w = S.pop()
+            for v in P[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    ref = {v: b for v, b in bc.items() if b > 0}
+
+    out = betweenness_centrality(ds, num_partitions=4).to_pandas()
+    got = dict(zip(out["vid"], out["betweenness"]))
+    assert set(got) == set(ref)
+    for v, b in ref.items():
+        assert abs(got[v] - b) < 1e-9 * max(1.0, b)
+
+    # deterministic sampled estimator: same sample → identical output
+    a = betweenness_centrality(ds, num_partitions=4, max_sources=20) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    b = betweenness_centrality(ds, num_partitions=4, max_sources=20) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    assert a.equals(b) and (a["betweenness"] > 0).all()
