@@ -1317,6 +1317,51 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_kmeans(sf_dir):
+    """Distributed Lloyd's k-means assignments (k=8, 3 iterations,
+    deterministic smallest-id init) — per-batch partial sums, vectors
+    never leave the object store; oracle = unrolled per-iteration CTEs."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.kmeans import kmeans_assign
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+    return kmeans_assign(emb, k=8, iters=3)
+
+
+def _kmeans_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled DuckDB twin of stages/kmeans.kmeans_assign: c0 = k
+    smallest-id embeddings; a_i = argmin-distance assignment (ties to the
+    smaller cluster index); c_i = per-cluster coordinate means with empty
+    clusters keeping the previous centroid; output = a_{iters+1}."""
+    ctes = [
+        "v AS (SELECT vec_id, list_transform(embedding, "
+        "x -> CAST(x AS DOUBLE)) AS e FROM embeddings)",
+        f"dims AS (SELECT UNNEST(range(1, {dim + 1})) AS j)",
+        "c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 "
+        "AS BIGINT) AS cidx, e FROM "
+        f"(SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {k}))",
+    ]
+    for i in range(1, iters + 2):
+        prev = f"c{i - 1}"
+        ctes.append(
+            f"a{i} AS (SELECT vec_id, cidx FROM (\n"
+            "  SELECT v.vec_id, c.cidx, ROW_NUMBER() OVER ("
+            "PARTITION BY v.vec_id ORDER BY list_distance(v.e, c.e), "
+            f"c.cidx) AS rn FROM v CROSS JOIN {prev} c) WHERE rn = 1)")
+        if i <= iters:
+            ctes.append(
+                f"m{i} AS (SELECT a.cidx, d.j, AVG(v.e[d.j]) AS x "
+                f"FROM a{i} a JOIN v USING (vec_id) CROSS JOIN dims d "
+                "GROUP BY a.cidx, d.j)")
+            ctes.append(
+                f"c{i} AS (SELECT {prev}.cidx, COALESCE(m.e, {prev}.e) "
+                f"AS e FROM {prev} LEFT JOIN (SELECT cidx, "
+                f"list(x ORDER BY j) AS e FROM m{i} GROUP BY cidx) m "
+                "USING (cidx))")
+    return ("WITH " + ",\n".join(ctes) +
+            f"\nSELECT vec_id, cidx AS cluster FROM a{iters + 1}")
+
+
 def _q_betweenness(sf_dir):
     """Brandes betweenness centrality, source-parallel over a broadcast
     CSR (exact pytest oracle; no SQL twin — Brandes' backward dependency
@@ -1412,6 +1457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_windows": _q_dup_windows,
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
+        "kmeans": _q_kmeans,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
@@ -2634,4 +2680,7 @@ walk(start, step, v) AS (
 SELECT CAST(start AS BIGINT) AS start, step, CAST(v AS BIGINT) AS v
 FROM walk
 """,
+        # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
+        # unrolled per-iteration CTEs, see _kmeans_sql
+        "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
     }

@@ -789,3 +789,36 @@ def test_betweenness_matches_naive_brandes():
     b = betweenness_centrality(ds, num_partitions=4, max_sources=20) \
         .to_pandas().sort_values("vid").reset_index(drop=True)
     assert a.equals(b) and (a["betweenness"] > 0).all()
+
+
+def test_kmeans_matches_reference_rules():
+    from hackathon_pagerank_ray.stages.kmeans import (kmeans_assign,
+                                                      kmeans_fit)
+
+    rng = np.random.default_rng(5)
+    n, d, k, iters = 200, 8, 4, 3
+    x = rng.normal(size=(n, d))
+    # duplicate the first two points everywhere: identical init centroids
+    # force the argmin tie-break and leave cluster 1 empty (keeps its
+    # previous centroid — the COALESCE rule)
+    x[1] = x[0]
+    ds = rd.from_arrow(pa.table({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": [row.tolist() for row in x]})).repartition(3)
+
+    # pure-numpy replay of the documented rules
+    cents = x[:k].astype(np.float64).copy()
+    for _ in range(iters):
+        a = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+        for c in range(k):
+            if (a == c).any():
+                cents[c] = x[a == c].mean(0)
+    # (cluster 1 starts empty — tie to index 0 — keeps its init centroid
+    # via the COALESCE rule, then refills once centroid 0 moves)
+    want = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1).argmin(1)
+
+    got_c = kmeans_fit(ds, k=k, iters=iters)
+    assert np.allclose(got_c, cents, atol=1e-12)
+    out = kmeans_assign(ds, k=k, iters=iters).to_pandas() \
+        .sort_values("vec_id")
+    assert (out["cluster"].to_numpy() == want).all()
