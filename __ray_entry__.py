@@ -1317,6 +1317,28 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_mktsegment_mode(sf_dir):
+    """Per-nation most frequent market segment (deterministic MODE,
+    ties to the lexicographically smallest value)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import group_mode
+    c = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_nationkey", "c_mktsegment"])
+    return group_mode(c, "c_nationkey", "c_mktsegment")
+
+
+def _q_price_qty_slope(sf_dir):
+    """Per-returnflag least-squares slope of extendedprice on quantity
+    (exact scaled-int moments, one float division — bit-equal SQL twin)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import regr_slope_by
+    li = _rd().read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"])
+    return regr_slope_by(li, "l_returnflag", "l_quantity",
+                         "l_extendedprice")
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd's k-means assignments (k=8, 3 iterations,
     deterministic smallest-id init) — per-batch partial sums, vectors
@@ -1458,6 +1480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
         "kmeans": _q_kmeans,
+        "mktsegment_mode": _q_mktsegment_mode,
+        "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
@@ -2683,4 +2707,32 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # deterministic per-group MODE (stages/aggregates.group_mode):
+        # ties to the smallest value
+        "mktsegment_mode": """
+SELECT c_nationkey, c_mktsegment AS mode, CAST(n AS BIGINT) AS n FROM (
+  SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                            ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+  FROM customer GROUP BY c_nationkey, c_mktsegment) WHERE rn = 1
+""",
+        # per-group regression slope (stages/aggregates.regr_slope_by):
+        # exact HUGEINT moments, ONE double division — mirrored verbatim
+        # (not regr_slope(), whose streaming-covariance float order
+        # differs between engines)
+        "price_qty_slope": """
+WITH m AS (SELECT l_returnflag,
+  COUNT(*) AS n,
+  SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) AS sx,
+  SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS sy,
+  SUM(CAST(ROUND(l_quantity * l_extendedprice * 10000) AS BIGINT)) AS sxy,
+  SUM(CAST(ROUND(l_quantity * l_quantity * 10000) AS BIGINT)) AS sxx
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag,
+  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+       ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+            / CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+  CAST(n AS BIGINT) AS n
+FROM m
+""",
     }

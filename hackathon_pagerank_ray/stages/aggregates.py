@@ -373,3 +373,77 @@ def prefix_sum(ds, order_col: str, value_col: str,
                          out_col: pa.array(base + np.cumsum(v))})
 
     return srt.map_batches(_scan, batch_format="pyarrow", batch_size=None)
+
+
+def group_mode(ds, by: str, col: str, out_col: str = "mode"):
+    """Per-group most frequent value, ties to the smallest value — the
+    deterministic MODE() (SQL twin: ROW_NUMBER() OVER (PARTITION BY key
+    ORDER BY COUNT(*) DESC, value) = 1).
+
+    Per-batch (key, value) pre-counts shrink the shuffle to the distinct
+    pair count before the single hash shuffle on ``by``; the per-group
+    pick then sums pair partials in-task.  Returns ``(by, out_col, n)``.
+    """
+    import pandas as pd
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return (df.groupby([by, col], sort=False).size()
+                .reset_index(name="n"))
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby(col, sort=True)["n"].sum()
+        best = int(agg.max())
+        return pd.DataFrame({by: [g[by].iloc[0]],
+                             out_col: [agg[agg == best].index.min()],
+                             "n": [best]})
+
+    return (ds.map_batches(_partial, batch_format="pandas")
+            .groupby(by).map_groups(_pick, batch_format="pandas"))
+
+
+def regr_slope_by(ds, by: str, x_col: str, y_col: str, scale: int = 100,
+                  out_col: str = "slope"):
+    """Per-group least-squares slope of y on x via exact scaled-int
+    moments (same combiner discipline as :func:`pearson_corr`): per-batch
+    per-key partial sums of (n, x, y, xy, x²), one shuffle keyed on
+    ``by``, then the closed form (nΣxy − ΣxΣy)/(nΣxx − Σx²) evaluated as
+    ONE double division of two exact integers — so the SQL twin using the
+    same integer moments is bit-identical, with no dependence on either
+    engine's streaming-covariance float order.  The x/y scale factors
+    cancel in the ratio when both columns use ``scale``.
+
+    Groups with zero x-variance return NULL (matches SQL regr_slope).
+    Returns ``(by, out_col, n)``.
+    """
+    import pandas as pd
+
+    s2 = scale * scale
+
+    def _partial(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame({
+            by: t[by].to_pandas(),
+            "sx": _scaled_int(t[x_col], scale).to_numpy(),
+            "sy": _scaled_int(t[y_col], scale).to_numpy(),
+            "sxy": _scaled_int(pc.multiply(t[x_col], t[y_col]),
+                               s2).to_numpy(),
+            "sxx": _scaled_int(pc.multiply(t[x_col], t[x_col]),
+                               s2).to_numpy()})
+        return df.groupby(by, sort=False).agg(
+            n=("sx", "size"), sx=("sx", "sum"), sy=("sy", "sum"),
+            sxy=("sxy", "sum"), sxx=("sxx", "sum")).reset_index()
+
+    def _solve(g: pd.DataFrame) -> pd.DataFrame:
+        # python ints: the cross moments overflow int64 at corpus scale
+        n = int(g["n"].sum())
+        sx, sy = int(g["sx"].astype(object).sum()), \
+            int(g["sy"].astype(object).sum())
+        sxy, sxx = int(g["sxy"].astype(object).sum()), \
+            int(g["sxx"].astype(object).sum())
+        den = n * sxx - sx * sx
+        slope = float(n * sxy - sx * sy) / float(den) if den != 0 \
+            else float("nan")
+        return pd.DataFrame({by: [g[by].iloc[0]], out_col: [slope],
+                             "n": [n]})
+
+    return (ds.map_batches(_partial, batch_format="pyarrow")
+            .groupby(by).map_groups(_solve, batch_format="pandas"))

@@ -822,3 +822,33 @@ def test_kmeans_matches_reference_rules():
     out = kmeans_assign(ds, k=k, iters=iters).to_pandas() \
         .sort_values("vec_id")
     assert (out["cluster"].to_numpy() == want).all()
+
+
+def test_group_mode_and_regr_slope():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.aggregates import (group_mode,
+                                                          regr_slope_by)
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame({
+        "k": rng.integers(0, 5, 400),
+        "v": rng.choice(list("abcd"), 400),
+        "x": np.round(rng.uniform(1, 50, 400), 2),
+    })
+    df["y"] = np.round(3.5 * df["x"] + rng.normal(0, 10, 400), 2)
+    ds = rd.from_pandas(df).repartition(4)
+
+    out = group_mode(ds, "k", "v").to_pandas().sort_values("k")
+    for _, row in out.iterrows():
+        cnt = df[df["k"] == row["k"]]["v"].value_counts()
+        best = cnt.max()
+        assert row["n"] == best
+        assert row["mode"] == min(cnt[cnt == best].index)
+
+    out = regr_slope_by(ds, "k", "x", "y").to_pandas().sort_values("k")
+    for _, row in out.iterrows():
+        sub = df[df["k"] == row["k"]]
+        want = np.polyfit(sub["x"], sub["y"], 1)[0]
+        assert abs(row["slope"] - want) < 1e-6
+        assert row["n"] == len(sub)
