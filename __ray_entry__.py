@@ -1317,6 +1317,14 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_corpus_shuffle(sf_dir):
+    """Deterministic global corpus shuffle: md5-keyed order with explicit
+    1-based positions (ROW_NUMBER over the packed 63-bit shuffle key)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import deterministic_shuffle
+    return deterministic_shuffle(_docs_ds(sf_dir, ["doc_id"]), "doc_id")
+
+
 def _q_mktsegment_mode(sf_dir):
     """Per-nation most frequent market segment (deterministic MODE,
     ties to the lexicographically smallest value)."""
@@ -1481,6 +1489,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness": _q_betweenness,
         "kmeans": _q_kmeans,
         "mktsegment_mode": _q_mktsegment_mode,
+        "corpus_shuffle": _q_corpus_shuffle,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2707,6 +2716,22 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # deterministic corpus shuffle (stages/sampling.
+        # deterministic_shuffle): position = ROW_NUMBER over the packed
+        # 63-bit key (low-31-bits-of-md5-prefix << 32) | doc_id — hex
+        # digits parsed positionally as in the sketch oracles
+        "corpus_shuffle": """
+WITH k AS (SELECT doc_id,
+  (list_sum(list_transform(range(1, 9), i ->
+    CAST((strpos('0123456789abcdef',
+                 substr(md5('7:' || CAST(doc_id AS VARCHAR)), i, 1))
+          - 1) AS BIGINT)
+    * CAST(POWER(16, 8 - i) AS BIGINT))) % 2147483648) * 4294967296
+  + doc_id AS skey
+  FROM documents)
+SELECT doc_id, CAST(ROW_NUMBER() OVER (ORDER BY skey) AS BIGINT) AS pos
+FROM k
+""",
         # deterministic per-group MODE (stages/aggregates.group_mode):
         # ties to the smallest value
         "mktsegment_mode": """

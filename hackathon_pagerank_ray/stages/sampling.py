@@ -125,3 +125,42 @@ def quality_weighted_sample(ds, key_col: str, weight_col: str, seed=42):
         return batch[keep]
 
     return ds.map_batches(_keep, batch_format="pandas")
+
+
+def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 7,
+                          out_col: str = "pos"):
+    """Deterministic global corpus shuffle with explicit 1-based
+    positions — the "randomize training-example order" step of a
+    pre-training data pipeline, made a pure function of the row key so
+    a resumed / re-partitioned run reproduces the identical order.
+
+    Shuffle key = ``(h31 << 32) | id`` where ``h31`` is the low 31 bits
+    of the 32-bit md5 prefix of ``"{seed}:{id}"`` (the module's standard
+    hash rule) — a unique int64, so positions come straight from
+    :func:`..aggregates.prefix_sum` of ones over the key (one range
+    sort + a block-offset broadcast; no driver materialization).
+    Requires ``0 <= id < 2**32`` (the packed-key bound; ids above it
+    need a wider key column).  Returns ``(id_col, out_col)``.
+    """
+    from .aggregates import prefix_sum
+
+    def _key(df: pd.DataFrame) -> pd.DataFrame:
+        ids = df[id_col].to_numpy()
+        h = np.fromiter(
+            (int.from_bytes(
+                hashlib.md5(f"{seed}:{i}".encode()).digest()[:4], "big")
+             & 0x7FFFFFFF for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pd.DataFrame({"skey": (h << 32) | ids,
+                             "one": np.ones(len(ids), dtype=np.int64)})
+
+    pos = prefix_sum(ds.map_batches(_key, batch_format="pandas"),
+                     "skey", "one", out_col=out_col)
+
+    def _unpack(t):
+        import pyarrow as pa
+        sk = t["skey"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: pa.array(sk & 0xFFFFFFFF, type=pa.int64()),
+                         out_col: t[out_col].combine_chunks()})
+
+    return pos.map_batches(_unpack, batch_format="pyarrow")

@@ -852,3 +852,19 @@ def test_group_mode_and_regr_slope():
         want = np.polyfit(sub["x"], sub["y"], 1)[0]
         assert abs(row["slope"] - want) < 1e-6
         assert row["n"] == len(sub)
+
+
+def test_deterministic_shuffle_is_stable_permutation():
+    from hackathon_pagerank_ray.stages.sampling import deterministic_shuffle
+
+    ids = pa.table({"doc_id": np.arange(123, dtype=np.int64)})
+    a = deterministic_shuffle(rd.from_arrow(ids).repartition(4)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # positions are a permutation of 1..n
+    assert sorted(a["pos"]) == list(range(1, 124))
+    # partitioning-invariant: same order from a different block layout
+    b = deterministic_shuffle(rd.from_arrow(ids).repartition(9)) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    # actually shuffled (not identity order)
+    assert (a["pos"].to_numpy() != np.arange(1, 124)).any()
