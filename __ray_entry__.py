@@ -1317,6 +1317,18 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_acctbal_winsorized(sf_dir):
+    """Per-nation winsorized balances: clip into the group's
+    [p05, p95] band (quantile_cont-bit-exact interpolator)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import winsorize_by
+    c = _rd().read_parquet(f"{sf_dir}/customer.parquet",
+                           columns=["c_custkey", "c_nationkey",
+                                    "c_acctbal"])
+    return winsorize_by(c, "c_nationkey", "c_acctbal",
+                        lo=0.05, hi=0.95, key_col="c_custkey")
+
+
 def _q_corpus_shuffle(sf_dir):
     """Deterministic global corpus shuffle: md5-keyed order with explicit
     1-based positions (ROW_NUMBER over the packed 63-bit shuffle key)."""
@@ -1490,6 +1502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans": _q_kmeans,
         "mktsegment_mode": _q_mktsegment_mode,
         "corpus_shuffle": _q_corpus_shuffle,
+        "acctbal_winsorized": _q_acctbal_winsorized,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2716,6 +2729,17 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # per-group winsorization (stages/stats.winsorize_by):
+        # quantile_cont band clip, bit-exact interpolator
+        "acctbal_winsorized": """
+WITH q AS (SELECT c_nationkey,
+  quantile_cont(c_acctbal, 0.05) AS plo,
+  quantile_cont(c_acctbal, 0.95) AS phi
+  FROM customer GROUP BY c_nationkey)
+SELECT c.c_custkey, c.c_nationkey,
+  GREATEST(q.plo, LEAST(q.phi, c.c_acctbal)) AS clipped
+FROM customer c JOIN q USING (c_nationkey)
+""",
         # deterministic corpus shuffle (stages/sampling.
         # deterministic_shuffle): position = ROW_NUMBER over the packed
         # 63-bit key (low-31-bits-of-md5-prefix << 32) | doc_id — hex

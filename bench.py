@@ -145,7 +145,10 @@ def run_queries(sf_dir: str) -> dict:
              # engine speed — the correctness gate covers it at sf0.01
              "acctbal_quantiles_by_nation", "effective_diameter",
              "truss_edges", "harmonic_centrality", "hourly_distinct_users",
-             "order_price_ntile", "price_band_counts", "pack_offsets"]
+             "order_price_ntile", "price_band_counts", "pack_offsets",
+             "random_walks", "betweenness", "kmeans", "corpus_shuffle",
+             "mktsegment_mode", "price_qty_slope", "mutual_edges",
+             "order_price_prank", "acctbal_mad_by_nation", "dup_windows"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -420,3 +420,42 @@ def group_mad(ds, by: str, col: str, out_col: str = "mad"):
                              out_col: [_median_cont(dev)]})
 
     return ds.groupby(by).map_groups(_mad, batch_format="pandas")
+
+
+def winsorize_by(ds, by: str, col: str, lo: float = 0.05,
+                 hi: float = 0.95, key_col: str | None = None,
+                 out_col: str = "clipped"):
+    """Per-group winsorization: clip ``col`` into its group's
+    [quantile(lo), quantile(hi)] band — the standard outlier gate before
+    scoring/weighting a training corpus.
+
+    One hash shuffle on ``by``; quantiles (the same DuckDB
+    ``quantile_cont`` interpolator as :func:`group_quantiles`, bit-exact)
+    and the clip happen in-task per group, so there is no second join
+    pass.  NaNs pass through unclipped.  Returns ``(key_col?, by,
+    out_col)``.
+    """
+    import pandas as pd
+
+    def _w(g: pd.DataFrame) -> pd.DataFrame:
+        x = g[col].to_numpy(dtype=np.float64)
+        xs = np.sort(x[~np.isnan(x)])
+        n = len(xs)
+
+        def q(qq: float) -> float:
+            h = (n - 1) * qq
+            f = int(np.floor(h))
+            c = min(f + 1, n - 1)
+            # DuckDB interpolator form (see exact_quantiles): bit-exact
+            return xs[f] if c == f else xs[f] * (c - h) + xs[c] * (h - f)
+
+        clipped = np.minimum(np.maximum(x, q(lo)), q(hi)) if n \
+            else x
+        cols = {}
+        if key_col is not None:
+            cols[key_col] = g[key_col].to_numpy()
+        cols[by] = g[by].to_numpy()
+        cols[out_col] = clipped
+        return pd.DataFrame(cols)
+
+    return ds.groupby(by).map_groups(_w, batch_format="pandas")

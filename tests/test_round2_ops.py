@@ -868,3 +868,25 @@ def test_deterministic_shuffle_is_stable_permutation():
     assert a.equals(b)
     # actually shuffled (not identity order)
     assert (a["pos"].to_numpy() != np.arange(1, 124)).any()
+
+
+def test_winsorize_by_clips_to_group_band():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.stats import winsorize_by
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "id": np.arange(300, dtype=np.int64),
+        "k": rng.integers(0, 3, 300),
+        "x": np.round(rng.normal(100, 30, 300), 2)})
+    out = (winsorize_by(rd.from_pandas(df).repartition(4), "k", "x",
+                        lo=0.1, hi=0.9, key_col="id")
+           .to_pandas().sort_values("id").reset_index(drop=True))
+    for key in range(3):
+        sub = df[df["k"] == key]
+        plo, phi = np.quantile(sub["x"], [0.1, 0.9], method="linear")
+        got = out[out["k"] == key].set_index("id")["clipped"]
+        want = sub.set_index("id")["x"].clip(plo, phi)
+        assert np.allclose(got.sort_index(), want.sort_index(), atol=1e-9)
+        assert got.min() >= plo - 1e-9 and got.max() <= phi + 1e-9
