@@ -1317,6 +1317,14 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_assortativity(sf_dir):
+    """Out–in degree assortativity of the edge graph (exact integer
+    moments — bit-equal SQL twin)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import degree_assortativity
+    return degree_assortativity(_edges_ds(sf_dir))
+
+
 def _q_acctbal_winsorized(sf_dir):
     """Per-nation winsorized balances: clip into the group's
     [p05, p95] band (quantile_cont-bit-exact interpolator)."""
@@ -1503,6 +1511,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mktsegment_mode": _q_mktsegment_mode,
         "corpus_shuffle": _q_corpus_shuffle,
         "acctbal_winsorized": _q_acctbal_winsorized,
+        "assortativity": _q_assortativity,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2729,6 +2738,22 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # degree assortativity (stages/degrees.degree_assortativity):
+        # exact integer moments, pearson_corr's float expression verbatim
+        "assortativity": f"""
+WITH e AS (SELECT src, dst FROM ({_EDGE_SQL})),
+dd AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+di AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst),
+j AS (SELECT dd.outdeg, di.indeg
+      FROM e JOIN dd USING (src) JOIN di USING (dst)),
+s AS (SELECT SUM(outdeg) AS sx, SUM(indeg) AS sy,
+             SUM(outdeg * indeg) AS sxy, SUM(outdeg * outdeg) AS sxx,
+             SUM(indeg * indeg) AS syy, COUNT(*) AS n FROM j)
+SELECT CAST(n * sxy - sx * sy AS DOUBLE)
+  / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+     * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS corr_xy,
+  CAST(n AS BIGINT) AS n FROM s
+""",
         # per-group winsorization (stages/stats.winsorize_by):
         # quantile_cont band clip, bit-exact interpolator
         "acctbal_winsorized": """

@@ -61,3 +61,25 @@ def degree_histogram(edges_ds, src_col: str = "src"):
     return (out_degrees(edges_ds, src_col)
             .groupby("outdeg").count()
             .rename_columns({"outdeg": "degree", "count()": "n_vertices"}))
+
+
+def degree_assortativity(edges_ds, num_partitions: int = 8):
+    """Out–in degree assortativity of the directed edge table: the
+    Pearson correlation, over every edge (u, v), of outdeg(u) against
+    indeg(v) — positive when hubs link to hubs (Newman 2002's r for
+    directed graphs, the standard web-graph mixing signal).
+
+    Two hash joins decorate each edge with its endpoint degrees; the
+    correlation itself reuses :func:`..aggregates.pearson_corr` at
+    scale=1 — degrees are integers, so the moments are EXACT and the
+    single float expression is bit-identical to the SQL twin.  Returns
+    one row ``(corr_xy, n)``.
+    """
+    from .aggregates import pearson_corr
+    from .relational import inner_join
+
+    do = out_degrees(edges_ds)
+    di = in_degrees(edges_ds)
+    j = inner_join(edges_ds, do, on="src", num_partitions=num_partitions)
+    j = inner_join(j, di, on="dst", num_partitions=num_partitions)
+    return pearson_corr(j, "outdeg", "indeg", scale=1)

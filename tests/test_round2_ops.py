@@ -890,3 +890,22 @@ def test_winsorize_by_clips_to_group_band():
         want = sub.set_index("id")["x"].clip(plo, phi)
         assert np.allclose(got.sort_index(), want.sort_index(), atol=1e-9)
         assert got.min() >= plo - 1e-9 and got.max() <= phi + 1e-9
+
+
+def test_degree_assortativity_matches_numpy():
+    from hackathon_pagerank_ray.stages.degrees import degree_assortativity
+
+    rng = np.random.default_rng(17)
+    src = rng.integers(0, 30, 500).astype(np.int64)
+    dst = rng.integers(0, 30, 500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    dout = {v: int((src == v).sum()) for v in set(src.tolist())}
+    din = {v: int((dst == v).sum()) for v in set(dst.tolist())}
+    xs = np.array([dout[s] for s in src], dtype=np.float64)
+    ys = np.array([din[d] for d in dst], dtype=np.float64)
+    want = np.corrcoef(xs, ys)[0, 1]
+
+    out = degree_assortativity(ds, num_partitions=4).to_pandas()
+    assert len(out) == 1 and out["n"].iloc[0] == 500
+    assert abs(out["corr_xy"].iloc[0] - want) < 1e-9
