@@ -1317,6 +1317,34 @@ def _q_dup_windows(sf_dir):
     return dup_window_stats(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_katz(sf_dir):
+    """Truncated Katz centrality (alpha=1/20, 8 fixed sweeps) in pure
+    Dataset ops; exact integer sweeps, so the unrolled oracle is
+    bit-identical (no float-summation-order sensitivity)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.katz import katz_dataset
+    return katz_dataset(_edges_ds(sf_dir), inv_alpha=20, sweeps=8,
+                        num_partitions=8)
+
+
+def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
+    """Unrolled DuckDB twin of graph/katz.katz_dataset: the integer
+    iterate y_t = inv_alpha^t * x_t, one double division at the end."""
+    ctes = [f"e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL}))",
+            "v AS (SELECT src AS vid FROM e UNION SELECT dst FROM e)",
+            "y0 AS (SELECT vid, CAST(1 AS BIGINT) AS y FROM v)"]
+    for t in range(1, sweeps + 1):
+        ctes.append(
+            f"y{t} AS (SELECT v.vid, CAST({inv_alpha ** t} "
+            "+ COALESCE(s.s, 0) AS BIGINT) AS y FROM v "
+            "LEFT JOIN (SELECT e.dst AS vid, "
+            f"SUM(y{t - 1}.y) AS s FROM e JOIN y{t - 1} "
+            f"ON y{t - 1}.vid = e.src GROUP BY e.dst) s USING (vid))")
+    return ("WITH " + ",\n".join(ctes) +
+            "\nSELECT vid, CAST(y AS DOUBLE) "
+            f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
+
+
 def _q_assortativity(sf_dir):
     """Out–in degree assortativity of the edge graph (exact integer
     moments — bit-equal SQL twin)."""
@@ -1512,6 +1540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_shuffle": _q_corpus_shuffle,
         "acctbal_winsorized": _q_acctbal_winsorized,
         "assortativity": _q_assortativity,
+        "katz": _q_katz,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2738,6 +2767,9 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # truncated Katz centrality (graph/katz.katz_dataset): unrolled
+        # EXACT integer sweeps (y_t = 20^t x_t), one double division
+        "katz": _katz_sql(inv_alpha=20, sweeps=8),
         # degree assortativity (stages/degrees.degree_assortativity):
         # exact integer moments, pearson_corr's float expression verbatim
         "assortativity": f"""

@@ -1,0 +1,93 @@
+"""Katz centrality in pure Dataset ops (fixed-sweep, oracle-exact).
+
+Truncated Katz series over the distinct directed edge table with
+rational attenuation ``alpha = 1/inv_alpha``:
+
+    x_0(v) = 1;   x_{t+1}(v) = 1 + alpha * sum_{(u,v) in E} x_t(u)
+
+i.e. after ``sweeps`` rounds each vertex holds
+``sum_{k<=sweeps} alpha^k (#paths of length k ending at v)`` — the
+attenuated-path centrality (Katz 1953).  Each sweep is the same
+gather-scatter shape as graph/dataset_pagerank.py: ``x ⋈ edges on src``
+→ ``groupby(dst).sum`` (the hash(dst)-keyed shuffle) → affine update via
+a left join that keeps in-degree-0 vertices at the additive baseline.
+
+Exactness: the scaled iterate ``y_t = inv_alpha^t * x_t`` obeys the
+INTEGER recurrence ``y_{t+1} = inv_alpha^(t+1) + sum y_t(u)``, so every
+sweep is exact int64 arithmetic in both engines — float summation order
+can never flip a rounding boundary — and only the final
+``float(y)/float(inv_alpha^sweeps)`` is a (bit-identical) double op.
+The DuckDB twin unrolls the identical integer sweeps
+(``__ray_entry__._katz_sql``).  int64 bound: needs
+``(max_indeg)^sweeps * inv_alpha^sweeps`` ... more precisely
+``y_sweeps <= (inv_alpha + max_indeg)^sweeps`` < 2^63 — at web scale
+keep sweeps small or alpha below 1/max_indeg (the classical Katz
+convergence condition anyway).
+
+Reference scope note: the reference engine (begum-kara/
+Hackathon-PageRank, backend/cuda/pagerank_gpu.cu) ships PageRank only;
+Katz extends the same centrality surface (SURVEY.md §2 G-family).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..stages.relational import distinct, inner_join, left_join_coalesce
+from ..stages.schema_util import drop_empty_blocks, enforce_schema
+
+_Y = pa.schema([pa.field("vid", pa.int64()), pa.field("y", pa.int64())])
+
+
+def katz_dataset(edges_ds, inv_alpha: int = 20, sweeps: int = 8,
+                 num_partitions: int = 8):
+    """(vid, katz) for every vertex of the distinct edge graph."""
+    e = drop_empty_blocks(distinct(edges_ds, ["src", "dst"],
+                                   num_partitions))
+
+    verts = drop_empty_blocks(
+        e.select_columns(["src"]).rename_columns({"src": "vid"})
+        .union(e.select_columns(["dst"]).rename_columns({"dst": "vid"}))
+        .groupby("vid").count().select_columns(["vid"]))
+
+    def _seed(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": t["vid"].combine_chunks().cast(pa.int64()),
+            "y": pa.array([1] * t.num_rows, pa.int64())})
+
+    x = verts.map_batches(_seed, batch_format="pyarrow").materialize()
+
+    for t_sweep in range(1, sweeps + 1):
+        j = inner_join(e, enforce_schema(x, _Y), on="src", right_on="vid",
+                       num_partitions=num_partitions)
+        gathered = (j.select_columns(["dst", "y"])
+                    .groupby("dst").sum("y"))
+        base = inv_alpha ** t_sweep
+
+        def _upd(t: pa.Table, _b=base) -> pa.Table:
+            s = pc.fill_null(pc.cast(t["sum(y)"], pa.int64()), 0)
+            y = pc.add(pa.scalar(_b, pa.int64()), s)
+            return pa.table({
+                "vid": t["vid"].combine_chunks().cast(pa.int64()),
+                "y": y.combine_chunks()
+                if isinstance(y, pa.ChunkedArray) else y})
+
+        joined = left_join_coalesce(
+            verts, drop_empty_blocks(gathered), on="vid", right_on="dst",
+            fill={"sum(y)": 0}, num_partitions=num_partitions)
+        # drop_empty_blocks doubles as the per-sweep materialize
+        x = drop_empty_blocks(
+            joined.map_batches(_upd, batch_format="pyarrow"))
+
+    denom = float(inv_alpha ** sweeps)
+
+    def _final(t: pa.Table) -> pa.Table:
+        katz = pc.divide(pc.cast(t["y"], pa.float64()),
+                         pa.scalar(denom, pa.float64()))
+        return pa.table({
+            "vid": t["vid"].combine_chunks().cast(pa.int64()),
+            "katz": katz.combine_chunks()
+            if isinstance(katz, pa.ChunkedArray) else katz})
+
+    return x.map_batches(_final, batch_format="pyarrow")

@@ -909,3 +909,31 @@ def test_degree_assortativity_matches_numpy():
     out = degree_assortativity(ds, num_partitions=4).to_pandas()
     assert len(out) == 1 and out["n"].iloc[0] == 500
     assert abs(out["corr_xy"].iloc[0] - want) < 1e-9
+
+
+def test_katz_matches_numpy_replay():
+    from hackathon_pagerank_ray.graph.katz import katz_dataset
+
+    rng = np.random.default_rng(19)
+    src = rng.integers(0, 40, 300).astype(np.int64)
+    dst = rng.integers(0, 40, 300).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    e = np.unique(np.stack([src, dst], axis=1), axis=0)
+    verts = np.unique(e)
+    idx = {v: i for i, v in enumerate(verts)}
+    x = np.ones(len(verts))
+    for _ in range(5):
+        nxt = np.ones(len(verts))
+        for u, v in e:
+            nxt[idx[v]] += 0.05 * x[idx[u]]
+        x = nxt
+
+    out = (katz_dataset(ds, inv_alpha=20, sweeps=5, num_partitions=4)
+           .to_pandas().sort_values("vid").reset_index(drop=True))
+    assert (out["vid"].to_numpy() == verts).all()
+    assert np.allclose(out["katz"].to_numpy(), x, atol=1e-12)
+    # baseline: an indegree-0 vertex (if any) sits exactly at 1.0
+    indeg0 = set(verts) - set(e[:, 1].tolist())
+    for v in indeg0:
+        assert out.set_index("vid").loc[v, "katz"] == 1.0
