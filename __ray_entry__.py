@@ -1345,6 +1345,18 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_closeness(sf_dir):
+    """Exact out-closeness centrality for the source slice vid<100 —
+    sliced so the recursive-CTE BFS oracle stays tractable (the operator
+    itself runs all sources; same BFS, SURVEY.md G-family)."""
+    _quiet()
+    import numpy as np
+    from hackathon_pagerank_ray.graph.betweenness import \
+        closeness_centrality
+    return closeness_centrality(_edges_ds(sf_dir), num_partitions=8,
+                                sources=np.arange(100, dtype=np.int64))
+
+
 def _q_assortativity(sf_dir):
     """Out–in degree assortativity of the edge graph (exact integer
     moments — bit-equal SQL twin)."""
@@ -1541,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "acctbal_winsorized": _q_acctbal_winsorized,
         "assortativity": _q_assortativity,
         "katz": _q_katz,
+        "closeness": _q_closeness,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2767,6 +2780,26 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # exact out-closeness for sources vid<100 (graph/betweenness.
+        # closeness_centrality): recursive BFS with UNION dedup, depth
+        # cap 32 (≫ graph eccentricity), MIN(d) per reachable pair
+        "closeness": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+srcs AS (SELECT DISTINCT src FROM e WHERE src < 100),
+r(s, v, d) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 32
+),
+sp AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)
+SELECT s AS vid,
+  CASE WHEN COUNT(*) = 1 THEN 0.0
+       ELSE CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d) AS DOUBLE) END
+    AS closeness,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable
+FROM sp GROUP BY s
+""",
         # truncated Katz centrality (graph/katz.katz_dataset): unrolled
         # EXACT integer sweeps (y_t = 20^t x_t), one double division
         "katz": _katz_sql(inv_alpha=20, sweeps=8),

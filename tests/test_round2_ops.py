@@ -937,3 +937,36 @@ def test_katz_matches_numpy_replay():
     indeg0 = set(verts) - set(e[:, 1].tolist())
     for v in indeg0:
         assert out.set_index("vid").loc[v, "katz"] == 1.0
+
+
+def test_closeness_matches_naive_bfs():
+    from collections import deque
+
+    from hackathon_pagerank_ray.graph.betweenness import \
+        closeness_centrality
+
+    rng = np.random.default_rng(23)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(s, set()).add(d)
+    out = closeness_centrality(ds, num_partitions=4).to_pandas() \
+        .set_index("vid")
+    assert set(out.index) == set(adj)
+    for s in adj:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        total = sum(d for d in dist.values() if d > 0)
+        r = len(dist) - 1
+        want = r / total if r else 0.0
+        assert out.loc[s, "n_reachable"] == r
+        assert abs(out.loc[s, "closeness"] - want) < 1e-12
