@@ -1345,6 +1345,14 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_jaccard_linkpred(sf_dir):
+    """Top-50 non-adjacent pairs by neighborhood Jaccard (exact-integer
+    division — bit-equal SQL twin, deterministic (u,v) tie-break)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.linkpred import jaccard_topk
+    return jaccard_topk(_edges_ds(sf_dir), k=50, num_partitions=8)
+
+
 def _q_closeness(sf_dir):
     """Exact out-closeness centrality for the source slice vid<100 —
     sliced so the recursive-CTE BFS oracle stays tractable (the operator
@@ -1554,6 +1562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "katz": _q_katz,
         "closeness": _q_closeness,
+        "jaccard_linkpred": _q_jaccard_linkpred,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2567,6 +2576,25 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
             "SELECT cn.u, cn.v, CAST(cn.c AS BIGINT) AS common_neighbors "
             "FROM cn ANTI JOIN e ON cn.u = e.u AND cn.v = e.v "
             "ORDER BY common_neighbors DESC, cn.u, cn.v LIMIT 50",
+        # neighborhood Jaccard link prediction (graph/linkpred.
+        # jaccard_topk): cn/(du+dv-cn) as ONE double division of exact
+        # integers, (u,v) tie-break
+        "jaccard_linkpred":
+            f"{E}, e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
+            "AS u, GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "
+            "nbr AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT v, u FROM e), "
+            "deg AS (SELECT a, COUNT(*) AS d FROM nbr GROUP BY a), "
+            "cn AS (SELECT n1.b AS u, n2.b AS v, COUNT(*) AS c "
+            "FROM nbr n1 JOIN nbr n2 ON n1.a = n2.a AND n1.b < n2.b "
+            "GROUP BY 1, 2), "
+            "nf AS (SELECT cn.u, cn.v, cn.c FROM cn "
+            "ANTI JOIN e ON cn.u = e.u AND cn.v = e.v) "
+            "SELECT nf.u, nf.v, CAST(nf.c AS DOUBLE) "
+            "/ CAST(du.d + dv.d - nf.c AS DOUBLE) AS jaccard "
+            "FROM nf JOIN deg du ON du.a = nf.u "
+            "JOIN deg dv ON dv.a = nf.v "
+            "ORDER BY jaccard DESC, nf.u, nf.v LIMIT 50",
         # Pearson corr (stages/aggregates.pearson_corr): exact HUGEINT
         # moments, one float expression — mirrored verbatim
         "qty_discount_corr": """

@@ -25,7 +25,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from ..stages.relational import anti_join, topk
+from ..stages.relational import anti_join, inner_join, topk
 from ..stages.schema_util import drop_empty_blocks, enforce_schema
 from .triangles import canonical_undirected, segment_pairs
 
@@ -240,3 +240,70 @@ def adamic_adar_topk(edges_ds, k: int = 50, num_partitions: int = 16,
                        pa.scalar(_AA_SCALE)).combine_chunks()],
             names=["u", "v", "aa_score"]),
         batch_format="pyarrow")
+
+
+def jaccard_topk(edges_ds, k: int = 50, num_partitions: int = 16,
+                 max_center_degree: int | None = None):
+    """Top-k non-adjacent pairs by neighborhood Jaccard similarity:
+    ``(u, v, jaccard)`` with u < v, jaccard = |N(u)∩N(v)| /
+    |N(u)∪N(v)| over undirected distinct neighbor sets, ordered by
+    (jaccard desc, u, v).
+
+    Same wedge-join shape as :func:`common_neighbors_topk`, then the
+    endpoint degrees are joined in and jaccard = cn / (du + dv − cn)
+    is computed as ONE double division of exact integers — so the SQL
+    twin is bit-identical and the top-k boundary can't drift on a
+    float rounding difference.
+    """
+    from .triangles import undirected_degrees
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    deg = drop_empty_blocks(undirected_degrees(und))
+
+    def _both(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.Table.from_arrays(
+            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+            names=["a", "b"])
+
+    nbr = und.map_batches(_both, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        b = np.sort(g["b"].to_numpy())
+        if max_center_degree is not None and len(b) > max_center_degree:
+            b = b[:max_center_degree]
+        if len(b) < 2:
+            return pd.DataFrame({"u": pd.Series(dtype="int64"),
+                                 "v": pd.Series(dtype="int64")})
+        i, j = np.triu_indices(len(b), k=1)
+        return pd.DataFrame({"u": b[i], "v": b[j]})
+
+    wedges = drop_empty_blocks(enforce_schema(
+        nbr.groupby("a").map_groups(_pairs, batch_format="pandas"),
+        _PAIR_SCHEMA))
+    counts = (wedges.groupby(["u", "v"]).count()
+              .rename_columns({"count()": "cn"}))
+    fresh = anti_join(counts, und, on=("u", "v"),
+                      num_partitions=num_partitions)
+    j = inner_join(drop_empty_blocks(fresh),
+                   deg.rename_columns({"vid": "a", "deg": "du"}),
+                   on="u", right_on="a", num_partitions=num_partitions)
+    j = inner_join(drop_empty_blocks(j),
+                   deg.rename_columns({"vid": "a", "deg": "dv"}),
+                   on="v", right_on="a", num_partitions=num_partitions)
+
+    def _jac(t: pa.Table) -> pa.Table:
+        cn = pc.cast(t["cn"], pa.float64())
+        union = pc.cast(pc.subtract(pc.add(t["du"], t["dv"]), t["cn"]),
+                        pa.float64())
+        jac = pc.divide(cn, union)
+        return pa.table({
+            "u": t["u"].combine_chunks().cast(pa.int64()),
+            "v": t["v"].combine_chunks().cast(pa.int64()),
+            "jaccard": jac.combine_chunks()
+            if isinstance(jac, pa.ChunkedArray) else jac})
+
+    scored = drop_empty_blocks(j.map_batches(_jac, batch_format="pyarrow"))
+    return topk(scored, ["jaccard", "u", "v"], k,
+                descending=[True, False, False])

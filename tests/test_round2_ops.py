@@ -970,3 +970,40 @@ def test_closeness_matches_naive_bfs():
         want = r / total if r else 0.0
         assert out.loc[s, "n_reachable"] == r
         assert abs(out.loc[s, "closeness"] - want) < 1e-12
+
+
+def test_jaccard_topk_matches_naive():
+    from itertools import combinations
+
+    from hackathon_pagerank_ray.graph.linkpred import jaccard_topk
+
+    rng = np.random.default_rng(29)
+    src = rng.integers(0, 25, 150).astype(np.int64)
+    dst = rng.integers(0, 25, 150).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    nb = {}
+    edges = set()
+    for s, d in zip(src.tolist(), dst.tolist()):
+        if s == d:
+            continue
+        a, b = min(s, d), max(s, d)
+        edges.add((a, b))
+        nb.setdefault(a, set()).add(b)
+        nb.setdefault(b, set()).add(a)
+    cand = []
+    for u, v in combinations(sorted(nb), 2):
+        if (u, v) in edges:
+            continue
+        cn = len(nb[u] & nb[v])
+        if cn:
+            cand.append((u, v, cn / len(nb[u] | nb[v])))
+    cand.sort(key=lambda r: (-r[2], r[0], r[1]))
+    want = cand[:10]
+
+    out = jaccard_topk(ds, k=10, num_partitions=4).to_pandas()
+    got = list(zip(out["u"], out["v"], out["jaccard"]))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert abs(g[2] - w[2]) < 1e-12
