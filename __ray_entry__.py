@@ -1345,6 +1345,19 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_harmonic_exact(sf_dir):
+    """Exact out-harmonic centrality for sources vid<100 — the exact
+    small-scale twin of the HyperBall `harmonic_centrality` estimate.
+    Bit-exact vs SQL: both engines fold per-distance integer counts in
+    ascending-d order."""
+    _quiet()
+    import numpy as np
+    from hackathon_pagerank_ray.graph.betweenness import \
+        harmonic_out_centrality
+    return harmonic_out_centrality(_edges_ds(sf_dir), num_partitions=8,
+                                   sources=np.arange(100, dtype=np.int64))
+
+
 def _q_jaccard_linkpred(sf_dir):
     """Top-50 non-adjacent pairs by neighborhood Jaccard (exact-integer
     division — bit-equal SQL twin, deterministic (u,v) tie-break)."""
@@ -1563,6 +1576,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "katz": _q_katz,
         "closeness": _q_closeness,
         "jaccard_linkpred": _q_jaccard_linkpred,
+        "harmonic_exact": _q_harmonic_exact,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2808,6 +2822,29 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # exact out-harmonic for sources vid<100 (graph/betweenness.
+        # harmonic_out_centrality): same recursive BFS as `closeness`;
+        # sum(1/d) folded over list(c/d ORDER BY d) so the float fold
+        # order matches the engine's ascending-d loop exactly
+        "harmonic_exact": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+srcs AS (SELECT DISTINCT src FROM e WHERE src < 100),
+r(s, v, d) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 32
+),
+sp AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v),
+cnt AS (SELECT s, d, COUNT(*) AS c FROM sp WHERE d > 0 GROUP BY s, d),
+h AS (SELECT s, list_sum(list(CAST(c AS DOUBLE) / CAST(d AS DOUBLE)
+                              ORDER BY d)) AS harmonic,
+             CAST(SUM(c) AS BIGINT) AS n_reachable
+      FROM cnt GROUP BY s)
+SELECT srcs.src AS vid, COALESCE(h.harmonic, 0.0) AS harmonic,
+       COALESCE(h.n_reachable, 0) AS n_reachable
+FROM srcs LEFT JOIN h ON h.s = srcs.src
+""",
         # exact out-closeness for sources vid<100 (graph/betweenness.
         # closeness_centrality): recursive BFS with UNION dedup, depth
         # cap 32 (≫ graph eccentricity), MIN(d) per reachable pair

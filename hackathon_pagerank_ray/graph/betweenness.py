@@ -257,3 +257,74 @@ def closeness_centrality(edges_ds, num_partitions: int = 16,
         _ClosenessBatch, fn_constructor_args=(csr_ref,),
         concurrency=conc, batch_size=min(batch, 4096),
         batch_format="pandas")
+
+
+class _HarmonicBatch:
+    """Like :class:`_ClosenessBatch` but emits out-harmonic
+    sum(1/d(s,t)).  Exactness: per-distance integer counts are folded in
+    ascending-d order with sequential double adds — the same fixed-order
+    fold the SQL twin's list_sum over ``list(c/d ORDER BY d)`` runs, so
+    no float-summation-order drift."""
+
+    def __init__(self, csr_ref):
+        import ray
+        self.verts, self.indptr, self.nbrs = ray.get(csr_ref)
+
+    def __call__(self, batch: pd.DataFrame) -> pa.Table:
+        n = len(self.verts)
+        vids, harm, reach = [], [], []
+        for raw, s in zip(batch["start"].to_numpy(),
+                          np.searchsorted(self.verts,
+                                          batch["start"].to_numpy())):
+            dist = np.full(n, -1, dtype=np.int64)
+            dist[s] = 0
+            frontier = np.array([s], dtype=np.int64)
+            level = 0
+            while len(frontier):
+                u, w = _expand(self.indptr, self.nbrs, frontier)
+                if not len(u):
+                    break
+                level += 1
+                nxt = np.unique(w[dist[w] == -1])
+                dist[nxt] = level
+                frontier = nxt
+            d = dist[dist > 0]
+            cnts = np.bincount(d) if len(d) else np.zeros(1, np.int64)
+            h = 0.0
+            for dd in range(1, len(cnts)):     # ascending-d fixed fold
+                if cnts[dd]:
+                    h += float(cnts[dd]) / float(dd)
+            vids.append(int(raw))
+            reach.append(len(d))
+            harm.append(h)
+        return pa.table({"vid": pa.array(vids, pa.int64()),
+                         "harmonic": pa.array(harm, pa.float64()),
+                         "n_reachable": pa.array(reach, pa.int64())})
+
+
+def harmonic_out_centrality(edges_ds, num_partitions: int = 16,
+                            concurrency: int = 8, sources=None):
+    """(vid, harmonic, n_reachable): exact out-harmonic centrality
+    sum_t 1/d(s,t) — the exact small-scale twin of HyperBall's estimate.
+    Same broadcast-CSR contract as :func:`betweenness_centrality`."""
+    import ray
+
+    verts, indptr, nbrs = _collect_csr(edges_ds, num_partitions)
+    srcs = verts[(indptr[1:] - indptr[:-1]) > 0]
+    if sources is not None:
+        srcs = np.intersect1d(srcs, np.asarray(sources, dtype=np.int64))
+    if not len(srcs):
+        return ray.data.from_arrow(pa.table({
+            "vid": pa.array([], pa.int64()),
+            "harmonic": pa.array([], pa.float64()),
+            "n_reachable": pa.array([], pa.int64())}))
+    csr_ref = ray.put((verts, indptr, nbrs))
+    src_ds = ray.data.from_arrow(
+        pa.table({"start": pa.array(srcs, pa.int64())}))
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    conc = max(1, min(concurrency, cpus - 2, len(srcs)))
+    batch = max(1, (len(srcs) + conc - 1) // conc)
+    return src_ds.map_batches(
+        _HarmonicBatch, fn_constructor_args=(csr_ref,),
+        concurrency=conc, batch_size=min(batch, 4096),
+        batch_format="pandas")

@@ -1007,3 +1007,34 @@ def test_jaccard_topk_matches_naive():
     for g, w in zip(got, want):
         assert g[0] == w[0] and g[1] == w[1]
         assert abs(g[2] - w[2]) < 1e-12
+
+
+def test_harmonic_out_matches_naive_bfs():
+    from collections import deque
+
+    from hackathon_pagerank_ray.graph.betweenness import \
+        harmonic_out_centrality
+
+    rng = np.random.default_rng(31)
+    src = rng.integers(0, 40, 200).astype(np.int64)
+    dst = rng.integers(0, 40, 200).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(s, set()).add(d)
+    out = harmonic_out_centrality(ds, num_partitions=4).to_pandas() \
+        .set_index("vid")
+    assert set(out.index) == set(adj)
+    for s in adj:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            for w in adj.get(v, ()):
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        want = sum(1.0 / d for d in dist.values() if d > 0)
+        assert abs(out.loc[s, "harmonic"] - want) < 1e-9
+        assert out.loc[s, "n_reachable"] == len(dist) - 1
