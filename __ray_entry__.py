@@ -1345,6 +1345,14 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_two_hop(sf_dir):
+    """Distinct two-step reach per source (friends-of-friends size) —
+    one mid-vertex self-join, all-integer, trivially hash-exact."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import two_hop_counts
+    return two_hop_counts(_edges_ds(sf_dir), num_partitions=8)
+
+
 def _q_harmonic_exact(sf_dir):
     """Exact out-harmonic centrality for sources vid<100 — the exact
     small-scale twin of the HyperBall `harmonic_centrality` estimate.
@@ -1577,6 +1585,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "closeness": _q_closeness,
         "jaccard_linkpred": _q_jaccard_linkpred,
         "harmonic_exact": _q_harmonic_exact,
+        "two_hop": _q_two_hop,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2822,6 +2831,13 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # two-hop distinct reach (stages/degrees.two_hop_counts)
+        "two_hop": f"""
+WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL}))
+SELECT a.src, CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS two_hop
+FROM e a JOIN e b ON b.src = a.dst AND b.dst <> a.src
+GROUP BY a.src
+""",
         # exact out-harmonic for sources vid<100 (graph/betweenness.
         # harmonic_out_centrality): same recursive BFS as `closeness`;
         # sum(1/d) folded over list(c/d ORDER BY d) so the float fold

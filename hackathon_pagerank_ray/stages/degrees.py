@@ -83,3 +83,36 @@ def degree_assortativity(edges_ds, num_partitions: int = 8):
     j = inner_join(edges_ds, do, on="src", num_partitions=num_partitions)
     j = inner_join(j, di, on="dst", num_partitions=num_partitions)
     return pearson_corr(j, "outdeg", "indeg", scale=1)
+
+
+def two_hop_counts(edges_ds, num_partitions: int = 8):
+    """(src, two_hop) — per source vertex, the number of DISTINCT
+    vertices reachable in exactly two directed steps (src→mid→w, w ≠
+    src; direct neighbors count only if also reachable in two steps).
+    The friends-of-friends audience size, a standard web/social-graph
+    reach signal.
+
+    One self-join of the distinct edge table on the middle vertex, then
+    a distinct + count — all integer, so the SQL twin is trivially
+    hash-exact.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import distinct, inner_join, rename
+
+    e = distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
+    right = rename(e, {"src": "mid", "dst": "w"})
+    j = inner_join(rename(e, {"dst": "mid"}), right, on="mid",
+                   num_partitions=num_partitions)
+
+    def _drop_self(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["src"], t["w"])
+        t = t.filter(keep)
+        return pa.table({"src": t["src"].combine_chunks(),
+                         "w": t["w"].combine_chunks()})
+
+    pairs = distinct(j.map_batches(_drop_self, batch_format="pyarrow"),
+                     ["src", "w"], num_partitions)
+    return (pairs.groupby("src").count()
+            .rename_columns({"count()": "two_hop"}))

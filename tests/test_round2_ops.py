@@ -1038,3 +1038,28 @@ def test_harmonic_out_matches_naive_bfs():
         want = sum(1.0 / d for d in dist.values() if d > 0)
         assert abs(out.loc[s, "harmonic"] - want) < 1e-9
         assert out.loc[s, "n_reachable"] == len(dist) - 1
+
+
+def test_two_hop_counts_matches_naive():
+    from hackathon_pagerank_ray.stages.degrees import two_hop_counts
+
+    rng = np.random.default_rng(37)
+    src = rng.integers(0, 20, 120).astype(np.int64)
+    dst = rng.integers(0, 20, 120).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    adj = {}
+    for s, d in set(zip(src.tolist(), dst.tolist())):
+        adj.setdefault(s, set()).add(d)
+    want = {}
+    for s, mids in adj.items():
+        reach = set()
+        for m in mids:
+            reach |= adj.get(m, set())
+        reach.discard(s)
+        if reach:
+            want[s] = len(reach)
+
+    out = two_hop_counts(ds, num_partitions=4).to_pandas()
+    got = dict(zip(out["src"], out["two_hop"]))
+    assert got == want
