@@ -1345,6 +1345,18 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_component_sizes(sf_dir):
+    """Connected-component size histogram (csize → n_components):
+    the CC labels composed with two count shuffles — the standard
+    giant-component / fragmentation profile of a web graph."""
+    labels = _q_connected_components(sf_dir)
+    cs = (labels.groupby("label").count()
+          .rename_columns({"count()": "csize"}))
+    return (cs.groupby("csize").count()
+            .rename_columns({"count()": "n_components"})
+            .select_columns(["csize", "n_components"]))
+
+
 def _q_two_hop(sf_dir):
     """Distinct two-step reach per source (friends-of-friends size) —
     one mid-vertex self-join, all-integer, trivially hash-exact."""
@@ -1586,6 +1598,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_linkpred": _q_jaccard_linkpred,
         "harmonic_exact": _q_harmonic_exact,
         "two_hop": _q_two_hop,
+        "component_sizes": _q_component_sizes,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2831,6 +2844,14 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # component size histogram: the CC oracle's labels + two counts
+        "component_sizes": f"""
+WITH labels AS ({_CC_ORACLE_SQL}),
+cs AS (SELECT label, COUNT(*) AS csize FROM labels GROUP BY label)
+SELECT CAST(csize AS BIGINT) AS csize,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM cs GROUP BY csize
+""",
         # two-hop distinct reach (stages/degrees.two_hop_counts)
         "two_hop": f"""
 WITH e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL}))

@@ -1063,3 +1063,26 @@ def test_two_hop_counts_matches_naive():
     out = two_hop_counts(ds, num_partitions=4).to_pandas()
     got = dict(zip(out["src"], out["two_hop"]))
     assert got == want
+
+
+def test_component_size_histogram_fragmented():
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     connected_components)
+
+    # components: {0,1,2} (path), {3,4} (edge), {5,6,7,8} (star)
+    t = pa.table({"src": np.array([0, 1, 3, 5, 5, 5], dtype=np.int64),
+                  "dst": np.array([1, 2, 4, 6, 7, 8], dtype=np.int64)})
+    g = ShardedGraph.build(rd.from_arrow(t), n=9, num_owners=3,
+                           undirected=True)
+    try:
+        labels, _ = connected_components(g)
+        labels = labels.materialize()
+    finally:
+        g.shutdown()
+    cs = (labels.groupby("label").count()
+          .rename_columns({"count()": "csize"}))
+    hist = (cs.groupby("csize").count()
+            .rename_columns({"count()": "n_components"})
+            .to_pandas().sort_values("csize").reset_index(drop=True))
+    assert list(hist["csize"]) == [2, 3, 4]
+    assert list(hist["n_components"]) == [1, 1, 1]
