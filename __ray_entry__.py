@@ -1345,6 +1345,16 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_funnel(sf_dir):
+    """signup → view → click → purchase ordered funnel (greedy
+    earliest-completion; per-stage user counts)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import funnel_counts
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type", "ts"])
+    return funnel_counts(ev, ["signup", "view", "click", "purchase"])
+
+
 def _q_component_sizes(sf_dir):
     """Connected-component size histogram (csize → n_components):
     the CC labels composed with two count shuffles — the standard
@@ -1599,6 +1609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_exact": _q_harmonic_exact,
         "two_hop": _q_two_hop,
         "component_sizes": _q_component_sizes,
+        "funnel": _q_funnel,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2844,6 +2855,26 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # ordered funnel (stages/events.funnel_counts): greedy
+        # earliest-completion MIN(ts) chain, strict ordering
+        "funnel": """
+WITH s0 AS (SELECT user_id, MIN(ts) AS t FROM events
+            WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s0 ON s0.user_id = e.user_id AND e.ts > s0.t
+       WHERE e.event_type = 'view' GROUP BY e.user_id),
+s2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s1 ON s1.user_id = e.user_id AND e.ts > s1.t
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+       JOIN s2 ON s2.user_id = e.user_id AND e.ts > s2.t
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT CAST(0 AS BIGINT) AS stage, 'signup' AS step,
+       CAST(COUNT(*) AS BIGINT) AS n_users FROM s0
+UNION ALL SELECT 1, 'view', COUNT(*) FROM s1
+UNION ALL SELECT 2, 'click', COUNT(*) FROM s2
+UNION ALL SELECT 3, 'purchase', COUNT(*) FROM s3
+""",
         # component size histogram: the CC oracle's labels + two counts
         "component_sizes": f"""
 WITH labels AS ({_CC_ORACLE_SQL}),

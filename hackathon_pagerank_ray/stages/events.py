@@ -478,3 +478,48 @@ def ntile(ds, by: str, order_col: str, tiebreak: str, n: int,
         return out
 
     return ds.groupby(by).map_groups(_tile, batch_format="pandas")
+
+
+def funnel_counts(ds, steps, user_col: str = "user_id",
+                  type_col: str = "event_type", ts_col: str = "ts"):
+    """Ordered funnel conversion: for each stage i, how many users
+    performed steps[0..i] in strict chronological order (greedy
+    earliest-completion semantics — stage i's timestamp is the earliest
+    occurrence strictly after stage i-1's, the standard product-funnel
+    rule and exactly the SQL twin's MIN(ts) chain).
+
+    One hash shuffle on the user; the per-user scan touches only that
+    user's events.  Returns ``(stage, step, n_users)``.
+    """
+    import pandas as pd
+
+    steps = list(steps)
+
+    def _depth(g: pd.DataFrame) -> pd.DataFrame:
+        t_prev = None
+        depth = 0
+        for s in steps:
+            sub = g[g[type_col] == s][ts_col]
+            if t_prev is not None:
+                sub = sub[sub > t_prev]
+            if not len(sub):
+                break
+            t_prev = sub.min()
+            depth += 1
+        return pd.DataFrame({"depth": [depth]})
+
+    # (no rename_columns here: map_groups emits pandas blocks, where
+    # Ray's rename_columns — an Arrow-block op — fails)
+    depths = (ds.select_columns([user_col, type_col, ts_col])
+              .groupby(user_col).map_groups(_depth, batch_format="pandas")
+              .groupby("depth").count().to_pandas())
+    # tiny driver fold: n_users reaching >= stage i (dict of ≤len(steps))
+    byd = dict(zip(depths["depth"], depths["count()"]))
+    rows = []
+    cum = 0
+    for stage in range(len(steps), 0, -1):
+        cum += int(byd.get(stage, 0))
+        rows.append({"stage": stage - 1, "step": steps[stage - 1],
+                     "n_users": cum})
+    import ray.data as rd
+    return rd.from_pandas(pd.DataFrame(list(reversed(rows))))

@@ -1086,3 +1086,29 @@ def test_component_size_histogram_fragmented():
             .to_pandas().sort_values("csize").reset_index(drop=True))
     assert list(hist["csize"]) == [2, 3, 4]
     assert list(hist["n_components"]) == [1, 1, 1]
+
+
+def test_funnel_counts_ordered_semantics():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.events import funnel_counts
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, "a", 1), (1, "b", 2), (1, "c", 3),
+        # user 2: b before a -> only stage 0 (a at t=5, no b after)
+        (2, "b", 4), (2, "a", 5),
+        # user 3: a then c (skips b) -> depth 1
+        (3, "a", 1), (3, "c", 2),
+        # user 4: a,b same-order with later duplicates; c before b -> 2
+        (4, "a", 1), (4, "c", 2), (4, "b", 3), (4, "a", 9),
+        # user 5: no step-a events at all -> depth 0 (not counted)
+        (5, "b", 1), (5, "c", 2),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "ts"])
+    out = (funnel_counts(rd.from_pandas(df).repartition(2),
+                         ["a", "b", "c"])
+           .to_pandas().sort_values("stage").reset_index(drop=True))
+    assert list(out["step"]) == ["a", "b", "c"]
+    # stage0: users 1,2,3,4; stage1 (a then b): 1,4; stage2: 1
+    assert list(out["n_users"]) == [4, 2, 1]
