@@ -1345,6 +1345,16 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_user_growth(sf_dir):
+    """Cumulative new-user growth: first-seen hour per user → hourly
+    new-user counts → distributed prefix-sum running total."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import new_user_growth
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return new_user_growth(ev)
+
+
 def _q_funnel(sf_dir):
     """signup → view → click → purchase ordered funnel (greedy
     earliest-completion; per-stage user counts)."""
@@ -1610,6 +1620,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "two_hop": _q_two_hop,
         "component_sizes": _q_component_sizes,
         "funnel": _q_funnel,
+        "user_growth": _q_user_growth,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2855,6 +2866,17 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # cumulative new-user growth (stages/events.new_user_growth):
+        # first-seen hour → hourly count → exact-integer running sum
+        "user_growth": """
+WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS hour_bucket
+           FROM events GROUP BY user_id),
+c AS (SELECT hour_bucket, COUNT(*) AS new_users FROM f GROUP BY 1)
+SELECT hour_bucket, CAST(new_users AS BIGINT) AS new_users,
+       CAST(SUM(new_users) OVER (ORDER BY hour_bucket) AS BIGINT)
+         AS cum_users
+FROM c
+""",
         # ordered funnel (stages/events.funnel_counts): greedy
         # earliest-completion MIN(ts) chain, strict ordering
         "funnel": """

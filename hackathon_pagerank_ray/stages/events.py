@@ -523,3 +523,43 @@ def funnel_counts(ds, steps, user_col: str = "user_id",
                      "n_users": cum})
     import ray.data as rd
     return rd.from_pandas(pd.DataFrame(list(reversed(rows))))
+
+
+def new_user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cumulative new-user growth curve: per hour bucket, the number of
+    FIRST-SEEN users and the running total — the standard signup-growth
+    chart, exact integers end to end.
+
+    groupby-min (first-seen hour per user) → hourly count → the
+    distributed two-phase :func:`..aggregates.prefix_sum` scan.  Returns
+    ``(hour_bucket, new_users, cum_users)``; hour_bucket = epoch
+    microseconds // 3600e6 (events_hourly's bucket rule).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .aggregates import prefix_sum
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        # normalize to microseconds first — parquet/pandas sources differ
+        # in timestamp resolution (us vs ns)
+        micros = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                         pa.int64())
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({
+            user_col: t[user_col].combine_chunks(),
+            "h": hour.combine_chunks()
+            if isinstance(hour, pa.ChunkedArray) else hour})
+
+    first = (ds.select_columns([user_col, ts_col])
+             .map_batches(_bucket, batch_format="pyarrow")
+             .groupby(user_col).min("h"))
+    hourly = (first.map_batches(
+        lambda t: pa.table({"hour_bucket":
+                            t["min(h)"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow")
+        .groupby("hour_bucket").count()
+        .rename_columns({"count()": "new_users"}))
+    cum = prefix_sum(hourly, "hour_bucket", "new_users",
+                     out_col="cum_users")
+    return cum

@@ -1112,3 +1112,25 @@ def test_funnel_counts_ordered_semantics():
     assert list(out["step"]) == ["a", "b", "c"]
     # stage0: users 1,2,3,4; stage1 (a then b): 1,4; stage2: 1
     assert list(out["n_users"]) == [4, 2, 1]
+
+
+def test_new_user_growth_running_total():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.events import new_user_growth
+
+    h = 3_600_000_000  # one hour in epoch microseconds
+    rows = [
+        (1, 0), (1, 5 * h),          # user 1 first seen hour 0
+        (2, 0),                      # user 2 hour 0
+        (3, 2 * h), (3, 2 * h + 1),  # user 3 hour 2
+        (4, 5 * h),                  # user 4 hour 5
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "us"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    out = (new_user_growth(rd.from_pandas(df[["user_id", "ts"]])
+                           .repartition(2))
+           .to_pandas().sort_values("hour_bucket").reset_index(drop=True))
+    assert list(out["hour_bucket"]) == [0, 2, 5]
+    assert list(out["new_users"]) == [2, 1, 1]
+    assert list(out["cum_users"]) == [2, 3, 4]
