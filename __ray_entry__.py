@@ -1345,6 +1345,17 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_event_transitions(sf_dir):
+    """Per-user event-type transition (Markov bigram) counts; (ts,
+    event_id) ordering so simultaneous events are deterministic."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import transition_counts
+    ev = _rd().read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "event_type", "ts", "event_id"])
+    return transition_counts(ev)
+
+
 def _q_user_growth(sf_dir):
     """Cumulative new-user growth: first-seen hour per user → hourly
     new-user counts → distributed prefix-sum running total."""
@@ -1621,6 +1632,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "component_sizes": _q_component_sizes,
         "funnel": _q_funnel,
         "user_growth": _q_user_growth,
+        "event_transitions": _q_event_transitions,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2866,6 +2878,16 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # event-type transition counts (stages/events.transition_counts)
+        "event_transitions": """
+WITH o AS (SELECT user_id, event_type,
+                  LAG(event_type) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev
+           FROM events)
+SELECT prev AS prev_type, event_type AS next_type,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM o WHERE prev IS NOT NULL GROUP BY 1, 2
+""",
         # cumulative new-user growth (stages/events.new_user_growth):
         # first-seen hour → hourly count → exact-integer running sum
         "user_growth": """

@@ -563,3 +563,37 @@ def new_user_growth(ds, user_col: str = "user_id", ts_col: str = "ts"):
     cum = prefix_sum(hourly, "hour_bucket", "new_users",
                      out_col="cum_users")
     return cum
+
+
+def transition_counts(ds, user_col: str = "user_id",
+                      type_col: str = "event_type", ts_col: str = "ts",
+                      id_col: str = "event_id"):
+    """First-order transition (Markov bigram) counts over each user's
+    event stream: ``(prev_type, next_type, n)`` — the training table for
+    sequence models / next-event prediction.
+
+    One user-keyed shuffle; within each group events are ordered by
+    ``(ts, id)`` (the id tie-break makes simultaneous events
+    deterministic and exactly mirrors the SQL LAG window), then a tiny
+    two-key count shuffle over the bigram pairs.
+    """
+    import pandas as pd
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, id_col])
+        a = g[type_col].to_numpy()
+        if len(a) < 2:
+            return pd.DataFrame({"prev_type": pd.Series(dtype="object"),
+                                 "next_type": pd.Series(dtype="object")})
+        return pd.DataFrame({"prev_type": a[:-1], "next_type": a[1:]})
+
+    pairs = (ds.select_columns([user_col, type_col, ts_col, id_col])
+             .groupby(user_col).map_groups(_pairs, batch_format="pandas"))
+    # rename via an Arrow map: Ray's rename_columns fails on the pandas
+    # blocks this groupby emits
+    return (pairs.groupby(["prev_type", "next_type"]).count()
+            .map_batches(
+                lambda t: t.rename_columns(
+                    ["n" if c == "count()" else c
+                     for c in t.column_names]),
+                batch_format="pyarrow"))

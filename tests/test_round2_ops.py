@@ -1134,3 +1134,29 @@ def test_new_user_growth_running_total():
     assert list(out["hour_bucket"]) == [0, 2, 5]
     assert list(out["new_users"]) == [2, 1, 1]
     assert list(out["cum_users"]) == [2, 3, 4]
+
+
+def test_transition_counts_order_and_ties():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.events import transition_counts
+
+    rows = [
+        # user 1: a -> b -> b  (ordered by ts)
+        (1, "a", 10, 1), (1, "b", 20, 2), (1, "b", 30, 3),
+        # user 2: simultaneous ts ties broken by event_id: a -> c -> b
+        (2, "c", 5, 11), (2, "a", 5, 10), (2, "b", 5, 12),
+        # user 3: single event, no transitions
+        (3, "a", 1, 20),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "event_type", "us",
+                                     "event_id"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    out = (transition_counts(rd.from_pandas(
+        df[["user_id", "event_type", "ts", "event_id"]]).repartition(2))
+        .to_pandas().sort_values(["prev_type", "next_type"])
+        .reset_index(drop=True))
+    got = {(r["prev_type"], r["next_type"]): r["n"]
+           for _, r in out.iterrows()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1,
+                   ("a", "c"): 1, ("c", "b"): 1}
