@@ -1345,6 +1345,16 @@ def _katz_sql(inv_alpha: int = 20, sweeps: int = 8) -> str:
             f"/ {float(inv_alpha ** sweeps)} AS katz FROM y{sweeps}")
 
 
+def _q_retention(sf_dir):
+    """Hourly cohort retention triangle (cohort_hour × offset_h →
+    active cohort members), exact integers end to end."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import retention_cohorts
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return retention_cohorts(ev)
+
+
 def _q_event_transitions(sf_dir):
     """Per-user event-type transition (Markov bigram) counts; (ts,
     event_id) ordering so simultaneous events are deterministic."""
@@ -1633,6 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": _q_funnel,
         "user_growth": _q_user_growth,
         "event_transitions": _q_event_transitions,
+        "retention": _q_retention,
         "price_qty_slope": _q_price_qty_slope,
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
@@ -2878,6 +2889,17 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # cohort retention triangle (stages/events.retention_cohorts)
+        "retention": """
+WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS cohort_hour
+           FROM events GROUP BY user_id),
+a AS (SELECT DISTINCT user_id, epoch_us(ts) // 3600000000 AS h
+      FROM events)
+SELECT f.cohort_hour, CAST(a.h - f.cohort_hour AS BIGINT) AS offset_h,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM f JOIN a USING (user_id)
+GROUP BY 1, 2
+""",
         # event-type transition counts (stages/events.transition_counts)
         "event_transitions": """
 WITH o AS (SELECT user_id, event_type,

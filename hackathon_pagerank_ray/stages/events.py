@@ -597,3 +597,58 @@ def transition_counts(ds, user_col: str = "user_id",
                     ["n" if c == "count()" else c
                      for c in t.column_names]),
                 batch_format="pyarrow"))
+
+
+def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts"):
+    """Cohort retention matrix: users are cohorted by first-seen hour;
+    for every (cohort_hour, offset_h) the count of cohort members active
+    in that later hour — the standard retention triangle, exact integers
+    end to end.
+
+    groupby-min (cohort per user) ⋈ distinct (user, hour) activity on
+    the user key, then one two-key count shuffle.  Returns
+    ``(cohort_hour, offset_h, n_users)`` (offset_h = 0 row is cohort
+    size).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .relational import distinct, inner_join
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(pc.cast(t[ts_col], pa.timestamp("us")),
+                         pa.int64())
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        return pa.table({
+            user_col: t[user_col].combine_chunks(),
+            "h": hour.combine_chunks()
+            if isinstance(hour, pa.ChunkedArray) else hour})
+
+    from .schema_util import drop_empty_blocks
+
+    hours = (ds.select_columns([user_col, ts_col])
+             .map_batches(_bucket, batch_format="pyarrow")).materialize()
+    # drop schema-less empty blocks the groupby/distinct shuffles emit —
+    # they poison the join's schema broadcast (see schema_util)
+    cohort = drop_empty_blocks(hours.groupby(user_col).min("h").map_batches(
+        lambda t: pa.table({
+            user_col: t[user_col].combine_chunks(),
+            "cohort_hour": t["min(h)"].combine_chunks().cast(pa.int64())}),
+        batch_format="pyarrow"))
+    active = drop_empty_blocks(distinct(hours, [user_col, "h"]))
+    j = inner_join(active, cohort, on=user_col)
+
+    def _offset(t: pa.Table) -> pa.Table:
+        off = pc.subtract(t["h"], t["cohort_hour"])
+        return pa.table({
+            "cohort_hour": t["cohort_hour"].combine_chunks(),
+            "offset_h": off.combine_chunks()
+            if isinstance(off, pa.ChunkedArray) else off})
+
+    return (j.map_batches(_offset, batch_format="pyarrow")
+            .groupby(["cohort_hour", "offset_h"]).count()
+            .map_batches(
+                lambda t: t.rename_columns(
+                    ["n_users" if c == "count()" else c
+                     for c in t.column_names]),
+                batch_format="pyarrow"))

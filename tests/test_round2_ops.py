@@ -1160,3 +1160,25 @@ def test_transition_counts_order_and_ties():
            for _, r in out.iterrows()}
     assert got == {("a", "b"): 1, ("b", "b"): 1,
                    ("a", "c"): 1, ("c", "b"): 1}
+
+
+def test_retention_cohorts_triangle():
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.events import retention_cohorts
+
+    h = 3_600_000_000
+    rows = [
+        (1, 0), (1, h), (1, 2 * h),      # cohort 0, active 0,1,2
+        (2, 0), (2, 2 * h),              # cohort 0, active 0,2
+        (3, h), (3, h + 1),              # cohort 1, active 1 (dup hour)
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "us"])
+    df["ts"] = pd.to_datetime(df["us"], unit="us")
+    out = (retention_cohorts(rd.from_pandas(df[["user_id", "ts"]])
+                             .repartition(2))
+           .to_pandas().sort_values(["cohort_hour", "offset_h"])
+           .reset_index(drop=True))
+    got = {(r["cohort_hour"], r["offset_h"]): r["n_users"]
+           for _, r in out.iterrows()}
+    assert got == {(0, 0): 2, (0, 1): 1, (0, 2): 2, (1, 0): 1}
