@@ -2136,9 +2136,9 @@ WITH o AS (SELECT o_orderkey, o_custkey, epoch_us(o_orderdate) AS t_us,
                   CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
            FROM orders)
 SELECT o_custkey, o_orderkey, t_us,
-       SUM(cents) OVER (PARTITION BY o_custkey ORDER BY t_us
-                        RANGE BETWEEN 2592000000000 PRECEDING
-                        AND CURRENT ROW) AS roll_cents
+       CAST(SUM(cents) OVER (PARTITION BY o_custkey ORDER BY t_us
+                             RANGE BETWEEN 2592000000000 PRECEDING
+                             AND CURRENT ROW) AS BIGINT) AS roll_cents
 FROM o
 """
 
@@ -2352,7 +2352,7 @@ GROUP BY l_returnflag, l_linestatus
 WITH tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+'))
                             AS BIGINT) AS n_tokens FROM documents)
 SELECT doc_id, n_tokens,
-       SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens,
+       CAST(SUM(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum_tokens,
        CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id) - n_tokens)
                   / 2048) AS BIGINT) AS pack_id
 FROM tok
@@ -2447,7 +2447,8 @@ FROM q WHERE n_tokens >= 5 AND stopword_ratio >= 0.05
         # extractions, matching the engine's drop-invalid semantics
         "props_k_stats":
             "SELECT event_type, "
-            "SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k, "
+            "CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) "
+            "AS BIGINT) AS sum_k, "
             "COUNT(json_extract(props, '$.k')) AS n "
             "FROM events GROUP BY event_type",
         # histogram-resolution quantiles (stages/stats.histogram_quantiles):
@@ -2601,8 +2602,8 @@ WHERE w >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
         "events_pivot":
             "SELECT user_id, "
             + ", ".join(
-                f"SUM(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
-                f"AS n_{v}" for v in _EVENT_TYPES)
+                f"CAST(SUM(CASE WHEN event_type = '{v}' THEN 1 ELSE 0 END) "
+                f"AS BIGINT) AS n_{v}" for v in _EVENT_TYPES)
             + " FROM events GROUP BY user_id",
         # GROUP BY ROLLUP (stages/aggregates.rollup_counts): scaled-cent
         # exact totals so the grouped sums are order-independent

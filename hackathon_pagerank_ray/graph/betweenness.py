@@ -28,8 +28,6 @@ same link-graph analytics surface (SURVEY.md §2 G-family).
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -37,32 +35,70 @@ import pyarrow as pa
 from ..stages.relational import distinct
 
 
-def _collect_csr(edges_ds, num_partitions: int):
-    """Distinct edges → (verts, indptr, nbrs) CSR over dense 0..n-1 ids.
+def _csr_and_sources(edges_ds, num_partitions: int,
+                     max_sources: int | None = None, seed: int = 42,
+                     restrict=None):
+    """Distinct edges → CSR + source table, built in ONE worker task.
 
-    ``verts`` is the sorted union of src and dst; ``nbrs`` holds dense
-    ids.  Pulled to the calling process once (broadcast contract above).
+    Returns ``(csr_ref, src_ref, n_sources, scale)``: an ObjectRef to
+    the ``(verts, indptr, nbrs)`` CSR tuple (dense 0..n-1 ids over the
+    sorted src∪dst vertex union), an ObjectRef to a one-column Arrow
+    table of source vids, the source count, and the sampled-estimator
+    scale.  The driver never holds the edge table or the CSR — only the
+    two scalars cross to it (round-2 verdict: the previous version
+    ``ray.get``-concatenated every distinct-edge block on the driver).
+
+    ``max_sources`` md5-rank-samples the sources (deterministic,
+    resume-stable; scale = n_sources / max_sources); ``restrict``
+    intersects with an explicit start set first.
     """
     import ray
 
     e = distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
-    parts = [ray.get(r) for r in e.to_arrow_refs()]
-    parts = [p for p in parts if p.num_rows]
-    if not parts:
-        return np.empty(0, np.int64), np.zeros(1, np.int64), \
-            np.empty(0, np.int64)
-    tbl = pa.concat_tables(parts)
-    src = tbl["src"].to_numpy(zero_copy_only=False)
-    dst = tbl["dst"].to_numpy(zero_copy_only=False)
-    verts = np.unique(np.concatenate([src, dst]))
-    s = np.searchsorted(verts, src)
-    d = np.searchsorted(verts, dst)
-    order = np.argsort(s, kind="stable")
-    s, d = s[order], d[order]
-    indptr = np.zeros(len(verts) + 1, dtype=np.int64)
-    np.add.at(indptr, s + 1, 1)
-    np.cumsum(indptr, out=indptr)
-    return verts, indptr, d
+    refs = e.to_arrow_refs()
+
+    @ray.remote(num_returns=4)
+    def _build(restrict, *parts):
+        # to_arrow_refs does not convert pandas blocks — normalize
+        parts = [p if isinstance(p, pa.Table)
+                 else pa.Table.from_pandas(p, preserve_index=False)
+                 for p in parts]
+        parts = [p for p in parts if p.num_rows]
+        empty_src = pa.table({"start": pa.array([], pa.int64())})
+        if not parts:
+            return (np.empty(0, np.int64), np.zeros(1, np.int64),
+                    np.empty(0, np.int64)), empty_src, 0, 1.0
+        tbl = pa.concat_tables(parts)
+        src = tbl["src"].to_numpy(zero_copy_only=False)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False)
+        verts = np.unique(np.concatenate([src, dst]))
+        s = np.searchsorted(verts, src)
+        d = np.searchsorted(verts, dst)
+        order = np.argsort(s, kind="stable")
+        s, d = s[order], d[order]
+        indptr = np.zeros(len(verts) + 1, dtype=np.int64)
+        np.add.at(indptr, s + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        sources = verts[(indptr[1:] - indptr[:-1]) > 0]
+        if restrict is not None:
+            sources = np.intersect1d(
+                sources, np.asarray(restrict, dtype=np.int64))
+        scale = 1.0
+        if max_sources is not None and len(sources) > max_sources:
+            # rank by the big-endian md5 prefix (bulk-hashed) — identical
+            # order to lexicographic digest[:8] bytes, deterministic
+            from ..stages.stats import _bulk_md5_upper_be
+            ranks = _bulk_md5_upper_be(
+                sources.astype(str), [f"{seed}:"])[0]
+            pick = np.argsort(ranks, kind="stable")[:max_sources]
+            scale = len(sources) / max_sources
+            sources = np.sort(sources[pick])
+        return ((verts, indptr, d),
+                pa.table({"start": pa.array(sources, pa.int64())}),
+                len(sources), scale)
+
+    csr_ref, src_ref, n_ref, scale_ref = _build.remote(restrict, *refs)
+    return csr_ref, src_ref, int(ray.get(n_ref)), float(ray.get(scale_ref))
 
 
 def _brandes_source(src_dense: int, indptr: np.ndarray, nbrs: np.ndarray,
@@ -155,31 +191,26 @@ def betweenness_centrality(edges_ds, num_partitions: int = 16,
     is None; otherwise the md5-rank-sampled estimator scaled by
     n_sources / max_sources.  Zero-centrality vertices are omitted
     (same contract as mutual_edge_counts).
+
+    At web scale the exact variant is infeasible (one BFS per vertex);
+    ``max_sources`` is the intended operating mode there — it bounds
+    compute while the broadcast-CSR contract bounds memory.
     """
     import ray
 
-    verts, indptr, nbrs = _collect_csr(edges_ds, num_partitions)
-    sources = verts[(indptr[1:] - indptr[:-1]) > 0]
-    scale = 1.0
-    if max_sources is not None and len(sources) > max_sources:
-        ranks = np.array([hashlib.md5(f"{seed}:{s}".encode()).digest()[:8]
-                          for s in sources])
-        order = np.argsort(ranks.view("S8").ravel(), kind="stable")
-        scale = len(sources) / max_sources
-        sources = np.sort(sources[order[:max_sources]])
-    if not len(sources):
+    csr_ref, src_ref, n_sources, scale = _csr_and_sources(
+        edges_ds, num_partitions, max_sources=max_sources, seed=seed)
+    if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),
             "betweenness": pa.array([], pa.float64())}))
 
-    csr_ref = ray.put((verts, indptr, nbrs))
-    src_ds = ray.data.from_arrow(
-        pa.table({"start": pa.array(sources, pa.int64())}))
+    src_ds = ray.data.from_arrow_refs([src_ref])
     # leave headroom for the downstream groupby's shuffle aggregators —
     # a fixed pool sized past the session's CPUs deadlocks small sessions
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = max(1, min(concurrency, cpus - 2, len(sources)))
-    batch = max(1, (len(sources) + conc - 1) // conc)
+    conc = max(1, min(concurrency, cpus - 2, n_sources))
+    batch = max(1, (n_sources + conc - 1) // conc)
     parts = src_ds.map_batches(
         _BrandesBatch, fn_constructor_args=(csr_ref, scale),
         concurrency=conc, batch_size=min(batch, 4096),
@@ -237,22 +268,17 @@ def closeness_centrality(edges_ds, num_partitions: int = 16,
     out-degree>0 vertices)."""
     import ray
 
-    verts, indptr, nbrs = _collect_csr(edges_ds, num_partitions)
-    srcs = verts[(indptr[1:] - indptr[:-1]) > 0]
-    if sources is not None:
-        srcs = np.intersect1d(srcs, np.asarray(sources, dtype=np.int64))
-    sources = srcs
-    if not len(sources):
+    csr_ref, src_ref, n_sources, _ = _csr_and_sources(
+        edges_ds, num_partitions, restrict=sources)
+    if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),
             "closeness": pa.array([], pa.float64()),
             "n_reachable": pa.array([], pa.int64())}))
-    csr_ref = ray.put((verts, indptr, nbrs))
-    src_ds = ray.data.from_arrow(
-        pa.table({"start": pa.array(sources, pa.int64())}))
+    src_ds = ray.data.from_arrow_refs([src_ref])
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = max(1, min(concurrency, cpus - 2, len(sources)))
-    batch = max(1, (len(sources) + conc - 1) // conc)
+    conc = max(1, min(concurrency, cpus - 2, n_sources))
+    batch = max(1, (n_sources + conc - 1) // conc)
     return src_ds.map_batches(
         _ClosenessBatch, fn_constructor_args=(csr_ref,),
         concurrency=conc, batch_size=min(batch, 4096),
@@ -309,21 +335,17 @@ def harmonic_out_centrality(edges_ds, num_partitions: int = 16,
     Same broadcast-CSR contract as :func:`betweenness_centrality`."""
     import ray
 
-    verts, indptr, nbrs = _collect_csr(edges_ds, num_partitions)
-    srcs = verts[(indptr[1:] - indptr[:-1]) > 0]
-    if sources is not None:
-        srcs = np.intersect1d(srcs, np.asarray(sources, dtype=np.int64))
-    if not len(srcs):
+    csr_ref, src_ref, n_sources, _ = _csr_and_sources(
+        edges_ds, num_partitions, restrict=sources)
+    if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),
             "harmonic": pa.array([], pa.float64()),
             "n_reachable": pa.array([], pa.int64())}))
-    csr_ref = ray.put((verts, indptr, nbrs))
-    src_ds = ray.data.from_arrow(
-        pa.table({"start": pa.array(srcs, pa.int64())}))
+    src_ds = ray.data.from_arrow_refs([src_ref])
     cpus = int(ray.cluster_resources().get("CPU", 8))
-    conc = max(1, min(concurrency, cpus - 2, len(srcs)))
-    batch = max(1, (len(srcs) + conc - 1) // conc)
+    conc = max(1, min(concurrency, cpus - 2, n_sources))
+    batch = max(1, (n_sources + conc - 1) // conc)
     return src_ds.map_batches(
         _HarmonicBatch, fn_constructor_args=(csr_ref,),
         concurrency=conc, batch_size=min(batch, 4096),

@@ -42,26 +42,19 @@ _STATE_SCHEMA = pa.schema([("vid", pa.int64()), ("bucket", pa.int64()),
 def _vid_registers(vids: np.ndarray, m: int):
     """(bucket, rho) of each vid's own singleton ball — md5-hex scheme:
     bucket = first log16(m) hex digits, rho = leading-zero bits (+1) of
-    the remaining digits (integer-exact, no float log2)."""
-    import hashlib
-
-    from ..stages.stats import _HEX, _LZ4
+    the remaining digits (integer-exact, no float log2).  Bulk-hashed
+    via stages.stats._bulk_md5_upper_be (vectorized DuckDB md5 + numpy
+    bit ops) — no per-vid Python loop."""
+    from ..stages.stats import _bit_length_u64, _bulk_md5_upper_be
     p = {16: 1, 256: 2}[m]
-    ndig = 16 - p                      # hex digits feeding rho
-    buckets = np.empty(len(vids), dtype=np.int64)
-    rhos = np.empty(len(vids), dtype=np.int64)
-    for i, v in enumerate(vids):
-        hx = hashlib.md5(str(int(v)).encode()).hexdigest()[:16]
-        b = 0
-        for d in hx[:p]:
-            b = b * 16 + _HEX.index(d)
-        stripped = hx[p:].lstrip("0")
-        if not stripped:
-            r = 4 * (ndig - 1) + 1
-        else:
-            r = 4 * (ndig - len(stripped)) + _LZ4[stripped[0]] + 1
-        buckets[i] = b
-        rhos[i] = r
+    nbits = 4 * (16 - p)               # hex-tail bits feeding rho
+    keys = np.asarray(vids).astype(np.int64).astype(str)
+    h = _bulk_md5_upper_be(keys)[0]
+    buckets = (h >> np.uint64(64 - 4 * p)).astype(np.int64)
+    tail = h & np.uint64((1 << nbits) - 1)
+    rhos = nbits - _bit_length_u64(tail) + 1
+    # historical rule: an all-zero tail scores 4*(ndig-1)+1, not nbits+1
+    rhos[tail == np.uint64(0)] = nbits - 3
     return buckets, rhos
 
 

@@ -18,6 +18,23 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _pad(n: int, typ: pa.DataType) -> pa.Array:
+    """Type-preserving filler for the never-read side of a tag-union block.
+
+    The tag-union-groupby operators below pad each side's absent columns
+    so the two unioned schemas align.  Null padding would coerce integer
+    columns to float64 once Ray converts the group block to pandas
+    (Arrow int64 + null -> NaN -> float64), silently changing output
+    dtypes — and a downstream exact value-hash then sees 5.0 vs 5.  The
+    padded values are unreachable (every read is behind a ``__side``
+    filter), so numeric types pad with zeros to keep dtypes intact;
+    non-numeric types keep null padding.
+    """
+    if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+        return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), type=typ)
+    return pa.nulls(n, typ)
+
+
 def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
                gap_sec: float = 1800.0):
     """Split each user's event stream into sessions at gaps > ``gap_sec``.
@@ -107,15 +124,15 @@ def asof_join(left_ds, right_ds, by: str, on: str,
             names = [by, "t_us", "__side"]
             for c in l_cols:
                 arrays.append(t[c].combine_chunks() if side == 0
-                              else pa.nulls(n, t.schema.field(c).type
-                                            if c in t.column_names
-                                            else pa.int64()))
+                              else _pad(n, t.schema.field(c).type
+                                        if c in t.column_names
+                                        else pa.int64()))
                 names.append("l__" + c)
             for c in r_cols:
                 arrays.append(t[c].combine_chunks() if side == 1
-                              else pa.nulls(n, t.schema.field(c).type
-                                            if c in t.column_names
-                                            else pa.int64()))
+                              else _pad(n, t.schema.field(c).type
+                                        if c in t.column_names
+                                        else pa.int64()))
                 names.append("r__" + c)
             return pa.Table.from_arrays(arrays, names=names)
         return _fn
@@ -256,7 +273,7 @@ def point_in_interval_join(points_ds, intervals_ds, by: str, on: str,
             arrays.append(t[c].combine_chunks())
             names.append("p__" + c)
         for c in i_cols:
-            arrays.append(pa.nulls(n, pa.int64()))
+            arrays.append(_pad(n, pa.int64()))
             names.append("i__" + c)
         return pa.Table.from_arrays(arrays, names=names)
 
@@ -268,7 +285,7 @@ def point_in_interval_join(points_ds, intervals_ds, by: str, on: str,
                   t[start_col].combine_chunks(), t[end_col].combine_chunks()]
         names = [by, "t_us", "__side", "__start", "__end"]
         for c in p_cols:
-            arrays.append(pa.nulls(n, pa.int64()))
+            arrays.append(_pad(n, pa.int64()))
             names.append("p__" + c)
         for c in i_cols:
             arrays.append(t[c].combine_chunks())

@@ -82,45 +82,77 @@ def histogram_quantiles(ds, col: str, bin_width: float,
 
 # -- HyperLogLog distinct-count sketch --------------------------------------
 
-_HEX = "0123456789abcdef"
-# worker-process (bucket, rho) cache — see _CMS_CACHE below
-_HLL_CACHE: dict = {}
-# leading zero bits within one hex digit (of the first nonzero digit)
-_LZ4 = {d: (3 if d == "1" else 2 if d in "23" else 1 if d in "4567" else 0)
-        for d in _HEX[1:]}
+# worker-process DuckDB connection for bulk md5 (created once per worker)
+_DUCK_CON = None
+
+
+def _bulk_md5_upper_be(keys: np.ndarray, prefixes=("",)) -> np.ndarray:
+    """Bulk md5 of utf-8 string keys: the big-endian uint64 of
+    ``digest()[:8]`` for each (prefix, key), shape (len(prefixes), n).
+
+    The per-key ``hashlib.md5`` Python loop was the round-2 sketch
+    bottleneck (cms_event_users 17.7 s at sf0.1).  DuckDB's
+    ``md5_number_upper`` computes the same first-8-bytes value in
+    vectorized C++ — it returns the *little*-endian interpretation, so a
+    numpy ``byteswap`` recovers exactly
+    ``int.from_bytes(hashlib.md5((p+k).encode()).digest()[:8], 'big')``,
+    i.e. the integer the SQL oracles parse from ``substr(md5(..),1,16)``.
+    Prefixes are engine-controlled literals (``"{d}:"``), not user data.
+    """
+    global _DUCK_CON
+    if _DUCK_CON is None:
+        import duckdb
+        _DUCK_CON = duckdb.connect()
+    con = _DUCK_CON
+    tbl = pa.table({"i": pa.array(np.arange(len(keys)), pa.int64()),
+                    "k": pa.array(keys, pa.string())})
+    con.register("__sketch_keys", tbl)
+    cols = ", ".join(
+        f"md5_number_upper('{p}' || k) AS h{j}"
+        for j, p in enumerate(prefixes))
+    # ORDER BY i: DuckDB may scan/emit out of row order under parallelism
+    res = con.execute(
+        f"SELECT {cols} FROM __sketch_keys ORDER BY i").fetchnumpy()
+    con.unregister("__sketch_keys")
+    out = np.empty((len(prefixes), len(keys)), dtype=np.uint64)
+    for j in range(len(prefixes)):
+        out[j] = np.ascontiguousarray(
+            res[f"h{j}"].astype(np.uint64)).byteswap()
+    return out
+
+
+def _bit_length_u64(v: np.ndarray) -> np.ndarray:
+    """Vectorized int.bit_length over a uint64 array (0 -> 0)."""
+    bl = np.zeros(len(v), dtype=np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        sh = np.uint64(s)
+        mask = x >= (np.uint64(1) << sh)
+        bl[mask] += s
+        x[mask] >>= sh
+    bl += (x > 0).astype(np.int64)
+    return bl
 
 
 def _hll_partial(batch: pd.DataFrame, key_col: str, m: int) -> pd.DataFrame:
     """Per-batch HLL register partial: md5-hash each key, bucket on the
     top 8 bits, rho = leading-zero run (+1) of the remaining 56 bits —
-    all computed on the hex string so the DuckDB oracle reproduces every
-    register bit-exactly (float log2 would round at power-of-two
-    boundaries).  Emits one (bucket, rho) row per batch-local max."""
-    import hashlib
-
-    # duplicates map to the same (bucket, rho) and the merge is a max, so
-    # hashing each distinct key once per batch is bit-identical — and on
-    # heavy-repetition columns (user ids in event logs) it cuts the md5
-    # count by the batch's duplication factor
+    integer bit ops on the same md5 prefix the DuckDB oracle parses from
+    the hex string, so every register matches bit-exactly (float log2
+    would round at power-of-two boundaries).  Emits one (bucket, rho)
+    row per batch-local max.  Duplicates map to the same (bucket, rho)
+    and the merge is a max, so hashing each distinct key once per batch
+    is bit-identical and cuts the hash count by the duplication factor.
+    """
     keys = np.unique(batch[key_col].astype(str).to_numpy())
-    buckets = np.empty(len(keys), dtype=np.int64)
-    rhos = np.empty(len(keys), dtype=np.int64)
-    cache = _HLL_CACHE
-    for i, key in enumerate(keys):
-        v = cache.get(key)
-        if v is None:
-            hx = hashlib.md5(key.encode()).hexdigest()[:16]
-            b = _HEX.index(hx[0]) * 16 + _HEX.index(hx[1])
-            tail = hx[2:]
-            stripped = tail.lstrip("0")
-            if not stripped:
-                r = 4 * 14 + 1
-            else:
-                r = 4 * (14 - len(stripped)) + _LZ4[stripped[0]] + 1
-            v = (b, r)
-            if len(cache) < _CMS_CACHE_MAX:
-                cache[key] = v
-        buckets[i], rhos[i] = v
+    if not len(keys):
+        return pd.DataFrame({"bucket": pd.Series(dtype=np.int64),
+                             "rho": pd.Series(dtype=np.int64)})
+    h = _bulk_md5_upper_be(keys)[0]
+    buckets = (h >> np.uint64(56)).astype(np.int64)
+    tail = (h & np.uint64((1 << 56) - 1))
+    # rho = (leading zero bits of the 56-bit tail) + 1 = 57 - bit_length
+    rhos = 57 - _bit_length_u64(tail)
     # batch-local combine: max rho per bucket
     mx = np.zeros(m, dtype=np.int64)
     np.maximum.at(mx, buckets, rhos)
@@ -166,39 +198,27 @@ def hll_estimate(registers_df, m: int = 256) -> float:
 # -- count-min frequency sketch ----------------------------------------------
 
 
-# worker-process bucket cache: event/user keys repeat across batches, so
-# the md5 cost drops from per-batch-distinct to per-process-distinct —
-# bit-identical output (caches only the pure hash), bounded size
-_CMS_CACHE: dict = {}
-_CMS_CACHE_MAX = 2_000_000
-
-
 def _cms_partial(batch: pd.DataFrame, key_col: str, depth: int,
                  width: int) -> pd.DataFrame:
     """Per-batch count-min partial: for each of ``depth`` seeded md5 hash
     rows, count keys per bucket — ≤ depth·width rows leave the batch.
-    Integer registers, so the merged sketch is bit-exact vs a SQL twin."""
-    import hashlib
+    Integer registers, so the merged sketch is bit-exact vs a SQL twin.
 
-    # registers are additive over per-key counts, so hash each distinct
-    # key once and weight its bucket by the key's multiplicity — exact,
-    # and depth× fewer md5 calls on repeated-key columns
+    Registers are additive over per-key counts, so each distinct key is
+    hashed once (bulk, via :func:`_bulk_md5_upper_be` — all ``depth``
+    seeded hashes in one vectorized query) and its bucket weighted by
+    the key's multiplicity — exact, no per-key Python loop.  The bucket
+    is the first 8 hex chars of ``md5('{d}:' || key)`` as a big-endian
+    int, i.e. the top 32 bits of the 64-bit hash prefix, mod width.
+    """
     uniq, mult = np.unique(batch[key_col].astype(str).to_numpy(),
                            return_counts=True)
-    cache = _CMS_CACHE.setdefault((depth, width), {})
-    prefixes = [f"{d}:".encode() for d in range(depth)]
-    bmat = np.empty((depth, len(uniq)), dtype=np.int64)
-    for i, k in enumerate(uniq):
-        v = cache.get(k)
-        if v is None:
-            kb = k.encode()
-            # first 8 hex chars of md5 == big-endian int of digest[:4]
-            v = tuple(int.from_bytes(
-                hashlib.md5(p + kb).digest()[:4], "big") % width
-                for p in prefixes)
-            if len(cache) < _CMS_CACHE_MAX:
-                cache[k] = v
-        bmat[:, i] = v
+    if not len(uniq):
+        return pd.DataFrame({"d": pd.Series(dtype=np.int64),
+                             "bucket": pd.Series(dtype=np.int64),
+                             "n": pd.Series(dtype=np.int64)})
+    hmat = _bulk_md5_upper_be(uniq, [f"{d}:" for d in range(depth)])
+    bmat = ((hmat >> np.uint64(32)) % np.uint64(width)).astype(np.int64)
     out_d, out_b, out_n = [], [], []
     for d in range(depth):
         counts = np.bincount(bmat[d], weights=mult,

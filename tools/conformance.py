@@ -45,6 +45,16 @@ def compare(name, ray_df, sql_df):
         return f"SCHEMA mismatch: {list(a.columns)} vs {list(b.columns)}"
     if len(a) != len(b):
         return f"ROWS mismatch: {len(a)} vs {len(b)}"
+    # The driver's value hash is dtype-sensitive (int64 5 vs float64 5.0
+    # hash differently even though assert_frame_equal(check_dtype=False)
+    # passes) — round-2 postmortem: all 5 driver-red rows were exactly
+    # this.  Fail on numeric-kind mismatch so it can't slip through again.
+    kinds = [(c, a[c].dtype.kind, b[c].dtype.kind) for c in a.columns
+             if a[c].dtype.kind != b[c].dtype.kind]
+    if kinds:
+        return ("DTYPE-KIND mismatch (driver hash would differ): "
+                + ", ".join(f"{c}: ray={ka} sql={kb}"
+                            for c, ka, kb in kinds))
     try:
         pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                       check_exact=False, rtol=0, atol=1e-9)
