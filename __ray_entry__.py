@@ -675,26 +675,30 @@ def _q_ann_topk(sf_dir):
 
 
 def _q_bucketed_topk(sf_dir):
-    """Approximate (multi-probe LSH) top-k, quantified against the exact
-    brute-force top-k in the same query: returns one row
-    (k, hits, recall).  The LSH is seeded, so the value is deterministic —
-    rows-only in the driver, asserted ≥0.5 in tests/test_stages.py."""
+    """Multi-probe sign-LSH top-10 for the vec_id-0 query vector.  The
+    hash family is exact-integer (md5-derived planes over 2^20-quantized
+    vectors, stages/similarity._int_planes), so candidate selection —
+    not just the final cosine ranking — is reproduced bit-for-bit by the
+    DuckDB twin; recall vs brute force is asserted in
+    tests/test_text_and_dedup.py."""
     _quiet()
-    import pandas as pd
     import pyarrow.parquet as pq
-    from hackathon_pagerank_ray.stages.similarity import (brute_force_topk,
-                                                          bucketed_topk)
+    from hackathon_pagerank_ray.stages.similarity import bucketed_topk
     emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet").materialize()
     q0 = pq.read_table(f"{sf_dir}/embeddings.parquet").filter(
         pc.equal(pc.field("vec_id"), 0))["embedding"][0].as_py()
-    q = np.asarray([q0])
-    exact = set(brute_force_topk(emb, q, k=10, concurrency=2)
-                .to_pandas()["vec_id"])
-    approx = set(bucketed_topk(emb, q, k=10, num_planes=6, probes=2,
-                               concurrency=2).to_pandas()["vec_id"])
-    hits = len(exact & approx)
-    return pd.DataFrame({"k": [10], "hits": [hits],
-                         "recall": [hits / 10.0]})
+    out = bucketed_topk(emb, np.asarray([q0]), k=10, num_planes=6,
+                        probes=2, concurrency=2)
+
+    def _round(t: pa.Table) -> pa.Table:
+        r = pc.round(t["cosine"], 6)
+        return pa.Table.from_arrays(
+            [t["vec_id"].combine_chunks(),
+             r.combine_chunks() if isinstance(r, pa.ChunkedArray) else r],
+            names=["vec_id", "cosine"])
+
+    return out.select_columns(["vec_id", "cosine"]).map_batches(
+        _round, batch_format="pyarrow")
 
 
 def _q_ivf_topk(sf_dir):
@@ -1542,7 +1546,7 @@ def _q_betweenness(sf_dir):
     from hackathon_pagerank_ray.graph.betweenness import \
         betweenness_centrality
     return betweenness_centrality(_edges_ds(sf_dir), num_partitions=8,
-                                  max_sources=512)
+                                  max_sources=512, exact_fold=True)
 
 
 def _q_random_walks(sf_dir):
@@ -2149,6 +2153,153 @@ QUALIFY row_number() OVER (PARTITION BY o_custkey
                            ORDER BY o_totalprice DESC, o_orderkey) <= 3
 """
 
+def _betweenness_sql(max_sources: int = 512, seed: int = 42,
+                     levels: int = 16) -> str:
+    """Unrolled source-sampled Brandes twin (graph/betweenness.py,
+    ``exact_fold=True``).  Forward: per-level frontier tables carrying
+    exact path counts (sigma sums are integer-valued doubles, exact
+    under any order below 2^53).  Backward: per-level dependency tables,
+    each delta an ascending-successor ordered list fold — the engine's
+    CSR neighbor order.  Per-vertex totals fold ascending-source; the
+    md5-rank source sample is the same first-16-hex ordering.  ``levels``
+    must exceed the directed graph's max shortest-path depth (checked
+    empirically; stationary beyond it since deeper frontiers are empty).
+    """
+    parts = [f"""
+WITH
+e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+srcs_all AS (SELECT DISTINCT src FROM e),
+nsrc AS (SELECT COUNT(*) AS n FROM srcs_all),
+srcs AS (SELECT src AS s FROM srcs_all
+         ORDER BY substr(md5('{seed}:' || CAST(src AS VARCHAR)), 1, 16), src
+         LIMIT {max_sources}),
+f0 AS (SELECT s, s AS v, CAST(1 AS DOUBLE) AS sigma FROM srcs),
+vis0 AS (SELECT s, v, 0 AS d, sigma FROM f0)"""]
+    for k in range(1, levels + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT f.s, e.dst AS v, SUM(f.sigma) AS sigma
+  FROM f{k - 1} f JOIN e ON e.src = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x
+                    WHERE x.s = f.s AND x.v = e.dst)
+  GROUP BY f.s, e.dst),
+vis{k} AS MATERIALIZED (SELECT * FROM vis{k - 1} UNION ALL
+           SELECT s, v, {k} AS d, sigma FROM f{k})""")
+    parts.append(f""",
+vis AS MATERIALIZED (SELECT * FROM vis{levels}),
+d{levels} AS MATERIALIZED (SELECT s, v, sigma, CAST(0 AS DOUBLE) AS delta
+              FROM vis WHERE d = {levels})""")
+    for k in range(levels - 1, -1, -1):
+        parts.append(f""",
+dd{k} AS MATERIALIZED (
+  SELECT u.s, u.v,
+    list_sum(list((u.sigma / w.sigma) * (1.0 + w.delta)
+                  ORDER BY w.v)) AS delta
+  FROM (SELECT * FROM vis WHERE d = {k}) u
+  JOIN e ON e.src = u.v
+  JOIN d{k + 1} w ON w.s = u.s AND w.v = e.dst
+  GROUP BY u.s, u.v),
+d{k} AS MATERIALIZED (
+  SELECT u.s, u.v, u.sigma, COALESCE(dd.delta, 0.0) AS delta
+  FROM (SELECT * FROM vis WHERE d = {k}) u
+  LEFT JOIN dd{k} dd ON dd.s = u.s AND dd.v = u.v)""")
+    union = " UNION ALL ".join(
+        f"SELECT s, v, delta FROM d{k}" for k in range(0, levels + 1))
+    parts.append(f""",
+deltas AS (SELECT * FROM ({union}) WHERE v <> s AND delta > 0.0),
+scale AS (SELECT CASE WHEN n > {max_sources}
+                      THEN CAST(n AS DOUBLE) / {max_sources}
+                      ELSE 1.0 END AS sc FROM nsrc)
+SELECT v AS vid,
+       list_sum(list(delta ORDER BY s)) * (SELECT sc FROM scale)
+         AS betweenness
+FROM deltas GROUP BY v""")
+    return "".join(parts)
+
+
+# HyperBall register simulation shared by the effective_diameter and
+# harmonic_centrality twins (graph/hyperball.py small path, m=16).
+# Registers are distance-expressible: rho_t(s, bucket) = max rho over
+# vertices within distance t, with (bucket, rho) md5-hex-parsed exactly
+# as _vid_registers (bucket = first hex digit; rho = leading-zero bits
+# (+1) of the remaining 15 digits; all-zero tail -> 57).  Every float in
+# the estimator is bit-reproducible: 2^-rho terms are exact dyadic
+# doubles summed in bucket order, 172.288 is repr(0.673*16*16), the
+# linear-counting branch uses ln (== libm math.log in the engine), and
+# per-radius totals fold in ascending-vid order via list_sum — matching
+# the engine's sequential cumsum.
+def _unrolled_bfs_sql(levels: int) -> str:
+    """Level-unrolled all-sources BFS over ``sym`` (a, b): emits the
+    ``sp(s, v, d)`` min-distance CTE chain.  Anti-join frontiers keep
+    only first-visit rows, so work is O(pairs·levels) — a recursive CTE
+    with UNION dedup would keep every (s, v, d) depth variant and blow
+    up on dense graphs.  MATERIALIZED: each level is referenced twice
+    (next frontier + visited filter); without it DuckDB re-inlines the
+    whole chain exponentially."""
+    parts = ["f0 AS (SELECT vid AS s, vid AS v FROM verts),\n"
+             "vis0 AS (SELECT s, v, 0 AS d FROM f0)"]
+    for k in range(1, levels + 1):
+        parts.append(f""",
+f{k} AS MATERIALIZED (
+  SELECT DISTINCT f.s, sym.b AS v FROM f{k - 1} f JOIN sym ON sym.a = f.v
+  WHERE NOT EXISTS (SELECT 1 FROM vis{k - 1} x
+                    WHERE x.s = f.s AND x.v = sym.b)),
+vis{k} AS MATERIALIZED (SELECT * FROM vis{k - 1}
+                        UNION ALL SELECT s, v, {k} FROM f{k})""")
+    parts.append(f",\nsp AS (SELECT s, v, d FROM vis{levels})")
+    return "".join(parts)
+
+
+_HYPERBALL_PREFIX = f"""
+WITH
+und AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({_EDGE_SQL}) WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM und UNION ALL SELECT v, u FROM und),
+verts AS MATERIALIZED (SELECT DISTINCT a AS vid FROM sym),
+{_unrolled_bfs_sql(12)},
+maxd AS (SELECT MAX(d) AS dmax FROM sp),
+reg0 AS MATERIALIZED (SELECT vid,
+           CAST(strpos('0123456789abcdef',
+                       substr(md5(CAST(vid AS VARCHAR)), 1, 1)) - 1
+                AS BIGINT) AS bucket,
+           CAST(CASE WHEN ltrim(substr(md5(CAST(vid AS VARCHAR)), 2, 15),
+                                '0') = '' THEN 57
+                ELSE 4 * (15 - length(ltrim(
+                          substr(md5(CAST(vid AS VARCHAR)), 2, 15), '0')))
+                     + CASE substr(ltrim(substr(md5(CAST(vid AS VARCHAR)),
+                                                2, 15), '0'), 1, 1)
+                         WHEN '1' THEN 3 WHEN '2' THEN 2 WHEN '3' THEN 2
+                         WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1
+                         WHEN '7' THEN 1 ELSE 0 END + 1
+                END AS BIGINT) AS rho
+         FROM verts),
+ts AS (SELECT unnest(range(0, 33)) AS t),
+regs AS MATERIALIZED (SELECT sp.s, ts.t, r0.bucket, MAX(r0.rho) AS rho
+         FROM sp JOIN reg0 r0 ON r0.vid = sp.v
+         JOIN ts ON sp.d <= ts.t AND ts.t <= (SELECT dmax FROM maxd)
+         GROUP BY sp.s, ts.t, r0.bucket),
+spine AS MATERIALIZED (SELECT verts.vid AS s, ts.t, bs.bucket
+          FROM verts CROSS JOIN ts
+          CROSS JOIN (SELECT unnest(range(0, 16)) AS bucket) bs
+          WHERE ts.t <= (SELECT dmax FROM maxd)),
+full_regs AS MATERIALIZED (SELECT spine.s, spine.t, spine.bucket,
+                COALESCE(regs.rho, 0) AS rho
+              FROM spine LEFT JOIN regs
+                ON regs.s = spine.s AND regs.t = spine.t
+               AND regs.bucket = spine.bucket),
+vest AS MATERIALIZED (SELECT s, t,
+           list_sum(list(POWER(2.0, -rho) ORDER BY bucket)) AS ssum,
+           SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS zeros
+         FROM full_regs GROUP BY s, t),
+bt AS MATERIALIZED (SELECT s, t,
+         CASE WHEN (172.288 / ssum) <= 40.0 AND zeros > 0
+              THEN 16.0 * ln(16.0 / CAST(zeros AS DOUBLE))
+              ELSE 172.288 / ssum END AS b
+       FROM vest)
+"""
+
 # backward as-of join: greatest click ts <= purchase ts per user; ties on
 # ts break by larger click event_id (operator lexsorts right side by
 # (tie_col, t) and takes the last index <= t)
@@ -2564,6 +2715,44 @@ WHERE 5 * inter >= 4 * (sa.s + sb.s - inter)
             "ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]), "
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
+        # multi-probe sign-LSH top-k (stages/similarity.bucketed_topk):
+        # the exact-integer hash family (md5 planes % 2001 - 1000 over
+        # floor(v*2^20) quantized vectors) makes every bucket bit — and
+        # hence the candidate set — identical integer arithmetic in both
+        # engines; probes=2 == hamming distance <= 2 on the 6-bit bucket
+        "bucketed_topk": r"""
+WITH planes AS (
+  SELECT i, j,
+    CAST(list_sum(list_transform(range(1, 9), ii ->
+      CAST((strpos('0123456789abcdef', substr(md5(
+        '5:' || CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)),
+        ii, 1)) - 1) AS BIGINT)
+      * CAST(POWER(16, 8 - ii) AS BIGINT))) % 2001 - 1000 AS BIGINT) AS p
+  FROM range(1, 65) t1(i) CROSS JOIN range(0, 6) t2(j)),
+vq AS (
+  SELECT vec_id, idx.i AS i,
+    CAST(FLOOR(CAST(embedding[idx.i] AS DOUBLE) * 1048576) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(1, 65) idx(i)),
+dots AS (
+  SELECT vec_id, j, SUM(qv * p) AS d
+  FROM vq JOIN planes USING (i) GROUP BY 1, 2),
+buckets AS (
+  SELECT vec_id,
+    CAST(SUM(CASE WHEN d > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS b
+  FROM dots GROUP BY 1),
+cand AS (
+  SELECT vec_id FROM buckets
+  WHERE bit_count(xor(b, (SELECT b FROM buckets WHERE vec_id = 0))) <= 2)
+SELECT e.vec_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+         (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+          WHERE vec_id = 0)), 6) AS cosine
+FROM embeddings e JOIN cand USING (vec_id)
+ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+  (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0))
+  DESC, e.vec_id
+LIMIT 10
+""",
         # ivf_topk probes 8/16 cells but provably returns the exact top-10
         # on this table (asserted deterministic: seeded k-means over the
         # id-sorted sample), so the exact cosine top-k is a valid oracle.
@@ -2957,6 +3146,50 @@ SELECT a.src, CAST(COUNT(DISTINCT b.dst) AS BIGINT) AS two_hop
 FROM e a JOIN e b ON b.src = a.dst AND b.dst <> a.src
 GROUP BY a.src
 """,
+        # HyperBall neighborhood function + q=0.9 effective diameter
+        # (graph/hyperball.neighborhood_function small path): register
+        # states per radius from the BFS distance table, per-radius
+        # totals in ascending-vid fold, interpolation mirrored op-by-op
+        "effective_diameter": _HYPERBALL_PREFIX + """,
+-- the engine stops at the REGISTER fixpoint (Σrho unchanged), which can
+-- precede the true diameter: a newly-reached vertex whose register is
+-- dominated leaves the sketch unchanged — mirror that exact stop rule
+sig AS MATERIALIZED (SELECT t, SUM(rho) AS sig FROM full_regs GROUP BY t),
+tmax AS (SELECT COALESCE(MAX(cur.t), 0) AS tm FROM sig cur
+         JOIN sig prv ON prv.t = cur.t - 1 WHERE cur.sig <> prv.sig),
+nf AS MATERIALIZED (SELECT t, list_sum(list(b ORDER BY s)) AS n_pairs FROM bt
+       WHERE t <= (SELECT tm FROM tmax) GROUP BY t),
+tgt AS (SELECT 0.9 * (SELECT n_pairs FROM nf ORDER BY t DESC LIMIT 1)
+          AS target),
+ix AS (SELECT MIN(t) AS i FROM nf
+       WHERE n_pairs >= (SELECT target FROM tgt)),
+deff AS (SELECT CASE
+    WHEN (SELECT n_pairs FROM nf WHERE t = 0) >= (SELECT target FROM tgt)
+      THEN 0.0
+    WHEN (SELECT n_pairs FROM nf WHERE t = (SELECT i FROM ix))
+         > (SELECT n_pairs FROM nf WHERE t = (SELECT i FROM ix) - 1)
+      THEN CAST((SELECT i FROM ix) - 1 AS DOUBLE)
+           + ((SELECT target FROM tgt)
+              - (SELECT n_pairs FROM nf WHERE t = (SELECT i FROM ix) - 1))
+             / ((SELECT n_pairs FROM nf WHERE t = (SELECT i FROM ix))
+                - (SELECT n_pairs FROM nf WHERE t = (SELECT i FROM ix) - 1))
+    ELSE CAST((SELECT i FROM ix) AS DOUBLE) END AS d_eff)
+SELECT CAST(nf.t AS BIGINT) AS t, nf.n_pairs AS n_pairs,
+       (SELECT d_eff FROM deff) AS d_eff
+FROM nf
+""",
+        # HyperBall harmonic centrality (graph/hyperball.
+        # harmonic_centrality small path): H(u) = Σ_t (b_t - b_{t-1})/t
+        # folded in ascending-t order, each term the same double ops
+        "harmonic_centrality": _HYPERBALL_PREFIX + """,
+terms AS (SELECT cur.s, cur.t,
+            (cur.b - prv.b) / CAST(cur.t AS DOUBLE) AS term
+          FROM bt cur JOIN bt prv ON prv.s = cur.s AND prv.t = cur.t - 1)
+SELECT v.vid AS vid, COALESCE(h.harmonic, 0.0) AS harmonic
+FROM verts v LEFT JOIN (
+  SELECT s, list_sum(list(term ORDER BY t)) AS harmonic
+  FROM terms GROUP BY s) h ON h.s = v.vid
+""",
         # exact out-harmonic for sources vid<100 (graph/betweenness.
         # harmonic_out_centrality): same recursive BFS as `closeness`;
         # sum(1/d) folded over list(c/d ORDER BY d) so the float fold
@@ -2980,6 +3213,23 @@ SELECT srcs.src AS vid, COALESCE(h.harmonic, 0.0) AS harmonic,
        COALESCE(h.n_reachable, 0) AS n_reachable
 FROM srcs LEFT JOIN h ON h.s = srcs.src
 """,
+        # end-to-end flagship pipeline (extract → dedup → ids → PageRank
+        # over the seeded 200-page synthetic corpus): no SQL engine can
+        # parse HTML, so the oracle is the COMMITTED expected output —
+        # regenerate via tools/make_flagship_fixture.py if the extractor
+        # or engine semantics deliberately change; run-to-run determinism
+        # asserted there before writing
+        "flagship_corpus":
+            "SELECT url, rank FROM read_parquet('"
+            + os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures",
+                           "flagship_corpus_expected.parquet")
+            + "')",
+        # source-sampled Brandes betweenness (graph/betweenness.
+        # betweenness_centrality, exact_fold=True): unrolled per-level
+        # forward sigma + backward dependency tables, ordered list folds
+        "betweenness": _betweenness_sql(max_sources=512, seed=42,
+                                        levels=16),
         # exact out-closeness for sources vid<100 (graph/betweenness.
         # closeness_centrality): recursive BFS with UNION dedup, depth
         # cap 32 (≫ graph eccentricity), MIN(d) per reachable pair

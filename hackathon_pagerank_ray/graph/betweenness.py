@@ -74,7 +74,10 @@ def _csr_and_sources(edges_ds, num_partitions: int,
         verts = np.unique(np.concatenate([src, dst]))
         s = np.searchsorted(verts, src)
         d = np.searchsorted(verts, dst)
-        order = np.argsort(s, kind="stable")
+        # neighbor lists sorted ascending: the distinct() upstream emits
+        # edges in shuffle order, and float dependency accumulation in
+        # edge order would make last-ulp results run-dependent
+        order = np.lexsort((d, s))
         s, d = s[order], d[order]
         indptr = np.zeros(len(verts) + 1, dtype=np.int64)
         np.add.at(indptr, s + 1, 1)
@@ -102,12 +105,15 @@ def _csr_and_sources(edges_ds, num_partitions: int,
 
 
 def _brandes_source(src_dense: int, indptr: np.ndarray, nbrs: np.ndarray,
-                    n: int, bc: np.ndarray) -> None:
-    """One exact Brandes sweep from ``src_dense``, accumulated into ``bc``.
+                    n: int) -> np.ndarray:
+    """One exact Brandes sweep from ``src_dense``; returns its dependency
+    vector delta.
 
     Level-synchronous: each BFS level expands every frontier out-edge in
     one vectorized gather, so the python-level loop count is the graph
-    diameter, not the vertex count.
+    diameter, not the vertex count.  With the CSR's ascending neighbor
+    order, every float accumulation runs in ascending (u, w) order — the
+    order the SQL twin's ordered list folds reproduce.
     """
     dist = np.full(n, -1, dtype=np.int64)
     sigma = np.zeros(n, dtype=np.float64)
@@ -137,7 +143,7 @@ def _brandes_source(src_dense: int, indptr: np.ndarray, nbrs: np.ndarray,
         u, w = u[on_sp], w[on_sp]
         np.add.at(delta, u, (sigma[u] / sigma[w]) * (1.0 + delta[w]))
     delta[src_dense] = 0.0
-    bc += delta
+    return delta
 
 
 def _expand(indptr: np.ndarray, nbrs: np.ndarray, frontier: np.ndarray):
@@ -163,19 +169,38 @@ def _expand(indptr: np.ndarray, nbrs: np.ndarray, frontier: np.ndarray):
 
 class _BrandesBatch:
     """Actor-pool stage: CSR fetched once in __init__, Brandes per source
-    in __call__, dependencies accumulated locally across the batch."""
+    in __call__, dependencies accumulated locally across the batch.
+    ``exact_fold=True`` emits per-source (vid, s, delta) rows instead of
+    batch-local partial sums, so the final per-vertex total can fold in
+    ascending-source order (SQL-twin-exact); the default partial-sum
+    shape is the scale path (exchange ≤ reach rows per batch)."""
 
-    def __init__(self, csr_ref, scale: float):
+    def __init__(self, csr_ref, scale: float, exact_fold: bool = False):
         import ray
         self.verts, self.indptr, self.nbrs = ray.get(csr_ref)
         self.scale = scale
+        self.exact_fold = exact_fold
 
     def __call__(self, batch: pd.DataFrame) -> pa.Table:
         n = len(self.verts)
+        starts = batch["start"].to_numpy()
+        if self.exact_fold:
+            out_v, out_s, out_d = [], [], []
+            for raw, s in zip(starts, np.searchsorted(self.verts, starts)):
+                delta = _brandes_source(int(s), self.indptr, self.nbrs, n)
+                nz = np.flatnonzero(delta)
+                out_v.append(self.verts[nz])
+                out_s.append(np.full(len(nz), raw, dtype=np.int64))
+                out_d.append(delta[nz])
+            cat = (lambda a, t: np.concatenate(a) if a
+                   else np.empty(0, dtype=t))
+            return pa.table({
+                "vid": pa.array(cat(out_v, np.int64), pa.int64()),
+                "s": pa.array(cat(out_s, np.int64), pa.int64()),
+                "delta": pa.array(cat(out_d, np.float64), pa.float64())})
         bc = np.zeros(n, dtype=np.float64)
-        for s in np.searchsorted(self.verts,
-                                 batch["start"].to_numpy()):
-            _brandes_source(int(s), self.indptr, self.nbrs, n, bc)
+        for s in np.searchsorted(self.verts, starts):
+            bc += _brandes_source(int(s), self.indptr, self.nbrs, n)
         nz = np.flatnonzero(bc)
         return pa.table({
             "vid": pa.array(self.verts[nz], pa.int64()),
@@ -184,7 +209,7 @@ class _BrandesBatch:
 
 def betweenness_centrality(edges_ds, num_partitions: int = 16,
                            max_sources: int | None = None, seed: int = 42,
-                           concurrency: int = 8):
+                           concurrency: int = 8, exact_fold: bool = False):
     """(vid, betweenness) for every vertex with positive centrality.
 
     Exact (all vertices with out-edges as sources) when ``max_sources``
@@ -195,6 +220,11 @@ def betweenness_centrality(edges_ds, num_partitions: int = 16,
     At web scale the exact variant is infeasible (one BFS per vertex);
     ``max_sources`` is the intended operating mode there — it bounds
     compute while the broadcast-CSR contract bounds memory.
+
+    ``exact_fold=True`` makes the per-vertex total a sequential
+    ascending-source fold (heavier exchange: per-source dependency rows
+    instead of batch partials) so the result is bit-reproducible by an
+    ordered-list SQL fold — the oracle-parity mode, not the scale mode.
     """
     import ray
 
@@ -212,9 +242,17 @@ def betweenness_centrality(edges_ds, num_partitions: int = 16,
     conc = max(1, min(concurrency, cpus - 2, n_sources))
     batch = max(1, (n_sources + conc - 1) // conc)
     parts = src_ds.map_batches(
-        _BrandesBatch, fn_constructor_args=(csr_ref, scale),
+        _BrandesBatch, fn_constructor_args=(csr_ref, scale, exact_fold),
         concurrency=conc, batch_size=min(batch, 4096),
         batch_format="pandas")
+    if exact_fold:
+        def _fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("s", kind="stable")
+            total = float(np.cumsum(g["delta"].to_numpy())[-1]) * scale
+            return pd.DataFrame({"vid": [int(g["vid"].iloc[0])],
+                                 "betweenness": [total]})
+
+        return parts.groupby("vid").map_groups(_fold, batch_format="pandas")
     out = parts.groupby("vid").sum("part")
     return out.map_batches(
         lambda t: pa.table({

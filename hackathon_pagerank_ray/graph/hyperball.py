@@ -28,6 +28,8 @@ against exact BFS on small graphs.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -94,7 +96,11 @@ def _vertex_estimates(state, m: int):
         zeros = (m - nnz).astype(np.float64)
         est = alpha * m * m / (s + zeros)      # zeros contribute 2^0 each
         small = (est <= 2.5 * m) & (zeros > 0)
-        est[small] = m * np.log(m / zeros[small])
+        # libm log (math.log == DuckDB ln bit-for-bit; numpy's SIMD
+        # log differs at the last ulp) so SQL twins reproduce the
+        # linear-counting branch exactly
+        est[small] = m * np.array(
+            [math.log(m / z) for z in zeros[small]], dtype=np.float64)
         return pa.table({"vid": t["vid"],
                          "est": pa.array(est, pa.float64()),
                          "rsum": t["sum(rsum)"]})
@@ -138,8 +144,15 @@ def _hyperball_small(df: pd.DataFrame, m: int, max_t: int):
         est = alpha * m * m / s
         zeros = (rho == 0).sum(axis=1)
         small = (est <= 2.5 * m) & (zeros > 0)
-        est[small] = m * np.log(m / zeros[small])
-        return float(est.sum())
+        # libm log (math.log == DuckDB ln bit-for-bit; numpy's SIMD
+        # log differs at the last ulp) so SQL twins reproduce the
+        # linear-counting branch exactly
+        est[small] = m * np.array(
+            [math.log(m / z) for z in zeros[small]], dtype=np.float64)
+        # sequential ascending-vid fold (cumsum), not np.sum: np.sum's
+        # pairwise blocking beyond 128 elements would diverge from the
+        # SQL twin's ordered list_sum at the last-ulp level
+        return float(np.cumsum(est)[-1]) if len(est) else 0.0
 
     nf = [(0, _est_sum(rho))]
     last_sig = int(rho.sum())
@@ -282,7 +295,11 @@ def _harmonic_small(df: pd.DataFrame, m: int, max_t: int) -> pd.DataFrame:
         est = alpha * m * m / s
         zeros = (rho == 0).sum(axis=1)
         small = (est <= 2.5 * m) & (zeros > 0)
-        est[small] = m * np.log(m / zeros[small])
+        # libm log (math.log == DuckDB ln bit-for-bit; numpy's SIMD
+        # log differs at the last ulp) so SQL twins reproduce the
+        # linear-counting branch exactly
+        est[small] = m * np.array(
+            [math.log(m / z) for z in zeros[small]], dtype=np.float64)
         return est
 
     prev = _est(rho)

@@ -18,11 +18,12 @@ sweep is exact int64 arithmetic in both engines — float summation order
 can never flip a rounding boundary — and only the final
 ``float(y)/float(inv_alpha^sweeps)`` is a (bit-identical) double op.
 The DuckDB twin unrolls the identical integer sweeps
-(``__ray_entry__._katz_sql``).  int64 bound: needs
-``(max_indeg)^sweeps * inv_alpha^sweeps`` ... more precisely
-``y_sweeps <= (inv_alpha + max_indeg)^sweeps`` < 2^63 — at web scale
-keep sweeps small or alpha below 1/max_indeg (the classical Katz
-convergence condition anyway).
+(``__ray_entry__._katz_sql``).  int64 bound:
+``y_sweeps <= (inv_alpha + max_indeg)^sweeps`` must stay < 2^63 — at
+web scale keep sweeps small or alpha below 1/max_indeg (the classical
+Katz convergence condition anyway).  This is ENFORCED at runtime: each
+sweep checks the analytic bound against the measured max in-degree and
+raises ``OverflowError`` before a silent int64 wrap can occur.
 
 Reference scope note: the reference engine (begum-kara/
 Hackathon-PageRank, backend/cuda/pagerank_gpu.cu) ships PageRank only;
@@ -58,7 +59,24 @@ def katz_dataset(edges_ds, inv_alpha: int = 20, sweeps: int = 8,
 
     x = verts.map_batches(_seed, batch_format="pyarrow").materialize()
 
+    # Overflow guard input: the exact-integer iterate grows like
+    # (spectral radius)^t, and an int64 wrap inside the groupby sum is
+    # SILENT (numpy/Arrow wrap; the DuckDB twin's HUGEINT would raise) —
+    # so the engine and oracle would silently diverge.  One in-degree
+    # max over the distinct edges (≈1/sweeps extra cost) lets each sweep
+    # check the analytic bound y_next ≤ inv_alpha^(t+1) + max_indeg·max(y)
+    # in exact Python ints before the sum that could wrap.
+    max_indeg = (e.select_columns(["dst"]).groupby("dst").count()
+                 .max("count()")) or 0
+
     for t_sweep in range(1, sweeps + 1):
+        bound_next = (inv_alpha ** t_sweep
+                      + int(max_indeg) * int(x.max("y") or 0))
+        if bound_next >= 2 ** 63:
+            raise OverflowError(
+                f"katz_dataset: sweep {t_sweep} could overflow int64 "
+                f"(bound {bound_next:.3e} ≥ 2^63 with max in-degree "
+                f"{max_indeg}); reduce sweeps or raise inv_alpha")
         j = inner_join(e, enforce_schema(x, _Y), on="src", right_on="vid",
                        num_partitions=num_partitions)
         gathered = (j.select_columns(["dst", "y"])

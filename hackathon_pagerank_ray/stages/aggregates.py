@@ -440,9 +440,12 @@ def regr_slope_by(ds, by: str, x_col: str, y_col: str, scale: int = 100,
         sxy, sxx = int(g["sxy"].astype(object).sum()), \
             int(g["sxx"].astype(object).sum())
         den = n * sxx - sx * sx
-        slope = float(n * sxy - sx * sy) / float(den) if den != 0 \
-            else float("nan")
-        return pd.DataFrame({by: [g[by].iloc[0]], out_col: [slope],
+        # zero-x-variance groups are NULL (SQL REGR_SLOPE convention) —
+        # explicit None in a nullable float column, not a NaN that only
+        # becomes null through pandas->Arrow coercion
+        slope = float(n * sxy - sx * sy) / float(den) if den != 0 else None
+        return pd.DataFrame({by: [g[by].iloc[0]],
+                             out_col: pd.array([slope], dtype="Float64"),
                              "n": [n]})
 
     return (ds.map_batches(_partial, batch_format="pyarrow")

@@ -619,7 +619,8 @@ def _window_hashes(text: str, width: int, stride: int) -> np.ndarray:
 
 def dup_window_stats(docs_ds, id_col="doc_id", text_col="text",
                      width: int = 64, stride: int = 16,
-                     num_partitions: int | None = None):
+                     num_partitions: int | None = None,
+                     broadcast_max_dup_hashes: int = 8_000_000):
     """Per-document count of ``width``-char windows (sampled every
     ``stride`` chars) whose exact text also occurs at a sampled window
     position in at least one OTHER document — the cross-document
@@ -629,62 +630,109 @@ def dup_window_stats(docs_ds, id_col="doc_id", text_col="text",
     with ≥1 duplicated window are emitted: ``(id, dup_windows)``.
 
     Scale shape (mirrors :func:`cross_doc_line_stats`): pass 1 explodes
-    each doc to unique ``(id, window_hash)`` rows (8-byte hashes, never
-    window text, move through the one corpus-wide ``groupby(wh)``
-    count — rows are unique per doc, so the row count IS the distinct
-    document count); hashes seen in ≥2 docs are broadcast sorted via
-    ``ray.put`` and pass 2 recounts per-doc positions batch-locally.
-    Window hashing is a single numpy polynomial pass per batch — no
-    per-byte Python loop.
+    each doc to unique ``(id, window_hash, c)`` rows (8-byte hashes plus
+    the within-doc position count; never window text) feeding the one
+    corpus-wide ``groupby(wh)`` count — rows are unique per doc, so the
+    row count IS the distinct document count.  Marking then adapts to
+    the duplicated-hash count: ≤ ``broadcast_max_dup_hashes`` the
+    dup-hash set is sorted in a worker task and its ObjectRef broadcast
+    (the driver never holds it), with pass 2 recounting per-doc
+    positions batch-locally; above the threshold — a boilerplate-heavy
+    crawl can push the dup set past any single heap — it falls back to
+    a hash semi-join of the window table against the dup set plus one
+    ``groupby(id)`` sum.  Window hashing is a single numpy polynomial
+    pass per batch — no per-byte Python loop.
+
+    Hash-collision bound: windows compare by a 64-bit polynomial hash,
+    not exact text (the SQL oracle compares text), so a cross-corpus
+    collision can mark a unique window duplicated.  Birthday bound:
+    P(any collision) ≈ W²/2⁶⁵ for W distinct sampled windows — ~3·10⁻⁸
+    at W=10⁶ and still <0.03 at W=10⁹; at 10^12-document scale switch
+    to a 128-bit hash if exact-oracle parity is required.
     """
     import ray
 
-    from .relational import default_num_partitions, rename
+    from .relational import default_num_partitions, inner_join, rename
+    from .schema_util import drop_empty_blocks
 
     if num_partitions is None:
         num_partitions = default_num_partitions()
 
     def _explode(batch: pd.DataFrame) -> pd.DataFrame:
-        ids, hashes = [], []
+        ids, hashes, cnts = [], [], []
         for i, t in zip(batch[id_col], batch[text_col]):
-            hs = np.unique(_window_hashes(t or "", width, stride))
+            hs, c = np.unique(_window_hashes(t or "", width, stride),
+                              return_counts=True)
             if len(hs):
                 ids.append(np.full(len(hs), i, dtype=np.int64))
                 hashes.append(hs)
+                cnts.append(c.astype(np.int64))
         if not ids:
             return pd.DataFrame({id_col: pd.Series([], dtype=np.int64),
-                                 "wh": pd.Series([], dtype=np.int64)})
+                                 "wh": pd.Series([], dtype=np.int64),
+                                 "c": pd.Series([], dtype=np.int64)})
         return pd.DataFrame({id_col: np.concatenate(ids),
-                             "wh": np.concatenate(hashes)})
+                             "wh": np.concatenate(hashes),
+                             "c": np.concatenate(cnts)})
 
     doc_wins = docs_ds.map_batches(_explode, batch_format="pandas")
     dup = (rename(doc_wins.groupby("wh").count(), {"count()": "n_docs"})
-           .filter(expr="n_docs >= 2").select_columns(["wh"]))
-    parts = [ray.get(r)["wh"].to_numpy() for r in dup.to_arrow_refs()]
-    dup_arr = np.sort(np.concatenate(parts)) if parts \
-        else np.array([], dtype=np.int64)
-    dup_ref = ray.put(dup_arr)
+           .filter(expr="n_docs >= 2").select_columns(["wh"])
+           .materialize())
+    n_dup_hashes = dup.count()
 
-    def _count_dup(batch: pd.DataFrame) -> pd.DataFrame:
-        dup_sorted = ray.get(dup_ref)
-        out_ids, out_cnt = [], []
-        for i, t in zip(batch[id_col], batch[text_col]):
-            if not len(dup_sorted):
-                break
-            hs = _window_hashes(t or "", width, stride)
-            if not len(hs):
-                continue
-            pos = np.minimum(np.searchsorted(dup_sorted, hs),
-                             len(dup_sorted) - 1)
-            c = int(np.count_nonzero(dup_sorted[pos] == hs))
-            if c:
-                out_ids.append(int(i))
-                out_cnt.append(c)
-        return pd.DataFrame({id_col: pd.Series(out_ids, dtype=np.int64),
-                             "dup_windows": pd.Series(out_cnt,
-                                                      dtype=np.int64)})
+    if n_dup_hashes <= broadcast_max_dup_hashes:
+        # broadcast path: sort/concat the dup-hash blocks in ONE worker
+        # task and hand its ObjectRef to the second pass — nothing
+        # larger than the ref crosses the driver
+        @ray.remote
+        def _sorted_concat(*parts):
+            parts = [p if isinstance(p, pa.Table)
+                     else pa.Table.from_pandas(p, preserve_index=False)
+                     for p in parts]
+            arrs = [p["wh"].to_numpy(zero_copy_only=False)
+                    for p in parts if p.num_rows]
+            return np.sort(np.concatenate(arrs)) if arrs \
+                else np.array([], dtype=np.int64)
 
-    return docs_ds.map_batches(_count_dup, batch_format="pandas")
+        dup_ref = _sorted_concat.remote(*dup.to_arrow_refs())
+
+        def _count_dup(batch: pd.DataFrame) -> pd.DataFrame:
+            dup_sorted = ray.get(dup_ref)
+            out_ids, out_cnt = [], []
+            for i, t in zip(batch[id_col], batch[text_col]):
+                if not len(dup_sorted):
+                    break
+                hs = _window_hashes(t or "", width, stride)
+                if not len(hs):
+                    continue
+                pos = np.minimum(np.searchsorted(dup_sorted, hs),
+                                 len(dup_sorted) - 1)
+                c = int(np.count_nonzero(dup_sorted[pos] == hs))
+                if c:
+                    out_ids.append(int(i))
+                    out_cnt.append(c)
+            return pd.DataFrame({id_col: pd.Series(out_ids, dtype=np.int64),
+                                 "dup_windows": pd.Series(out_cnt,
+                                                          dtype=np.int64)})
+
+        return docs_ds.map_batches(_count_dup, batch_format="pandas")
+
+    # semi-join fallback: (id, wh, c) ⋈ dup-hash set on wh, then one
+    # groupby(id) sum of the per-doc position counts — two shuffles,
+    # bounded memory at any dup-set size
+    joined = drop_empty_blocks(
+        inner_join(doc_wins, dup, on="wh", num_partitions=num_partitions))
+    summed = rename(joined.groupby(id_col).sum("c"),
+                    {"sum(c)": "dup_windows"})
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: t[id_col].combine_chunks().cast(pa.int64()),
+            "dup_windows":
+                t["dup_windows"].combine_chunks().cast(pa.int64())})
+
+    return summed.map_batches(_cast, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -25,6 +25,20 @@ def _bucket_hex(seed, key) -> str:
     return hashlib.md5(f"{seed}:{key}".encode("utf-8")).hexdigest()[:_PREFIX]
 
 
+def _bucket32(seed, keys) -> np.ndarray:
+    """Vectorized :func:`_bucket_hex`: the numeric value of each key's
+    8-hex-digit md5 prefix as int64 (fixed-width lowercase hex compares
+    lexicographically == numerically, so ``_bucket32(...) < int(thr, 16)``
+    is exactly ``_bucket_hex(...) < thr``).  Bulk-hashed via
+    stats._bulk_md5_upper_be — no per-row hashlib loop."""
+    from .stats import _bulk_md5_upper_be
+    arr = np.asarray(keys)
+    if arr.dtype.kind != "U":
+        arr = arr.astype(str)
+    h = _bulk_md5_upper_be(arr, [f"{seed}:"])[0]
+    return (h >> np.uint64(32)).astype(np.int64)
+
+
 def rate_threshold_hex(rate: float) -> str:
     """The lexicographic threshold a row's md5-prefix is compared to:
     fixed-width lowercase hex, so string order == numeric order (the same
@@ -50,10 +64,12 @@ def hash_sample(ds, key_col: str, rate: float, seed=42):
     if rate <= 0.0:
         return ds.filter(lambda _: False)
 
+    thr_num = int(thr, 16)
+
     def _keep(batch: pd.DataFrame) -> pd.DataFrame:
-        keep = np.fromiter(
-            (_bucket_hex(seed, k) < thr for k in batch[key_col]),
-            dtype=bool, count=len(batch))
+        if not len(batch):
+            return batch
+        keep = _bucket32(seed, batch[key_col].to_numpy()) < thr_num
         return batch[keep]
 
     return ds.map_batches(_keep, batch_format="pandas")
@@ -67,11 +83,14 @@ def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
     re-runs and independent of row order."""
     thr = rate_threshold_hex(frac)
 
+    thr_num = int(thr, 16)
+
     def _tag(batch: pd.DataFrame) -> pd.DataFrame:
-        batch[split_col] = [
-            "train" if _bucket_hex(seed, k) < thr else "holdout"
-            for k in batch[key_col]
-        ]
+        if not len(batch):
+            batch[split_col] = pd.Series(dtype=object)
+            return batch
+        train = _bucket32(seed, batch[key_col].to_numpy()) < thr_num
+        batch[split_col] = np.where(train, "train", "holdout")
         return batch
 
     return ds.map_batches(_tag, batch_format="pandas")
@@ -92,7 +111,9 @@ def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
 
     def _with_hex(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
-        batch["_h"] = [_bucket_hex(seed, k) for k in batch[id_col]]
+        # numeric prefix sorts identically to the fixed-width hex string
+        batch["_h"] = _bucket32(seed, batch[id_col].to_numpy()) \
+            if len(batch) else pd.Series(dtype=np.int64)
         return (batch.sort_values(["_h", id_col], kind="stable")
                 .groupby(key_col, sort=False).head(n_per_key))
 
@@ -115,13 +136,12 @@ def quality_weighted_sample(ds, key_col: str, weight_col: str, seed=42):
     printf('%08x', floor(weight · 2³²))``."""
 
     def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
         w = batch[weight_col].to_numpy(dtype=np.float64)
-        keep = np.ones(len(batch), dtype=bool)
-        for i, (k, wi) in enumerate(zip(batch[key_col], w)):
-            if wi >= 1.0:
-                continue
-            thr = format(int(np.floor(wi * 4294967296.0)), "08x")
-            keep[i] = _bucket_hex(seed, k) < thr
+        h = _bucket32(seed, batch[key_col].to_numpy())
+        thr = np.floor(np.clip(w, 0.0, 1.0) * 4294967296.0).astype(np.int64)
+        keep = (w >= 1.0) | (h < thr)
         return batch[keep]
 
     return ds.map_batches(_keep, batch_format="pandas")
@@ -145,12 +165,19 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 7,
     from .aggregates import prefix_sum
 
     def _key(df: pd.DataFrame) -> pd.DataFrame:
+        from .stats import _bulk_md5_upper_be
         ids = df[id_col].to_numpy()
-        h = np.fromiter(
-            (int.from_bytes(
-                hashlib.md5(f"{seed}:{i}".encode()).digest()[:4], "big")
-             & 0x7FFFFFFF for i in ids),
-            dtype=np.int64, count=len(ids))
+        # enforce the packed-key bound: an id outside [0, 2**32) would
+        # silently corrupt both the ordering key and the recovered id
+        if len(ids) and (ids.min() < 0 or ids.max() >= 2 ** 32):
+            raise ValueError(
+                f"deterministic_shuffle: {id_col} must be in [0, 2**32) "
+                f"for the packed int64 shuffle key (got range "
+                f"[{ids.min()}, {ids.max()}])")
+        # h31 = low 31 bits of the 32-bit md5 prefix = bits [32,63) of
+        # the big-endian 8-byte hash value (bulk-hashed, no per-id loop)
+        h64 = _bulk_md5_upper_be(ids.astype(str), [f"{seed}:"])[0]
+        h = ((h64 >> np.uint64(32)).astype(np.int64)) & 0x7FFFFFFF
         return pd.DataFrame({"skey": (h << 32) | ids,
                              "one": np.ones(len(ids), dtype=np.int64)})
 

@@ -72,6 +72,36 @@ def brute_force_topk(emb_ds, queries: np.ndarray, k: int = 10,
                                                    batch_format="pandas")
 
 
+#: fixed-point scale for the exact-integer sign hash: multiplying a
+#: double by 2^20 only shifts the exponent, so quantization is exact
+_QUANT = 1 << 20
+
+
+def _int_planes(dim: int, num_planes: int, seed: int) -> np.ndarray:
+    """Exact-integer md5-derived hyperplanes for the sign-LSH bucket:
+    ``p[i, j] = md5_32(f"{seed}:{i}:{j}") % 2001 - 1000`` (the module's
+    standard first-8-hex-digits hash).  Integer entries make the sign
+    ``sum_i floor(v_i·2^20)·p[i,j] > 0`` EXACT int64 arithmetic — no
+    float-summation-order ambiguity between engines, so a SQL oracle
+    reproduces every bucket bit-for-bit (unlike gaussian planes, whose
+    near-zero dots could flip sign under a different fold order)."""
+    from .stats import _bulk_md5_upper_be
+    keys = np.array([f"{i}:{j}" for i in range(dim)
+                     for j in range(num_planes)])
+    h = _bulk_md5_upper_be(keys, [f"{seed}:"])[0]
+    v = ((h >> np.uint64(32)).astype(np.int64) % 2001) - 1000
+    return v.reshape(dim, num_planes)
+
+
+def _int_buckets(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """Sign-LSH bucket per row of ``mat``: quantize to int64 at 2^20,
+    integer matmul against the planes, pack the sign bits."""
+    q = np.floor(mat.astype(np.float64) * _QUANT).astype(np.int64)
+    dots = q @ planes                          # exact int64
+    bits = (dots > 0).astype(np.uint64)
+    return (bits << np.arange(planes.shape[1], dtype=np.uint64)).sum(axis=1)
+
+
 def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
                   id_col: str = "vec_id", emb_col: str = "embedding",
                   num_planes: int = 6, probes: int = 2, seed: int = 5,
@@ -79,27 +109,27 @@ def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
     """Approximate top-k: search only vectors whose hyperplane-sign bucket
     is within ``probes`` bit-flips of the query's bucket (multi-probe LSH).
     At corpus scale this touches ~``(Σ C(planes, i≤probes)) / 2^planes``
-    of the data instead of all of it."""
-    queries = np.asarray(queries, dtype=np.float64)
-    rng = np.random.RandomState(seed)
-    dim = queries.shape[1]
-    planes = rng.standard_normal((dim, num_planes))
+    of the data instead of all of it.
 
-    def _qbucket(v):
-        return int(((v @ planes > 0).astype(np.uint64) <<
-                    np.arange(num_planes, dtype=np.uint64)).sum())
+    The hash family is :func:`_int_planes` — md5-derived integer planes
+    over 2^20-quantized vectors — so candidate selection is exact
+    integer arithmetic and a DuckDB oracle reproduces it bit-for-bit
+    (``__ray_entry__`` ``bucketed_topk`` twin)."""
+    import itertools
+
+    queries = np.asarray(queries, dtype=np.float64)
+    dim = queries.shape[1]
+    planes = _int_planes(dim, num_planes, seed)
 
     probe_sets = []
-    for qv in queries:
-        base = _qbucket(qv)
-        buckets = {base}
-        if probes >= 1:
-            for b1 in range(num_planes):
-                buckets.add(base ^ (1 << b1))
-        if probes >= 2:
-            for b1 in range(num_planes):
-                for b2 in range(b1 + 1, num_planes):
-                    buckets.add(base ^ (1 << b1) ^ (1 << b2))
+    for base in _int_buckets(queries, planes):
+        buckets = {int(base)}
+        for r in range(1, probes + 1):
+            for flips in itertools.combinations(range(num_planes), r):
+                b = int(base)
+                for f in flips:
+                    b ^= 1 << f
+                buckets.add(b)
         probe_sets.append(buckets)
     wanted = set().union(*probe_sets) if probe_sets else set()
     wanted_ref = ray.put(np.fromiter(sorted(wanted), dtype=np.uint64,
@@ -111,9 +141,7 @@ def bucketed_topk(emb_ds, queries: np.ndarray, k: int = 10,
         want = ray.get(wanted_ref)
         mat = np.asarray([np.asarray(v, dtype=np.float64)
                           for v in batch[emb_col]])
-        bucket = ((mat @ pl > 0).astype(np.uint64) <<
-                  np.arange(num_planes, dtype=np.uint64)).sum(axis=1)
-        keep = np.isin(bucket, want)
+        keep = np.isin(_int_buckets(mat, pl), want)
         return batch[keep]
 
     candidates = emb_ds.map_batches(_filter, batch_format="pandas")

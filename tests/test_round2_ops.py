@@ -699,6 +699,13 @@ def test_dup_window_stats_plants_and_counts():
     want = {d: c for d, c in want.items() if c}
     got = dict(zip(out["doc_id"], out["dup_windows"]))
     assert got == want and len(want) >= 2
+    # semi-join fallback path (dup set "too large to broadcast") must
+    # produce the identical result
+    out2 = (dup_window_stats(rd.from_pandas(docs).repartition(2),
+                             width=64, stride=16,
+                             broadcast_max_dup_hashes=0)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert dict(zip(out2["doc_id"], out2["dup_windows"])) == want
 
 
 def test_random_walks_paths_agree_and_replay():
