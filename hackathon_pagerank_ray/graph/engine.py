@@ -170,7 +170,24 @@ class ShardedGraph:
         return cls(owners, shards, n, m, num_owners, gather_mode)
 
     # -- shared sweep plumbing --------------------------------------------
-    def _partial_refs(self, method: str):
+    def _submit_gathers(self):
+        """Subscribe-mode slice wave, ``gathers[e][j]``: one
+        ``get_values_all`` per owner (``num_returns=E``) instead of E·P
+        ``get_values`` calls.  Submitting this right after a sweep's
+        update wave queues it behind each owner's update on the actor,
+        so slices materialize as owners finish — the same one-wave
+        pipelining the full-gather mode gets from ``get_full_values``.
+        """
+        per_owner = []
+        for ow in self.owners:
+            refs = ow.get_values_all.options(num_returns=self.E).remote()
+            if self.E == 1:
+                refs = [refs]
+            per_owner.append(refs)
+        return [[per_owner[j][e] for j in range(self.P)]
+                for e in range(self.E)]
+
+    def _partial_refs(self, method: str, gathers=None):
         """partials[e][j] = edge shard e's partial aggregate for owner j.
 
         Transfer modes: ``"packed"`` (default with full gather) returns ONE
@@ -178,15 +195,14 @@ class ShardedGraph:
         their slice zero-copy from shared memory, cutting per-sweep object
         count from O(E·P) to O(E); ``"split"`` (used with subscribe gather)
         ships per-owner objects — the multi-node bandwidth-minimal layout.
+        ``gathers`` lets a pipelined caller pass a pre-submitted slice
+        wave (see :meth:`_submit_gathers`).
         """
         if self.gather_mode == "full":
             full = [ow.get_full_values.remote() for ow in self.owners]
             gathers = [full] * self.E
-        else:
-            gathers = [
-                [ow.get_values.remote(e) for ow in self.owners]
-                for e in range(self.E)
-            ]
+        elif gathers is None:
+            gathers = self._submit_gathers()
         packed = self.gather_mode == "full"
         partials = []
         for e, sh in enumerate(self.edge_shards):
@@ -288,6 +304,7 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     dangling_mass = None   # measured by start_pagerank_sweep on sweep 1,
     #                        then returned fused with each update
     full_refs = None       # pipelined value-vector refs (full gather mode)
+    sub_gathers = None     # pipelined slice-wave refs (subscribe mode)
     sweep_times = []
     for it in range(start_it, max_iter):
         t_sweep = time.perf_counter()
@@ -300,17 +317,32 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
                 full_refs = [ow.get_full_values.remote() for ow in owners]
             partials = [[sh.pagerank_partials.remote(*full_refs)] * graph.P
                         for sh in graph.edge_shards]
-        else:
-            partials = graph._partial_refs("pagerank_partials")
-        update_refs = [
-            ow.apply_pagerank_update.remote(
-                alpha, dm, *[partials[e][j] for e in range(graph.E)])
-            for j, ow in enumerate(owners)
-        ]
         if graph.gather_mode == "full":
+            update_refs = [
+                ow.apply_pagerank_update.remote(
+                    alpha, dm, *[partials[e][j] for e in range(graph.E)])
+                for j, ow in enumerate(owners)
+            ]
             # queued behind each owner's update → results are ready the
             # moment the driver schedules the next sweep (hides one wave)
             full_refs = [ow.get_full_values.remote() for ow in owners]
+        else:
+            partials = graph._partial_refs("pagerank_partials",
+                                           gathers=sub_gathers)
+            # fused slice emission: the update call itself returns the
+            # next sweep's per-shard gather slices (num_returns = 1 + E),
+            # so a subscribe sweep runs exactly two task waves — partials
+            # and updates — with no separate slice wave to schedule
+            raw = [
+                ow.apply_pagerank_update.options(
+                    num_returns=1 + graph.E).remote(
+                    alpha, dm, *[partials[e][j] for e in range(graph.E)],
+                    emit_slices=True)
+                for j, ow in enumerate(owners)
+            ]
+            update_refs = [r[0] for r in raw]
+            sub_gathers = [[raw[j][1 + e] for j in range(graph.P)]
+                           for e in range(graph.E)]
         results = ray.get(update_refs)
         residual = float(sum(d for d, _ in results))
         dangling_mass = float(sum(m for _, m in results))

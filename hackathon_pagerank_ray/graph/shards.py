@@ -173,8 +173,19 @@ class RankOwner:
         self.metrics["gather_bytes"] += out.nbytes
         return out
 
+    def get_values_all(self):
+        """Every shard's gather slice in ONE actor call (used with
+        ``options(num_returns=E)``): the slice wave costs P scheduled
+        tasks instead of E·P — at mesh 16 that is 16 tasks, not 256,
+        and per-task scheduling overhead is most of the subscribe-mode
+        sweep's non-kernel wall time."""
+        E = len(self.subscriptions)
+        out = tuple(self._vals[self.subscriptions[e]] for e in range(E))
+        self.metrics["gather_bytes"] += sum(o.nbytes for o in out)
+        return out if E > 1 else out[0]
+
     def apply_pagerank_update(self, alpha: float, dangling_mass: float,
-                              *partials: np.ndarray):
+                              *partials: np.ndarray, emit_slices: bool = False):
         """Reduce edge-shard partials (fixed shard order → deterministic),
         apply ``r' = α·(y + dm/n) + (1-α)/n``.
 
@@ -182,7 +193,12 @@ class RankOwner:
         eagerly prepares the next sweep's value vector ``r'/outdeg`` — the
         fusion removes one driver round-trip barrier per sweep (the
         reference pays the same fused device→host copy each iteration,
-        pagerank_gpu.cu:279-305)."""
+        pagerank_gpu.cu:279-305).
+
+        ``emit_slices=True`` (used with ``options(num_returns=1 + E)``)
+        additionally returns the next sweep's per-shard gather slices —
+        fusing the slice wave into the update call, so a subscribe-mode
+        sweep needs no separate ``get_values_all`` task wave at all."""
         t0 = time.perf_counter()
         y = np.zeros(self.n_local)
         for e_id in sorted(self.dst_maps):
@@ -207,6 +223,12 @@ class RankOwner:
         self._vals = r_new * self.inv_out
         dm_next = float(r_new[self.dangling].sum())
         self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        if emit_slices:
+            E = len(self.subscriptions)
+            slices = tuple(self._vals[self.subscriptions[e]]
+                           for e in range(E))
+            self.metrics["gather_bytes"] += sum(s.nbytes for s in slices)
+            return ((delta, dm_next), *slices)
         return delta, dm_next
 
     # -- k-core ------------------------------------------------------------

@@ -168,3 +168,88 @@ def test_malformed_html_goldens():
         assert text == want_text, f"{name}: {text!r} != {want_text!r}"
         got_paths = [l.replace("https://www.ex.org", "") for l in links]
         assert got_paths == want_paths, f"{name}: links {got_paths}"
+
+
+# -- edge-case goldens (round 3) --------------------------------------------
+# More documented html.parser/bs4 builder behaviours, same encoding
+# discipline as MALFORMED_GOLDENS:
+#   B7  comments and processing instructions are not text
+#   B8  CDATA sections: html.parser surfaces them only via unknown_decl;
+#       the engine treats them as non-text declarations and DROPS the
+#       content.  DOCUMENTED DIVERGENCE: bs4 wraps the payload in a CData
+#       NavigableString which get_text() would include — on real-web HTML
+#       CDATA appears almost exclusively inside <script> (already CDATA
+#       there, B5), where both engines drop it with the script decompose.
+#   B9  convert_charrefs semantics: valid named/decimal/hex references
+#       (including astral) convert; unknown named and malformed numeric
+#       stay literal; legacy named references convert WITHOUT a
+#       semicolon, even mid-word ("&ampy" -> "&y", the HTML5 legacy rule)
+#   B10 html.parser builds no implied <tbody>/<colgroup>; stray table
+#       end tags are ignored (B3); <col> is void
+#   B11 attribute quirks: unquoted values, spaces around '=', and
+#       valueless attributes all parse (value '' when missing)
+#   B12 <svg> subtrees are DECOMPOSED before extraction — both text and
+#       <a> links inside never reach the output (reference decompose
+#       list, crawler/core.py:106-109, includes "svg")
+EDGE_GOLDENS = [
+    ("comment_not_text",                                          # B7
+     "<html><body>before<!-- hidden <p>x</p> -->after</body></html>",
+     "before after", []),
+    ("processing_instruction",                                    # B7
+     "<html><body>u<?php echo 1; ?>v</body></html>",
+     "u v", []),
+    ("doctype_and_comment_preamble",                              # B7
+     "<!DOCTYPE html><!--c--><html><body>t</body></html>",
+     "t", []),
+    ("cdata_dropped",                                             # B8
+     "<html><body>a<![CDATA[raw <b>bold</b>]]>b</body></html>",
+     "ab", []),
+    ("charrefs_valid",                                            # B9
+     "<html><body>&#65;&#x42; &#120; &#x1F4A9;</body></html>",
+     "AB x \U0001F4A9", []),
+    ("charrefs_invalid_literal",                                  # B9
+     "<html><body>&nosuch; &#xZZ; &amp broken</body></html>",
+     "&nosuch; &#xZZ; & broken", []),
+    ("charrefs_legacy_no_semicolon",                              # B9
+     "<html><body>x&ampy &lt z</body></html>",
+     "x&y < z", []),
+    ("no_implied_tbody",                                          # B10
+     "<html><body><table><tr><td>a</td><td>b</td></tr></table>"
+     "</body></html>",
+     "a b", []),
+    ("stray_tbody_end_ignored",                                   # B10
+     "<html><body><table></tbody><tr><td>c</td></tr></table>"
+     "</body></html>",
+     "c", []),
+    ("colgroup_and_void_col",                                     # B10
+     "<html><body><table><colgroup><col width=10><col></colgroup>"
+     "<tr><td>d</td></tr></table></body></html>",
+     "d", []),
+    ("unquoted_attr_values",                                      # B11
+     "<html><body><div class=content>inner</div>out "
+     "<a href=/x>l</a></body></html>",
+     "inner", ["/x"]),
+    ("spaces_around_equals",                                      # B11
+     '<html><body><a href = "/y" >m</a>'
+     '<div class = "content" >cc</div></body></html>',
+     "cc", ["/y"]),
+    ("valueless_attrs",                                           # B11
+     "<html><body><div class>q</div><input disabled>r</body></html>",
+     "q r", []),
+    ("svg_decomposed",                                            # B12
+     "<html><body>pre<svg viewBox='0 0 1 1'><text>svg label</text>"
+     "<desc>descr</desc></svg>post</body></html>",
+     "pre post", []),
+    ("svg_links_pruned",                                          # B12
+     "<html><body><svg><a href='/svg'>s</a></svg>"
+     "<a href='/html'>h</a></body></html>",
+     "h", ["/html"]),
+]
+
+
+def test_edge_case_goldens():
+    for name, html, want_text, want_paths in EDGE_GOLDENS:
+        _, text, links, _ = parse_page(html, "https://www.ex.org/p")
+        assert text == want_text, f"{name}: {text!r} != {want_text!r}"
+        got_paths = [l.replace("https://www.ex.org", "") for l in links]
+        assert got_paths == want_paths, f"{name}: links {got_paths}"

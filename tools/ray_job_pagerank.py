@@ -1,0 +1,91 @@
+"""``ray job submit``-able PageRank driver (north rule: "launched via
+ray job submit on fixed-size clusters").
+
+Runs the sharded PageRank engine over a parquet edge table on whatever
+cluster the job lands on, with per-sweep checkpointing so a resubmitted
+job resumes mid-iteration:
+
+    ray job submit --working-dir . -- \
+        python tools/ray_job_pagerank.py \
+            --edges /data/edges --out /data/ranks \
+            --checkpoint-dir /data/ckpt --resume
+
+On a multi-node cluster ``gather_mode="auto"`` selects the
+bandwidth-minimal ``subscribe`` gather; single-node it uses the
+zero-copy full gather.  Mesh size defaults to cluster CPUs / 2
+(owners + edge shards fill the cluster).  The edge table should be
+src-range partitioned (the engine's one partitioning key); a random
+layout still works but ships ~n-sized gather subscriptions per shard.
+
+Local smoke test (no cluster):
+
+    python tools/ray_job_pagerank.py --edges /tmp/edges --out /tmp/ranks
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--edges", required=True,
+                    help="parquet edge table (src, dst) — file or dir")
+    ap.add_argument("--out", required=True,
+                    help="output dir for the (vid, rank) parquet")
+    ap.add_argument("--checkpoint-dir", default=None,
+                    help="per-sweep rank-vector checkpoints + lineage")
+    ap.add_argument("--resume", action="store_true",
+                    help="resume from the latest checkpoint sweep")
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-6)
+    ap.add_argument("--max-iter", type=int, default=100)
+    ap.add_argument("--mesh", type=int, default=0,
+                    help="owners (= edge shards); 0 → cluster CPUs // 2")
+    ap.add_argument("--gather-mode", default="auto",
+                    choices=["auto", "full", "subscribe"])
+    args = ap.parse_args(argv)
+
+    import ray
+    if not ray.is_initialized():
+        # under `ray job submit` RAY_ADDRESS points at the cluster; a bare
+        # local run starts its own session
+        ray.init(address=os.environ.get("RAY_ADDRESS", "auto"),
+                 ignore_reinit_error=True)
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    mesh = args.mesh or max(2, cpus // 2)
+    graph = ShardedGraph.build(args.edges, num_owners=mesh,
+                               num_edge_shards=mesh,
+                               gather_mode=args.gather_mode)
+    try:
+        ranks, info = pagerank(
+            graph, alpha=args.damping, tol=args.tol,
+            max_iter=args.max_iter, checkpoint_dir=args.checkpoint_dir,
+            resume=args.resume)
+        ranks.write_parquet(args.out)
+        print(json.dumps({
+            "n": graph.n, "m": graph.m, "mesh": mesh,
+            "gather_mode": graph.gather_mode,
+            "sweeps": info["sweeps"], "converged": info["converged"],
+            "residual_l1": info["residual_l1"],
+            "elapsed_sec": round(info.get("elapsed_sec") or 0.0, 2),
+            "edges_per_sec_per_sweep":
+                info.get("edges_per_sec_per_sweep"),
+            "out": args.out,
+        }))
+    finally:
+        graph.shutdown()
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,66 @@
+#!/usr/bin/env bash
+# Two-raylet dress rehearsal: start a head node + one worker node (two
+# raylets, separate plasma stores, real object-transfer paths), run
+# PageRank in the multi-node `subscribe` gather via the ray-job driver,
+# and assert rank parity with the single-node full-gather run on the
+# same input.  This exercises everything num_cpus=32 single-raylet mode
+# cannot: cross-raylet actor placement, object pull/push, and the
+# subscribe gather actually crossing a node boundary.
+#
+# Usage: tools/two_node_rehearsal.sh [edges_dir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+EDGES="${1:-/tmp/graft_rehearsal_edges}"
+WORK=/tmp/graft_rehearsal
+rm -rf "$WORK" && mkdir -p "$WORK"
+
+if [ ! -f "$EDGES/part-00000.parquet" ]; then
+  python - "$EDGES" <<'EOF'
+import sys
+from hackathon_pagerank_ray.testgen import gen_random_edges_fast, write_edges_parquet
+edges = gen_random_edges_fast(200_000, 2_000_000, seed=7, hub_k=16, hub_frac=0.2)
+write_edges_parquet(edges, sys.argv[1], n_shards=8, sort_by_src=True)
+EOF
+fi
+
+cleanup() { ray stop --force >/dev/null 2>&1 || true; }
+trap cleanup EXIT
+cleanup
+
+# head (8 cpus) + one worker raylet (8 cpus) — a real two-node topology
+# as far as Ray's scheduler and object store are concerned
+unset RAY_ADDRESS
+ray start --head --num-cpus=8 --port=6379 \
+  --include-dashboard=false --disable-usage-stats >/dev/null
+ray start --address=127.0.0.1:6379 --num-cpus=8 \
+  --disable-usage-stats >/dev/null
+
+RAY_ADDRESS=127.0.0.1:6379 python tools/ray_job_pagerank.py \
+  --edges "$EDGES" --out "$WORK/ranks_two_node" \
+  --checkpoint-dir "$WORK/ckpt" --gather-mode auto --mesh 8 \
+  | tee "$WORK/two_node.json"
+cleanup
+
+# single-node reference run (full gather) on the same input
+unset RAY_ADDRESS
+RAY_ADDRESS=local python tools/ray_job_pagerank.py \
+  --edges "$EDGES" --out "$WORK/ranks_single" \
+  --gather-mode full --mesh 8 | tee "$WORK/single.json"
+
+python - "$WORK" <<'EOF'
+import json, sys
+import pyarrow.parquet as pq
+import numpy as np
+w = sys.argv[1]
+two = json.loads(open(f"{w}/two_node.json").read().strip().splitlines()[-1])
+assert two["gather_mode"] == "subscribe", \
+    f"two-raylet run must auto-select subscribe, got {two['gather_mode']}"
+a = pq.read_table(f"{w}/ranks_two_node").to_pandas().sort_values("vid")
+b = pq.read_table(f"{w}/ranks_single").to_pandas().sort_values("vid")
+assert len(a) == len(b)
+diff = np.abs(a["rank"].to_numpy() - b["rank"].to_numpy()).max()
+print(f"two-node vs single-node max |diff| = {diff:.3e} over {len(a)} vids")
+assert diff < 1e-9, diff
+print("REHEARSAL OK: subscribe gather crossed a raylet boundary with parity")
+EOF
