@@ -503,7 +503,11 @@ def _q_contamination(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import contamination_check
     docs = _docs_ds(sf_dir, ["doc_id", "text"])
-    # deterministic stand-in eval suite: every 50th document's text
+    # deterministic stand-in eval suite: every 50th document's text.
+    # take_all() here is BOUNDED by construction — an eval suite is tiny
+    # next to the corpus (1/50th of docs at any sf; real decontamination
+    # benchmarks are a fixed few-MB set), and contamination_check builds
+    # its broadcast n-gram table from exactly this driver-side list.
     bench = docs.map_batches(lambda b: b[b["doc_id"] % 50 == 0],
                              batch_format="pandas").take_all()
     bench_texts = [r["text"] for r in sorted(bench, key=lambda r: r["doc_id"])]

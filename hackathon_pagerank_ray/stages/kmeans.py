@@ -10,13 +10,24 @@ never leave the object store, so the same plan runs at corpus scale.
 
 Every rule is deterministic and SQL-replayable, so the DuckDB oracle
 (unrolled per-iteration CTEs, see ``__ray_entry__.oracle_sql``) matches
-the assignment table bit-for-bit:
+the assignment table:
 
 - init: the embeddings of the ``k`` smallest ids (no RNG);
 - assignment: argmin squared-L2 distance, ties to the smallest
   cluster index (numpy ``argmin`` first-hit == SQL ``ORDER BY d, cidx``);
 - update: coordinate-wise mean; an empty cluster keeps its previous
   centroid.
+
+Precision caveat: the oracle parity is EMPIRICAL, not guaranteed — the
+two engines compute squared distances with different float fold orders
+(numpy vectorized pairwise sums vs DuckDB's sequential
+``list_distance``), so a pair of centroids whose distances to a vector
+differ only in the last ulp could flip an argmin and cascade through
+later centroid updates.  No such near-tie exists on the test fixtures
+(verified by the passing hash oracle at three scale factors); at real
+corpus scale treat assignment boundaries as ±1-ulp fuzzy, or scale
+inputs to fixed-precision integers if exact cross-engine parity is a
+requirement.
 
 Reference scope note: the reference engine (begum-kara/
 Hackathon-PageRank) has no clustering surface; this extends the

@@ -21,10 +21,30 @@ def distinct(ds, cols: list[str], num_partitions: int | None = None):
 
 
 def topk(ds, keys, k: int, descending=True):
-    """Total-order top-k = range-partitioned sort + limit (SURVEY.md K1;
-    reference full sort + truncate, backend/cuda/pagerank_gpu.cu:429-441).
-    Pass a key tuple with a unique tiebreaker for deterministic output."""
-    return ds.sort(keys, descending=descending).limit(k)
+    """Total-order top-k (SURVEY.md K1; reference full sort + truncate,
+    backend/cuda/pagerank_gpu.cu:429-441).
+
+    Scale shape: every block first reduces to its LOCAL top-k (any
+    global top-k row is necessarily in its block's top-k), so the
+    all-to-all sort ranks ≤ k·blocks pre-filtered rows instead of the
+    whole table — K4's partial+merge machinery as a drop-in for the
+    plain sort+limit.  Pass a key tuple with a unique tiebreaker for
+    deterministic output (the block-local head is exact only under a
+    total order)."""
+    import pandas as pd  # noqa: F401  (batch_format contract)
+
+    keys_l = [keys] if isinstance(keys, str) else list(keys)
+    desc = ([descending] * len(keys_l) if isinstance(descending, bool)
+            else list(descending))
+
+    def _partial(df):
+        if len(df) <= k:
+            return df
+        return df.sort_values(keys_l, ascending=[not d for d in desc],
+                              kind="mergesort").head(k)
+
+    pre = ds.map_batches(_partial, batch_format="pandas")
+    return pre.sort(keys, descending=descending).limit(k)
 
 
 def grouped_topk(ds, by: str, sort_col: str, k: int, tiebreak: str,
