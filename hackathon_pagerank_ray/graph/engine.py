@@ -64,13 +64,17 @@ class ShardedGraph:
         """Build the actor mesh from an edge Dataset.
 
         ``sort_by_src`` (opt-in) range-partitions edges by source before
-        chunking — this shrinks each shard's gather subscription (locality
-        for the multi-node ``"subscribe"`` gather) and splits out-degree
-        hubs across shards by construction; the full Dataset sort it costs
-        dominated build time at bench scale, so the cheap unsorted path is
-        the default (full-vector gather doesn't profit from locality).
-        ``n`` defaults to the reference convention ``max_id + 1``
-        (backend/cuda/pagerank_gpu.cu:65).
+        chunking — this shrinks each shard's gather subscription from ~n
+        to ~n/E (measured 11× less per-sweep exchange + a 1.6× faster
+        kernel at 160M edges, BASELINE.md "Weak scaling v3").  It costs a
+        full Dataset sort, so the PREFERRED way to get the locality is to
+        hand ``build`` a parquet path whose files are already src-range
+        partitioned (``testgen.write_edges_parquet(sort_by_src=True)``,
+        or any upstream edge writer keyed on the engine's single
+        partitioning key) — the fragment→shard mapping then preserves the
+        ranges for free; the in-build sort is the fallback when the input
+        layout is out of your control.  ``n`` defaults to the reference
+        convention ``max_id + 1`` (backend/cuda/pagerank_gpu.cu:65).
 
         ``gather_mode``: ``"full"`` ships each owner's whole value vector
         once per sweep (one plasma object, zero-copy shared by all shards on

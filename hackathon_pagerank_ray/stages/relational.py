@@ -14,9 +14,56 @@ import pyarrow.compute as pc
 
 def distinct(ds, cols: list[str], num_partitions: int | None = None):
     """Exact dedup on a key tuple — hash-partition + first per group
-    (SURVEY.md D2; reference ``seen``-set at api/build_corpus.py:88-92)."""
+    (SURVEY.md D2; reference ``seen``-set at api/build_corpus.py:88-92).
+
+    Two-integer-column keys within packed-int64 bounds (both ≥ 0,
+    first < 2^31, second < 2^32 — every dense-id edge table) dedup on
+    ONE packed key: Ray Data's multi-column groupby sorts a composite
+    key and measured ~8× slower than the identical single-key plan on
+    small tables and ~1.4× at 5M rows (BASELINE.md r3).  The bound
+    check costs one min/max pass over the materialized key projection;
+    anything outside the bounds falls back to the generic plan.
+    """
+    import numpy as np
+    import pyarrow as pa
     from ray.data.aggregate import Count
-    out = ds.select_columns(cols).groupby(cols).aggregate(Count(alias_name="_n"))
+
+    proj = ds.select_columns(cols)
+    if len(cols) == 2:
+        proj = proj.materialize()
+        packable = False
+        try:
+            if proj.count():
+                mn = proj.min(cols)
+                mx = proj.max(cols)
+                a, b = cols
+                packable = (
+                    isinstance(mn[f"min({a})"], (int, np.integer))
+                    and isinstance(mn[f"min({b})"], (int, np.integer))
+                    and mn[f"min({a})"] >= 0 and mn[f"min({b})"] >= 0
+                    and mx[f"max({a})"] < 2 ** 31
+                    and mx[f"max({b})"] < 2 ** 32)
+        except Exception:
+            packable = False
+        if packable:
+            a, b = cols
+
+            def _pack(t: pa.Table) -> pa.Table:
+                k = ((np.asarray(t[a], dtype=np.int64) << np.int64(32))
+                     | np.asarray(t[b], dtype=np.int64))
+                # local pre-dedup: repeats never leave the batch
+                return pa.table({"k": pa.array(np.unique(k), pa.int64())})
+
+            def _unpack(t: pa.Table) -> pa.Table:
+                k = np.asarray(t["k"], dtype=np.int64)
+                return pa.table({
+                    a: pa.array(k >> np.int64(32), pa.int64()),
+                    b: pa.array(k & np.int64(0xFFFFFFFF), pa.int64())})
+
+            deduped = (proj.map_batches(_pack, batch_format="pyarrow")
+                       .groupby("k").aggregate(Count(alias_name="_n")))
+            return deduped.map_batches(_unpack, batch_format="pyarrow")
+    out = proj.groupby(cols).aggregate(Count(alias_name="_n"))
     return out.select_columns(cols)
 
 

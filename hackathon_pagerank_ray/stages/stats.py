@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def histogram(ds, col: str, bin_width: float):
@@ -234,16 +235,34 @@ def _cms_partial(batch: pd.DataFrame, key_col: str, depth: int,
 
 def cms_registers(ds, key_col: str, depth: int = 4, width: int = 1024):
     """Distributed count-min sketch of per-key frequencies: batches emit
-    (d, bucket, count) partials, one bounded-cardinality
-    ``groupby(d, bucket).sum`` merges — the same mergeable-sketch shape
-    as :func:`hll_registers` (≤ depth·width rows move per block at any
-    input size).  Point estimates via :func:`cms_estimate`."""
-    from .relational import rename
+    (d, bucket, count) partials, one bounded-cardinality groupby-sum
+    merges — the same mergeable-sketch shape as :func:`hll_registers`
+    (≤ depth·width rows move per block at any input size).  Point
+    estimates via :func:`cms_estimate`.
+
+    The merge key is ``d·width + bucket`` packed into ONE int64: Ray
+    Data's multi-column groupby sorts on a composite key and measured
+    ~8× slower than the identical single-key plan on this register
+    table (19.5 s vs 2.4 s at sf0.1); the output unpacks back to
+    (d, bucket, n)."""
+    def _merge_key(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["d"]) * np.int64(width) + np.asarray(t["bucket"])
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "n": t["n"].combine_chunks()})
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["k"])
+        return pa.table({"d": pa.array(k // width, pa.int64()),
+                         "bucket": pa.array(k % width, pa.int64()),
+                         "n": pc.cast(t["sum(n)"].combine_chunks(),
+                                      pa.int64())})
+
     partials = ds.map_batches(_cms_partial, batch_format="pandas",
                               fn_kwargs=dict(key_col=key_col, depth=depth,
                                              width=width))
-    return rename(partials.groupby(["d", "bucket"]).sum("n"),
-                  {"sum(n)": "n"})
+    merged = (partials.map_batches(_merge_key, batch_format="pyarrow")
+              .groupby("k").sum("n"))
+    return merged.map_batches(_unpack, batch_format="pyarrow")
 
 
 def cms_estimate(registers_df, key, depth: int = 4,
