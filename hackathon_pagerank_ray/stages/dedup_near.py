@@ -501,9 +501,10 @@ def cross_doc_line_stats(docs_ds, id_col="doc_id", text_col="text",
 
     # lazy: the common (broadcast) path consumes this exactly once, inside
     # the count groupby — the join fallback materializes it then
+    from .taskshuffle import grouped_agg_int64
     lines = docs_ds.map_batches(_explode, batch_format="pandas")
-    counts = rename(lines.groupby("lh").aggregate(Sum("c", alias_name="n_occ")),
-                    {"sum(c)": "n_occ"})
+    counts = grouped_agg_int64(lines.select_columns(["lh", "c"]), "lh",
+                               "c", op="sum", out_val="n_occ")
     dup_hashes = counts.filter(expr="n_occ >= 2").select_columns(["lh"]) \
         .materialize()
     n_dup_hashes = dup_hashes.count()
@@ -675,9 +676,13 @@ def dup_window_stats(docs_ds, id_col="doc_id", text_col="text",
                              "wh": np.concatenate(hashes),
                              "c": np.concatenate(cnts)})
 
+    from .taskshuffle import grouped_agg_int64
     doc_wins = docs_ds.map_batches(_explode, batch_format="pandas")
-    dup = (rename(doc_wins.groupby("wh").count(), {"count()": "n_docs"})
-           .filter(expr="n_docs >= 2").select_columns(["wh"])
+    # rows are unique per (doc, wh), so the count per wh IS the distinct
+    # document count; task shuffle instead of the Dataset groupby floor
+    counts = grouped_agg_int64(doc_wins.select_columns(["wh"]), "wh",
+                               None, op="sum", out_val="n_docs")
+    dup = (counts.filter(expr="n_docs >= 2").select_columns(["wh"])
            .materialize())
     n_dup_hashes = dup.count()
 

@@ -60,8 +60,11 @@ def distinct(ds, cols: list[str], num_partitions: int | None = None):
                     a: pa.array(k >> np.int64(32), pa.int64()),
                     b: pa.array(k & np.int64(0xFFFFFFFF), pa.int64())})
 
-            deduped = (proj.map_batches(_pack, batch_format="pyarrow")
-                       .groupby("k").aggregate(Count(alias_name="_n")))
+            # task-level dedup: the Dataset groupby pays a multi-second
+            # sort-shuffle floor at any size (stages/taskshuffle.py)
+            from .taskshuffle import distinct_int64
+            deduped = distinct_int64(
+                proj.map_batches(_pack, batch_format="pyarrow"), "k")
             return deduped.map_batches(_unpack, batch_format="pyarrow")
     out = proj.groupby(cols).aggregate(Count(alias_name="_n"))
     return out.select_columns(cols)

@@ -170,11 +170,11 @@ def hll_registers(ds, key_col: str, m: int = 256):
     ``m`` must be 256 (8-bit bucket prefix of the md5 hex)."""
     if m != 256:
         raise ValueError("m=256 is the md5-hex bucketing this sketch uses")
-    from .relational import rename
+    from .taskshuffle import grouped_agg_int64
     partials = ds.map_batches(_hll_partial, batch_format="pandas",
                               fn_kwargs=dict(key_col=key_col, m=m))
-    return rename(partials.groupby("bucket").max("rho"),
-                  {"max(rho)": "rho"})
+    return grouped_agg_int64(partials, "bucket", "rho", op="max",
+                             out_val="rho")
 
 
 def hll_estimate(registers_df, m: int = 256) -> float:
@@ -254,14 +254,16 @@ def cms_registers(ds, key_col: str, depth: int = 4, width: int = 1024):
         k = np.asarray(t["k"])
         return pa.table({"d": pa.array(k // width, pa.int64()),
                          "bucket": pa.array(k % width, pa.int64()),
-                         "n": pc.cast(t["sum(n)"].combine_chunks(),
+                         "n": pc.cast(t["n"].combine_chunks(),
                                       pa.int64())})
 
+    from .taskshuffle import grouped_agg_int64
     partials = ds.map_batches(_cms_partial, batch_format="pandas",
                               fn_kwargs=dict(key_col=key_col, depth=depth,
                                              width=width))
-    merged = (partials.map_batches(_merge_key, batch_format="pyarrow")
-              .groupby("k").sum("n"))
+    merged = grouped_agg_int64(
+        partials.map_batches(_merge_key, batch_format="pyarrow"),
+        "k", "n", op="sum", out_val="n")
     return merged.map_batches(_unpack, batch_format="pyarrow")
 
 
