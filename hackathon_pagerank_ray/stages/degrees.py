@@ -11,15 +11,19 @@ from .relational import anti_join
 
 
 def out_degrees(edges_ds, src_col: str = "src"):
-    """(src, outdeg) — count per source vertex (A1)."""
-    ds = edges_ds.groupby(src_col).count()
-    return ds.rename_columns({"count()": "outdeg"})
+    """(src, outdeg) — count per source vertex (A1).  Vertex ids are
+    int64, so the count runs on the task shuffle (Dataset groupby pays
+    a multi-second floor, stages/taskshuffle.py)."""
+    from .taskshuffle import grouped_agg_int64
+    return grouped_agg_int64(edges_ds.select_columns([src_col]), src_col,
+                             None, op="sum", out_val="outdeg")
 
 
 def in_degrees(edges_ds, dst_col: str = "dst"):
     """(dst, indeg) — count per destination vertex (A4)."""
-    ds = edges_ds.groupby(dst_col).count()
-    return ds.rename_columns({"count()": "indeg"})
+    from .taskshuffle import grouped_agg_int64
+    return grouped_agg_int64(edges_ds.select_columns([dst_col]), dst_col,
+                             None, op="sum", out_val="indeg")
 
 
 def dangling_vertices(vertices_ds, edges_ds, vid_col: str = "vid",
@@ -50,17 +54,19 @@ def mutual_edge_counts(edges_ds, src_col: str = "src",
     mutual = semi_join(e, e, on=(src_col, dst_col),
                        right_on=(dst_col, src_col),
                        num_partitions=num_partitions)
-    return (mutual.groupby(src_col).count()
-            .rename_columns({"count()": "mutual_cnt"}))
+    from .taskshuffle import grouped_agg_int64
+    return grouped_agg_int64(mutual.select_columns([src_col]), src_col,
+                             None, op="sum", out_val="mutual_cnt")
 
 
 def degree_histogram(edges_ds, src_col: str = "src"):
     """(degree, n_vertices) — the out-degree distribution: two count
     shuffles, the second over at most max-degree distinct keys (power-law
     graphs: a few hundred rows regardless of graph size)."""
-    return (out_degrees(edges_ds, src_col)
-            .groupby("outdeg").count()
-            .rename_columns({"outdeg": "degree", "count()": "n_vertices"}))
+    from .taskshuffle import grouped_agg_int64
+    hist = grouped_agg_int64(out_degrees(edges_ds, src_col), "outdeg",
+                             None, op="sum", out_val="n_vertices")
+    return hist.rename_columns({"outdeg": "degree"})
 
 
 def degree_assortativity(edges_ds, num_partitions: int = 8):
