@@ -452,6 +452,25 @@ def _q_hash_sample_orders(sf_dir):
     return hash_sample(orders, key_col="o_orderkey", rate=0.1, seed=42)
 
 
+_MIX_RATES = {f"src{i}": r for i, r in
+              [(i, 1.0) for i in range(5)]
+              + [(i, 0.5) for i in range(5, 10)]
+              + [(i, 0.25) for i in range(10, 15)]
+              + [(i, 0.1) for i in range(15, 19)]}
+# src19 intentionally absent: unlisted sources drop (rate 0)
+
+
+def _q_source_mix(sf_dir):
+    """Deterministic source-proportion corpus mixing
+    (stages/sampling.mix_sources): per-source keep rates via the
+    md5-keep rule — curated sources kept whole, crawl-like sources
+    downsampled, one source dropped entirely."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.sampling import mix_sources
+    docs = _docs_ds(sf_dir, ["doc_id", "source"])
+    return mix_sources(docs, _MIX_RATES)
+
+
 def _q_hash_split_docs(sf_dir):
     """Deterministic train/holdout split tag (90/10) over documents by
     the same md5 rule (stages/sampling.hash_split)."""
@@ -1597,6 +1616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataprep_corpus": _q_dataprep_corpus,
         "hash_sample_orders": _q_hash_sample_orders,
         "hash_split_docs": _q_hash_split_docs,
+        "source_mix": _q_source_mix,
         "price_quantiles": _q_price_quantiles,
         "props_k_stats": _q_props_k_stats,
         "cross_doc_lines": _q_cross_doc_lines,
@@ -2597,6 +2617,23 @@ FROM q WHERE n_tokens >= 5 AND stopword_ratio >= 0.05
             "substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8) "
             "< 'e6666666' THEN 'train' ELSE 'holdout' END AS split "
             "FROM documents",
+        # source-proportion mixing (stages/sampling.mix_sources): the
+        # same md5-keep rule per source; rate-1.0 sources keep all,
+        # unlisted sources drop
+        "source_mix":
+            "SELECT doc_id, source FROM documents WHERE "
+            "CASE WHEN source IN ('src0','src1','src2','src3','src4') "
+            "THEN TRUE "
+            "WHEN source IN ('src5','src6','src7','src8','src9') THEN "
+            "substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '80000000' "
+            "WHEN source IN ('src10','src11','src12','src13','src14') "
+            "THEN substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '40000000' "
+            "WHEN source IN ('src15','src16','src17','src18') THEN "
+            "substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) "
+            "< '19999999' "
+            "ELSE FALSE END",
         # JSON field extraction + aggregate (stages/events.
         # json_field_int64): COUNT(json_extract(..)) counts non-null
         # extractions, matching the engine's drop-invalid semantics

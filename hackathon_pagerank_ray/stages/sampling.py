@@ -96,6 +96,33 @@ def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
     return ds.map_batches(_tag, batch_format="pandas")
 
 
+def mix_sources(ds, rates: dict, source_col: str = "source",
+                key_col: str = "doc_id", seed: int = 11):
+    """Deterministic source-proportion mixing — the corpus-assembly step
+    of an LLM data pipeline (upweight curated sources, downsample the
+    crawl): keep each row with its source's rate via the module's
+    md5-keep rule, so the mix is key-stable across retries and
+    re-partitionings and reproducible in SQL.
+
+    ``rates`` maps source value → keep rate; sources not listed drop
+    (rate 0), rates ≥ 1.0 keep everything.  A pure per-batch filter —
+    no shuffle, no driver state.  SQL twin (rates < 1):
+    ``substr(md5('{seed}:' || key), 1, 8) < CASE source ... END``.
+    """
+    thr = {s: int(rate_threshold_hex(min(r, 1.0)), 16)
+           if r < 1.0 else (1 << 32) for s, r in rates.items()}
+
+    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
+        if not len(batch):
+            return batch
+        h = _bucket32(seed, batch[key_col].to_numpy())
+        t = (batch[source_col].map(thr).fillna(0)
+             .to_numpy(dtype=np.int64))
+        return batch[h < t]
+
+    return ds.map_batches(_keep, batch_format="pandas")
+
+
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
                       seed=42):
     """Keep the ``n_per_key`` rows per key with the smallest

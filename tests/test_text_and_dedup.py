@@ -578,6 +578,31 @@ def test_hash_split_consistent_with_sample_rule():
     assert 0.8 < len(train) / 1000 < 0.97
 
 
+def test_mix_sources_rates_and_consistency():
+    """Per-source keep rule == hash_sample at the same rate/seed; rate-1
+    sources keep all rows, unlisted sources drop entirely."""
+    from hackathon_pagerank_ray.stages import sampling as SP
+    n = 3000
+    tbl = pa.Table.from_pydict({
+        "doc_id": list(range(n)),
+        "source": [f"s{i % 3}" for i in range(n)]})
+    ds = rd.from_arrow(tbl)
+    out = SP.mix_sources(ds, {"s0": 1.0, "s1": 0.3}, seed=5).to_pandas()
+    by = {s: set(g["doc_id"]) for s, g in out.groupby("source")}
+    assert len(by.get("s0", ())) == n // 3          # rate 1.0: all kept
+    assert "s2" not in by                           # unlisted: dropped
+    # s1 keeps must equal the plain hash_sample rule at the same rate
+    s1_all = rd.from_arrow(tbl.filter(
+        pa.compute.equal(tbl["source"], "s1")))
+    kept = set(SP.hash_sample(s1_all, "doc_id", 0.3,
+                              seed=5).to_pandas()["doc_id"])
+    assert by.get("s1", set()) == kept
+    # re-partitioning must not change the mix
+    out2 = SP.mix_sources(rd.from_arrow(tbl).repartition(7),
+                          {"s0": 1.0, "s1": 0.3}, seed=5).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
 def test_histogram_quantiles_exact_discrete_rule():
     """Quantile = lower edge of the first bin whose cumulative count
     reaches ceil(q*n); NaNs dropped; empty input -> NaN values."""

@@ -40,6 +40,19 @@ RAY_ADDRESS=127.0.0.1:6379 python tools/ray_job_pagerank.py \
   --edges "$EDGES" --out "$WORK/ranks_two_node" \
   --checkpoint-dir "$WORK/ckpt" --gather-mode auto --mesh 8 \
   | tee "$WORK/two_node.json"
+
+# mid-iteration resume on the same two-raylet topology (north rule:
+# "jobs resume mid-iteration after failure"): a fresh submission that
+# stops after 5 sweeps stands in for the failed job; the resubmission
+# resumes from its checkpoints and must converge to the identical ranks
+RAY_ADDRESS=127.0.0.1:6379 python tools/ray_job_pagerank.py \
+  --edges "$EDGES" --out "$WORK/ranks_partial" \
+  --checkpoint-dir "$WORK/ckpt_resume" --max-iter 5 --mesh 8 \
+  > "$WORK/partial.json"
+RAY_ADDRESS=127.0.0.1:6379 python tools/ray_job_pagerank.py \
+  --edges "$EDGES" --out "$WORK/ranks_resumed" \
+  --checkpoint-dir "$WORK/ckpt_resume" --resume --mesh 8 \
+  | tee "$WORK/resumed.json"
 cleanup
 
 # single-node reference run (full gather) on the same input
@@ -62,5 +75,11 @@ assert len(a) == len(b)
 diff = np.abs(a["rank"].to_numpy() - b["rank"].to_numpy()).max()
 print(f"two-node vs single-node max |diff| = {diff:.3e} over {len(a)} vids")
 assert diff < 1e-9, diff
-print("REHEARSAL OK: subscribe gather crossed a raylet boundary with parity")
+res = json.loads(open(f"{w}/resumed.json").read().strip().splitlines()[-1])
+assert res["converged"], "resumed job must converge"
+c = pq.read_table(f"{w}/ranks_resumed").to_pandas().sort_values("vid")
+rdiff = np.abs(a["rank"].to_numpy() - c["rank"].to_numpy()).max()
+print(f"resumed-from-sweep-5 vs uninterrupted max |diff| = {rdiff:.3e}")
+assert rdiff < 1e-12, rdiff
+print("REHEARSAL OK: cross-raylet subscribe parity + mid-iteration resume")
 EOF
