@@ -60,6 +60,32 @@ def _vid_registers(vids: np.ndarray, m: int):
     return buckets, rhos
 
 
+def _merge_state(ds, m: int):
+    """Register-max merge of a (vid, bucket, rho) table via the task
+    shuffle: key = ``vid << 8 | bucket`` (bucket < 256 always), op=max —
+    replaces the multi-column Dataset groupby (see
+    stages/taskshuffle.py for the measured floor)."""
+    from ..stages.taskshuffle import grouped_agg_int64
+
+    def _pack(t: pa.Table) -> pa.Table:
+        k = ((np.asarray(t["vid"], dtype=np.int64) << np.int64(8))
+             | np.asarray(t["bucket"], dtype=np.int64))
+        return pa.table({"k": pa.array(k, pa.int64()),
+                         "rho": t["rho"].combine_chunks()})
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["k"], dtype=np.int64)
+        return pa.table({
+            "vid": pa.array(k >> np.int64(8), pa.int64()),
+            "bucket": pa.array(k & np.int64(0xFF), pa.int64()),
+            "rho": t["rho"].combine_chunks().cast(pa.int64())
+            if isinstance(t["rho"], pa.ChunkedArray) else t["rho"]})
+
+    merged = grouped_agg_int64(ds.map_batches(_pack, batch_format="pyarrow"),
+                               "k", "rho", op="max", out_val="rho")
+    return merged.map_batches(_unpack, batch_format="pyarrow")
+
+
 def _vertex_estimates(state, m: int):
     """Per-vertex (vid, est, rsum) as a Dataset — no driver pull of the
     register table; summing it gives the sweep scalars in one execution.
@@ -219,9 +245,8 @@ def neighborhood_function(edges_ds, num_partitions: int = 8, m: int = 16,
             [pa.concat_arrays([t["u"].combine_chunks(),
                                t["v"].combine_chunks()])], names=["u"]),
         batch_format="pyarrow")
-    state = (verts.map_batches(_init, batch_format="pyarrow")
-             .groupby(["vid", "bucket"]).max("rho"))
-    state = rename(state, {"max(rho)": "rho"}).materialize()
+    state = _merge_state(
+        verts.map_batches(_init, batch_format="pyarrow"), m).materialize()
 
     est0, last_sig = _sweep_stats(state, m)
     nf = [(0, est0)]
@@ -237,9 +262,8 @@ def neighborhood_function(edges_ds, num_partitions: int = 8, m: int = 16,
                  tb["rho"].combine_chunks().cast(pa.int64())],
                 names=["vid", "bucket", "rho"]),
             batch_format="pyarrow")
-        merged = (state.union(drop_empty_blocks(shipped))
-                  .groupby(["vid", "bucket"]).max("rho"))
-        state = rename(merged, {"max(rho)": "rho"}).materialize()
+        state = _merge_state(
+            state.union(drop_empty_blocks(shipped)), m).materialize()
         est, sig = _sweep_stats(state, m)
         nf.append((t, est))
         if sig == last_sig:              # exact fixpoint: no register grew
@@ -362,9 +386,8 @@ def harmonic_centrality(edges_ds, num_partitions: int = 8, m: int = 16,
             [pa.concat_arrays([t["u"].combine_chunks(),
                                t["v"].combine_chunks()])], names=["u"]),
         batch_format="pyarrow")
-    state = (verts.map_batches(_init, batch_format="pyarrow")
-             .groupby(["vid", "bucket"]).max("rho"))
-    state = rename(state, {"max(rho)": "rho"}).materialize()
+    state = _merge_state(
+        verts.map_batches(_init, batch_format="pyarrow"), m).materialize()
 
     # cent carries (vid, h, prev) — prev = |B(u, t-1)| estimate
     est0 = _vertex_estimates(state, m)
@@ -386,9 +409,8 @@ def harmonic_centrality(edges_ds, num_partitions: int = 8, m: int = 16,
                  tb["rho"].combine_chunks().cast(pa.int64())],
                 names=["vid", "bucket", "rho"]),
             batch_format="pyarrow")
-        merged = (state.union(drop_empty_blocks(shipped))
-                  .groupby(["vid", "bucket"]).max("rho"))
-        state = rename(merged, {"max(rho)": "rho"}).materialize()
+        state = _merge_state(
+            state.union(drop_empty_blocks(shipped)), m).materialize()
         est = _vertex_estimates(state, m).materialize()
         sig = int(est.sum("rsum") or 0)
         if sig == last_sig:
