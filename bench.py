@@ -295,9 +295,13 @@ def _cpu_calibration(lo: int, hi: int) -> dict:
             "print(time.perf_counter()-t)")
 
     def _run_n(n: int) -> float:
+        # one DISTINCT core per process: a shared 0..n-1 mask lets CFS
+        # co-schedule two streams on one core while another idles, which
+        # inflates per-proc time with migration noise and overstates the
+        # ceiling the scaling numbers are normalized by
         procs = [subprocess.Popen(
-            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", burn],
-            stdout=subprocess.PIPE, text=True) for _ in range(n)]
+            ["taskset", "-c", str(i), sys.executable, "-c", burn],
+            stdout=subprocess.PIPE, text=True) for i in range(n)]
         times = [float(p.communicate()[0].strip()) for p in procs]
         return sum(times) / len(times)
 
@@ -325,9 +329,13 @@ def _mem_bandwidth_calibration(lo: int, hi: int) -> dict:
             "print(time.perf_counter() - t)")
 
     def _run_n(n: int) -> float:
+        # one DISTINCT core per process: a shared 0..n-1 mask lets CFS
+        # co-schedule two streams on one core while another idles, which
+        # inflates per-proc time with migration noise and overstates the
+        # ceiling the scaling numbers are normalized by
         procs = [subprocess.Popen(
-            ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", burn],
-            stdout=subprocess.PIPE, text=True) for _ in range(n)]
+            ["taskset", "-c", str(i), sys.executable, "-c", burn],
+            stdout=subprocess.PIPE, text=True) for i in range(n)]
         times = [float(p.communicate()[0].strip()) for p in procs]
         return sum(times) / len(times)
 

@@ -68,8 +68,17 @@ def _merge_state(ds, m: int):
     from ..stages.taskshuffle import grouped_agg_int64
 
     def _pack(t: pa.Table) -> pa.Table:
-        k = ((np.asarray(t["vid"], dtype=np.int64) << np.int64(8))
-             | np.asarray(t["bucket"], dtype=np.int64))
+        vid = np.asarray(t["vid"], dtype=np.int64)
+        # packed-key bound: vid << 8 wraps silently for |vid| >= 2^55
+        # and would max-merge two different vertices' registers (same
+        # convention as relational.distinct / deterministic_shuffle:
+        # fail loudly, never corrupt).  64-bit-hash vertex ids must be
+        # densified before the HyperBall entry points.
+        if len(vid) and (vid.min() < -(2 ** 55) or vid.max() >= 2 ** 55):
+            raise ValueError(
+                "hyperball: vertex ids must be in [-2^55, 2^55) to pack "
+                "with the 8-bit bucket; densify ids first")
+        k = (vid << np.int64(8)) | np.asarray(t["bucket"], dtype=np.int64)
         return pa.table({"k": pa.array(k, pa.int64()),
                          "rho": t["rho"].combine_chunks()})
 

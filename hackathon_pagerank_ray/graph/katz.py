@@ -63,15 +63,20 @@ def katz_dataset(edges_ds, inv_alpha: int = 20, sweeps: int = 8,
     # (spectral radius)^t, and an int64 wrap inside the groupby sum is
     # SILENT (numpy/Arrow wrap; the DuckDB twin's HUGEINT would raise) —
     # so the engine and oracle would silently diverge.  One in-degree
-    # max over the distinct edges (≈1/sweeps extra cost) lets each sweep
-    # check the analytic bound y_next ≤ inv_alpha^(t+1) + max_indeg·max(y)
-    # in exact Python ints before the sum that could wrap.
-    max_indeg = (e.select_columns(["dst"]).groupby("dst").count()
-                 .max("count()")) or 0
+    # max (via the task shuffle — the Dataset groupby pays a multi-
+    # second floor, stages/taskshuffle.py) seeds the analytic running
+    # bound B_t: B_0 = 1, B_{t+1} = inv_alpha^(t+1) + max_indeg·B_t ≥
+    # max(y_{t+1}), checked in exact Python ints before each sweep's
+    # sum — no per-sweep re-aggregation of x.
+    from ..stages.taskshuffle import grouped_agg_int64
+    max_indeg = int(grouped_agg_int64(
+        e.select_columns(["dst"]), "dst", None, op="sum",
+        out_val="n").max("n") or 0)
 
+    y_bound = 1                 # = max(y_0)
     for t_sweep in range(1, sweeps + 1):
-        bound_next = (inv_alpha ** t_sweep
-                      + int(max_indeg) * int(x.max("y") or 0))
+        bound_next = inv_alpha ** t_sweep + max_indeg * y_bound
+        y_bound = bound_next
         if bound_next >= 2 ** 63:
             raise OverflowError(
                 f"katz_dataset: sweep {t_sweep} could overflow int64 "

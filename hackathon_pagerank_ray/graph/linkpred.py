@@ -199,6 +199,44 @@ def _decode_fresh(merged, lay_ref, out_col: str):
     return merged.map_batches(_decode, batch_format="pyarrow")
 
 
+def _small_gate(edges_ds, mode: str, cap: int | None,
+                small_threshold: int):
+    """The (materialize, row-count ≤ threshold, max-id < 2^31) gate
+    shared by the three ``*_topk`` entry points — ONE copy so the
+    packing bound and threshold semantics can't drift between them.
+
+    Returns ``(edges_ds, use_small, merged, lay)``: ``use_small`` False
+    → run the distributed wedge-join plan; ``use_small`` True with
+    ``merged`` None → empty graph (caller returns its typed empty
+    table)."""
+    edges_ds = edges_ds.materialize()
+    n = edges_ds.count()
+    if n <= small_threshold:
+        mx = edges_ds.max(["src", "dst"]) if n else None
+        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
+        if max_id < 2 ** 31:
+            merged, lay = _pair_scores_parallel(edges_ds, mode, cap=cap)
+            return edges_ds, True, merged, lay
+    return edges_ds, False, None, None
+
+
+def _empty_pairs(out_col: str, typ: pa.DataType):
+    import ray
+    return ray.data.from_arrow(pa.table({
+        "u": pa.array([], pa.int64()),
+        "v": pa.array([], pa.int64()),
+        out_col: pa.array([], typ)}))
+
+
+def _symmetrize(t: pa.Table) -> pa.Table:
+    """(u, v) canonical edges → both-direction (a=center, b=neighbor)."""
+    u = t["u"].combine_chunks()
+    v = t["v"].combine_chunks()
+    return pa.Table.from_arrays(
+        [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
+        names=["a", "b"])
+
+
 def common_neighbors_topk(edges_ds, k: int = 50, num_partitions: int = 16,
                           max_center_degree: int | None = None,
                           small_threshold: int = 2_000_000):
@@ -214,33 +252,16 @@ def common_neighbors_topk(edges_ds, k: int = 50, num_partitions: int = 16,
     groupby); the wedge-join plan below is the shape past the broadcast
     memory bound.
     """
-    import ray
-
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
-        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
-        if max_id < 2 ** 31:
-            merged, lay = _pair_scores_parallel(edges_ds, "cn",
-                                                cap=max_center_degree)
-            if merged is None:
-                return ray.data.from_arrow(pa.table({
-                    "u": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.int64()),
-                    "common_neighbors": pa.array([], pa.int64())}))
-            fresh = _decode_fresh(merged, lay, "common_neighbors")
-            return topk(fresh, ["common_neighbors", "u", "v"], k,
-                        descending=[True, False, False])
+    edges_ds, small, merged, lay = _small_gate(
+        edges_ds, "cn", max_center_degree, small_threshold)
+    if small:
+        if merged is None:
+            return _empty_pairs("common_neighbors", pa.int64())
+        fresh = _decode_fresh(merged, lay, "common_neighbors")
+        return topk(fresh, ["common_neighbors", "u", "v"], k,
+                    descending=[True, False, False])
     und = canonical_undirected(edges_ds, num_partitions).materialize()
-
-    def _both(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks()
-        v = t["v"].combine_chunks()
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
-            names=["a", "b"])
-
-    nbr = und.map_batches(_both, batch_format="pyarrow")
+    nbr = und.map_batches(_symmetrize, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         b = np.sort(g["b"].to_numpy())
@@ -281,43 +302,27 @@ def adamic_adar_topk(edges_ds, k: int = 50, num_partitions: int = 16,
     Σ_center 1/ln(deg(center)) — common neighbors weighted down by how
     promiscuous they are.  Same adaptive shape and partitioning keys as
     :func:`common_neighbors_topk`."""
-    import ray
+    edges_ds, small, merged, lay = _small_gate(
+        edges_ds, "aa", None, small_threshold)
+    if small:
+        if merged is None:
+            return _empty_pairs("aa_score", pa.float64())
+        fresh = _decode_fresh(merged, lay, "s")
+        top = topk(fresh, ["s", "u", "v"], k,
+                   descending=[True, False, False])
 
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
-        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
-        if max_id < 2 ** 31:
-            merged, lay = _pair_scores_parallel(edges_ds, "aa")
-            if merged is None:
-                return ray.data.from_arrow(pa.table({
-                    "u": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.int64()),
-                    "aa_score": pa.array([], pa.float64())}))
-            fresh = _decode_fresh(merged, lay, "s")
-            top = topk(fresh, ["s", "u", "v"], k,
-                       descending=[True, False, False])
+        def _score(t: pa.Table) -> pa.Table:
+            sc = pc.divide(pc.cast(t["s"], pa.float64()),
+                           pa.scalar(_AA_SCALE))
+            return pa.table({
+                "u": t["u"].combine_chunks(),
+                "v": t["v"].combine_chunks(),
+                "aa_score": sc.combine_chunks()
+                if isinstance(sc, pa.ChunkedArray) else sc})
 
-            def _score(t: pa.Table) -> pa.Table:
-                sc = pc.divide(pc.cast(t["s"], pa.float64()),
-                               pa.scalar(_AA_SCALE))
-                return pa.table({
-                    "u": t["u"].combine_chunks(),
-                    "v": t["v"].combine_chunks(),
-                    "aa_score": sc.combine_chunks()
-                    if isinstance(sc, pa.ChunkedArray) else sc})
-
-            return top.map_batches(_score, batch_format="pyarrow")
+        return top.map_batches(_score, batch_format="pyarrow")
     und = canonical_undirected(edges_ds, num_partitions).materialize()
-
-    def _both(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks()
-        v = t["v"].combine_chunks()
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
-            names=["a", "b"])
-
-    nbr = und.map_batches(_both, batch_format="pyarrow")
+    nbr = und.map_batches(_symmetrize, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         b = np.sort(g["b"].to_numpy())
@@ -365,52 +370,38 @@ def jaccard_topk(edges_ds, k: int = 50, num_partitions: int = 16,
 
     from .triangles import undirected_degrees
 
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
-        max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
-        if max_id < 2 ** 31:
-            merged, lay = _pair_scores_parallel(edges_ds, "cn",
-                                                cap=max_center_degree)
-            if merged is None:
-                return ray.data.from_arrow(pa.table({
-                    "u": pa.array([], pa.int64()),
-                    "v": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64())}))
-            fresh = _decode_fresh(merged, lay, "cn")
-            lay_ref = lay
+    edges_ds, small, merged, lay = _small_gate(
+        edges_ds, "cn", max_center_degree, small_threshold)
+    if small:
+        if merged is None:
+            return _empty_pairs("jaccard", pa.float64())
+        fresh = _decode_fresh(merged, lay, "cn")
+        lay_ref = lay
 
-            def _jac_small(t: pa.Table) -> pa.Table:
-                layv = ray.get(lay_ref)
-                centers, lens = layv[1], layv[4]
-                u = np.asarray(t["u"], dtype=np.int64)
-                v = np.asarray(t["v"], dtype=np.int64)
-                cn = np.asarray(t["cn"], dtype=np.int64)
-                # every pair endpoint has >= 1 neighbor, so it IS a center
-                du = lens[np.searchsorted(centers, u)]
-                dv = lens[np.searchsorted(centers, v)]
-                # one double division of exact ints (same op as the
-                # distributed plan and the SQL twin)
-                jac = cn.astype(np.float64) / (du + dv - cn)
-                return pa.table({"u": pa.array(u, pa.int64()),
-                                 "v": pa.array(v, pa.int64()),
-                                 "jaccard": pa.array(jac, pa.float64())})
+        def _jac_small(t: pa.Table) -> pa.Table:
+            layv = ray.get(lay_ref)
+            centers, lens = layv[1], layv[4]
+            u = np.asarray(t["u"], dtype=np.int64)
+            v = np.asarray(t["v"], dtype=np.int64)
+            cn = np.asarray(t["cn"], dtype=np.int64)
+            # every pair endpoint has >= 1 neighbor, so it IS a center
+            du = lens[np.searchsorted(centers, u)]
+            dv = lens[np.searchsorted(centers, v)]
+            # one double division of exact ints (same op as the
+            # distributed plan and the SQL twin)
+            jac = cn.astype(np.float64) / (du + dv - cn)
+            return pa.table({"u": pa.array(u, pa.int64()),
+                             "v": pa.array(v, pa.int64()),
+                             "jaccard": pa.array(jac, pa.float64())})
 
-            scored = fresh.map_batches(_jac_small, batch_format="pyarrow")
-            return topk(scored, ["jaccard", "u", "v"], k,
-                        descending=[True, False, False])
+        scored = fresh.map_batches(_jac_small, batch_format="pyarrow")
+        return topk(scored, ["jaccard", "u", "v"], k,
+                    descending=[True, False, False])
 
     und = canonical_undirected(edges_ds, num_partitions).materialize()
     deg = drop_empty_blocks(undirected_degrees(und))
 
-    def _both(t: pa.Table) -> pa.Table:
-        u = t["u"].combine_chunks()
-        v = t["v"].combine_chunks()
-        return pa.Table.from_arrays(
-            [pa.concat_arrays([u, v]), pa.concat_arrays([v, u])],
-            names=["a", "b"])
-
-    nbr = und.map_batches(_both, batch_format="pyarrow")
+    nbr = und.map_batches(_symmetrize, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         b = np.sort(g["b"].to_numpy())

@@ -26,23 +26,24 @@ def distinct(ds, cols: list[str], num_partitions: int | None = None):
     """
     import numpy as np
     import pyarrow as pa
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Max, Min
 
     proj = ds.select_columns(cols)
     if len(cols) == 2:
         proj = proj.materialize()
         packable = False
         try:
-            if proj.count():
-                mn = proj.min(cols)
-                mx = proj.max(cols)
-                a, b = cols
+            a, b = cols
+            # ONE aggregation execution for the bound check (count +
+            # both mins + both maxes), not three driver round-trips
+            agg = proj.aggregate(Count(), Min(a), Min(b), Max(a), Max(b))
+            if agg and agg.get("count()"):
                 packable = (
-                    isinstance(mn[f"min({a})"], (int, np.integer))
-                    and isinstance(mn[f"min({b})"], (int, np.integer))
-                    and mn[f"min({a})"] >= 0 and mn[f"min({b})"] >= 0
-                    and mx[f"max({a})"] < 2 ** 31
-                    and mx[f"max({b})"] < 2 ** 32)
+                    isinstance(agg[f"min({a})"], (int, np.integer))
+                    and isinstance(agg[f"min({b})"], (int, np.integer))
+                    and agg[f"min({a})"] >= 0 and agg[f"min({b})"] >= 0
+                    and agg[f"max({a})"] < 2 ** 31
+                    and agg[f"max({b})"] < 2 ** 32)
         except Exception:
             packable = False
         if packable:
@@ -90,8 +91,17 @@ def topk(ds, keys, k: int, descending=True):
     def _partial(df):
         if len(df) <= k:
             return df
-        return df.sort_values(keys_l, ascending=[not d for d in desc],
-                              kind="mergesort").head(k)
+        # NaN-key rows pass through untouched: pandas sorts NaN last
+        # regardless of direction, so head(k) would drop them in large
+        # blocks but keep them in ≤k-row blocks — layout-dependent
+        # output.  Forwarding them keeps the pre-filter a pure superset
+        # of the global top-k and leaves NaN placement to the one
+        # global sort, same as the plain sort+limit it replaces.
+        na = df[keys_l].isna().any(axis=1)
+        top = (df[~na].sort_values(keys_l,
+                                   ascending=[not d for d in desc],
+                                   kind="mergesort").head(k))
+        return pd.concat([top, df[na]]) if na.any() else top
 
     pre = ds.map_batches(_partial, batch_format="pandas")
     return pre.sort(keys, descending=descending).limit(k)

@@ -37,7 +37,20 @@ def _combine(k: np.ndarray, v: np.ndarray, op: str):
         agg = np.full(len(uniq), np.iinfo(np.int64).min, dtype=np.int64)
         np.maximum.at(agg, inv, v)
     else:                       # "sum" (count = sum of ones)
-        agg = np.bincount(inv, weights=v).astype(np.int64)
+        # float64-weighted bincount is exact only while the running
+        # |sum| stays under 2^53 — above that it silently rounds int64
+        # values (e.g. 2^53 + 1 -> 2^53).  A cheap float bound picks the
+        # fast path; otherwise sort by group and reduce in int64, which
+        # is order-independent and bit-identical to the SQL sum.
+        if len(v) == 0:
+            agg = np.zeros(0, dtype=np.int64)
+        elif np.abs(v.astype(np.float64)).sum() < 2.0 ** 52:
+            agg = np.bincount(inv, weights=v).astype(np.int64)
+        else:
+            order = np.argsort(inv, kind="stable")
+            starts = np.concatenate(
+                ([0], np.flatnonzero(np.diff(inv[order])) + 1))
+            agg = np.add.reduceat(v[order], starts)
     return uniq, agg
 
 

@@ -45,6 +45,17 @@ def test_grouped_max_and_count_parity():
     pd.testing.assert_frame_equal(cnt, refc, check_dtype=False)
 
 
+def test_grouped_sum_exact_beyond_2_53():
+    # float64-weighted bincount rounds 2**53 + 1 to 2**53; the combine
+    # must take the exact int64 path for large magnitudes.
+    k = np.array([1, 1, 2, 2, 3], dtype=np.int64)
+    v = np.array([2**53, 1, -(2**60), 2**60 + 7, 2**62], dtype=np.int64)
+    ds = rd.from_arrow(pa.table({"k": k, "v": v})).repartition(2)
+    out = (grouped_agg_int64(ds, "k", "v", op="sum").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out["agg"].tolist() == [2**53 + 1, 7, 2**62]
+
+
 def test_distinct_and_empty():
     k, _, ds = _fixture(seed=7)
     d = distinct_int64(ds, "k").to_pandas()
