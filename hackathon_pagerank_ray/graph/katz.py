@@ -32,6 +32,7 @@ Katz extends the same centrality surface (SURVEY.md §2 G-family).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -41,11 +42,82 @@ from ..stages.schema_util import drop_empty_blocks, enforce_schema
 _Y = pa.schema([pa.field("vid", pa.int64()), pa.field("y", pa.int64())])
 
 
+def _overflow_check(t_sweep: int, inv_alpha: int, max_indeg: int,
+                    y_bound: int) -> int:
+    """Analytic running bound B_t = inv_alpha^t + max_indeg·B_{t-1} ≥
+    max(y_t), checked in exact Python ints BEFORE the sweep's sum — a
+    wrap inside the int64 sum would be silent in numpy/Arrow."""
+    bound_next = inv_alpha ** t_sweep + max_indeg * y_bound
+    if bound_next >= 2 ** 63:
+        raise OverflowError(
+            f"katz_dataset: sweep {t_sweep} could overflow int64 "
+            f"(bound {bound_next:.3e} ≥ 2^63 with max in-degree "
+            f"{max_indeg}); reduce sweeps or raise inv_alpha")
+    return bound_next
+
+
+def _katz_small(e, inv_alpha: int, sweeps: int):
+    """Small path: the distinct edge table fits one worker task, so the
+    exact integer sweeps run over an in-task CSR — same recurrence,
+    same overflow guard, bit-identical final division as the Dataset
+    plan, but 2 task waves instead of ~3·sweeps Dataset exchanges
+    (the sf0.01 conformance run spent 25 s on exchange floors)."""
+    import ray
+
+    refs = e.to_arrow_refs()
+
+    @ray.remote
+    def _solve(*parts):
+        parts = [p if isinstance(p, pa.Table)
+                 else pa.Table.from_pandas(p, preserve_index=False)
+                 for p in parts]
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "katz": pa.array([], pa.float64())})
+        tbl = pa.concat_tables(parts)
+        src = tbl["src"].to_numpy(zero_copy_only=False).astype(np.int64)
+        dst = tbl["dst"].to_numpy(zero_copy_only=False).astype(np.int64)
+        verts = np.unique(np.concatenate([src, dst]))
+        s = np.searchsorted(verts, src)
+        d = np.searchsorted(verts, dst)
+        order = np.argsort(d, kind="stable")
+        s, d = s[order], d[order]
+        starts = np.flatnonzero(np.r_[True, d[1:] != d[:-1]])
+        dgrp = d[starts]
+        indeg = np.diff(np.r_[starts, len(d)])
+        max_indeg = int(indeg.max()) if len(indeg) else 0
+        y = np.ones(len(verts), dtype=np.int64)
+        y_bound = 1
+        for t_sweep in range(1, sweeps + 1):
+            y_bound = _overflow_check(t_sweep, inv_alpha, max_indeg,
+                                      y_bound)
+            # int64 reduceat: exact (order-independent) group sums
+            gathered = np.add.reduceat(y[s], starts)
+            y_new = np.full(len(verts), inv_alpha ** t_sweep,
+                            dtype=np.int64)
+            y_new[dgrp] += gathered
+            y = y_new
+        katz = y.astype(np.float64) / float(inv_alpha ** sweeps)
+        return pa.table({"vid": pa.array(verts, pa.int64()),
+                         "katz": pa.array(katz, pa.float64())})
+
+    return ray.data.from_arrow_refs([_solve.remote(*refs)])
+
+
 def katz_dataset(edges_ds, inv_alpha: int = 20, sweeps: int = 8,
-                 num_partitions: int = 8):
-    """(vid, katz) for every vertex of the distinct edge graph."""
+                 num_partitions: int = 8,
+                 small_threshold: int = 2_000_000):
+    """(vid, katz) for every vertex of the distinct edge graph.
+
+    Adaptive like the other centrality ops: distinct edge tables under
+    ``small_threshold`` rows solve in one worker task
+    (:func:`_katz_small`); the streaming Dataset plan below is the
+    shape past the single-task memory bound."""
     e = drop_empty_blocks(distinct(edges_ds, ["src", "dst"],
-                                   num_partitions))
+                                   num_partitions)).materialize()
+    if e.count() <= small_threshold:
+        return _katz_small(e, inv_alpha, sweeps)
 
     verts = drop_empty_blocks(
         e.select_columns(["src"]).rename_columns({"src": "vid"})
@@ -75,13 +147,7 @@ def katz_dataset(edges_ds, inv_alpha: int = 20, sweeps: int = 8,
 
     y_bound = 1                 # = max(y_0)
     for t_sweep in range(1, sweeps + 1):
-        bound_next = inv_alpha ** t_sweep + max_indeg * y_bound
-        y_bound = bound_next
-        if bound_next >= 2 ** 63:
-            raise OverflowError(
-                f"katz_dataset: sweep {t_sweep} could overflow int64 "
-                f"(bound {bound_next:.3e} ≥ 2^63 with max in-degree "
-                f"{max_indeg}); reduce sweeps or raise inv_alpha")
+        y_bound = _overflow_check(t_sweep, inv_alpha, max_indeg, y_bound)
         j = inner_join(e, enforce_schema(x, _Y), on="src", right_on="vid",
                        num_partitions=num_partitions)
         gathered = (j.select_columns(["dst", "y"])

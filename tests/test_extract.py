@@ -253,3 +253,68 @@ def test_edge_case_goldens():
         assert text == want_text, f"{name}: {text!r} != {want_text!r}"
         got_paths = [l.replace("https://www.ex.org", "") for l in links]
         assert got_paths == want_paths, f"{name}: links {got_paths}"
+
+
+# -- edge-case goldens (round 3, second family) ------------------------------
+# Behaviours verified directly against the stdlib html.parser tokenizer
+# (which bs4's "html.parser" builder wraps, so tokenization is shared):
+#   B13 XHTML self-closing syntax on a non-void tag ("<div/>") is a
+#       startendtag — an EMPTY element, not an open scope
+#   B14 tag and attribute NAMES lowercase, but attribute VALUES keep
+#       case — so class=CONTENT does NOT match the .content selector
+#       (CSS class matching is case-sensitive) and extraction falls
+#       back to full-body
+#   B15 entities in attribute values decode (convert_charrefs applies
+#       to attributes too): href="/x?a=1&amp;b=2" yields "&" in the link
+#   B16 numeric charref edge cases per the HTML5 tokenizer rules the
+#       stdlib implements: out-of-range (> 0x10FFFF) -> U+FFFD;
+#       C1-control range (&#150;) remaps via windows-1252 (en dash)
+#   B17 "<! bogus >" is a bogus comment (dropped); the abrupt "<!-->"
+#       does NOT tokenize as a comment in the stdlib parser — it stays
+#       literal text (verified; bs4/html.parser shares this tokenizer)
+#   B18 <textarea>/<title> get no RCDATA treatment in html.parser (only
+#       script/style are CDATA, B5): markup inside them parses normally
+#       and their text IS extracted (title sits in <head>, dropped by
+#       the body selection instead)
+EDGE_GOLDENS_2 = [
+    ("selfclosing_nonvoid_div",                                   # B13
+     "<html><body><div/>a<span/>b</body></html>",
+     "a b", []),
+    ("uppercase_names_value_case_kept",                           # B14
+     "<HTML><BODY><DIV CLASS=CONTENT>Up</DIV><A HREF='/U'>u</A>"
+     "</BODY></HTML>",
+     "Up u", ["/U"]),
+    ("entity_decoded_in_href",                                    # B15
+     "<html><body><a href='/x?a=1&amp;b=2'>l</a>t</body></html>",
+     "l t", ["/x?a=1&b=2"]),
+    ("charref_out_of_range_is_fffd",                              # B16
+     "<html><body>a&#x110000;b &#1500000;c</body></html>",
+     "a�b �c", []),
+    ("charref_c1_windows1252_remap",                              # B16
+     "<html><body>x&#150;y &#146;z</body></html>",
+     "x–y ’z", []),
+    ("bogus_comment_and_abrupt_close",                            # B17
+     "<html><body>a<! bogus >b<!-->c</body></html>",
+     "a b<!-->c", []),
+    ("textarea_not_rcdata",                                       # B18
+     "<html><body><textarea><p>not parsed</p></textarea>d"
+     "</body></html>",
+     "not parsed d", []),
+    ("title_outside_body_dropped",                                # B18
+     "<html><head><title>T</title></head><body>e</body></html>",
+     "e", []),
+    ("void_br_both_syntaxes",                                     # B13
+     "<html><body>f<br>g<br/>h</body></html>",
+     "f g h", []),
+    ("comment_with_inner_dashes",                                 # B7
+     "<html><body>i<!-- a -- b -->j</body></html>",
+     "i j", []),
+]
+
+
+def test_edge_case_goldens_2():
+    for name, html, want_text, want_paths in EDGE_GOLDENS_2:
+        _, text, links, _ = parse_page(html, "https://www.ex.org/p")
+        assert text == want_text, f"{name}: {text!r} != {want_text!r}"
+        got_paths = [l.replace("https://www.ex.org", "") for l in links]
+        assert got_paths == want_paths, f"{name}: links {got_paths}"

@@ -944,6 +944,13 @@ def test_katz_matches_numpy_replay():
     indeg0 = set(verts) - set(e[:, 1].tolist())
     for v in indeg0:
         assert out.set_index("vid").loc[v, "katz"] == 1.0
+    # the distributed Dataset plan (small_threshold=0) must be
+    # bit-identical to the small single-task path used above
+    dist = (katz_dataset(ds, inv_alpha=20, sweeps=5, num_partitions=4,
+                         small_threshold=0)
+            .to_pandas().sort_values("vid").reset_index(drop=True))
+    assert (dist["vid"].to_numpy() == out["vid"].to_numpy()).all()
+    assert (dist["katz"].to_numpy() == out["katz"].to_numpy()).all()
 
 
 def test_closeness_matches_naive_bfs():
