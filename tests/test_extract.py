@@ -318,3 +318,81 @@ def test_edge_case_goldens_2():
         assert text == want_text, f"{name}: {text!r} != {want_text!r}"
         got_paths = [l.replace("https://www.ex.org", "") for l in links]
         assert got_paths == want_paths, f"{name}: links {got_paths}"
+
+# -- edge-case goldens (round 3, third family) --------------------------------
+# Behaviours pinned against the REFERENCE extraction semantics
+# (crawler/core.py:100-158: decompose script/style/noscript/svg/img/
+# picture/video/audio/canvas/form/button from the SHARED soup, THEN read
+# anchors from that same mutated tree, core.py:292-296) plus stdlib
+# tokenizer quirks verified directly against html.parser this round:
+#   B19 svg subtrees are decomposed: their text AND anchors vanish
+#       (html.parser has no foreign-content mode — svg children are
+#       ordinary elements nested under <svg>, so decompose takes all)
+#   B20 form subtrees are decomposed: with no tree-builder foster
+#       parenting, <table><form><tr>... nests the row INSIDE the form,
+#       so the whole table body vanishes with it — '' is the correct
+#       reference-parity output, counter-intuitive as it reads
+#   B21 duplicate attributes: LAST value wins (bs4's default
+#       on_duplicate_attribute="replace" over html.parser's event
+#       stream, which reports both)
+#   B22 attribute-quote quirks: unquoted values terminate at
+#       whitespace/>; "<" and a single quote are legal inside a
+#       double-quoted value; all reach the href verbatim
+#   B23 named charrefs WITHOUT the trailing semicolon: convert_charrefs
+#       decodes legacy entities by longest match ("&ampc" -> "&c",
+#       "&notit;" -> "¬it;") in text AND in attribute values (the
+#       stdlib applies the same regex to attrs — it does not implement
+#       the HTML5 attribute exception for a following '='/alnum)
+#   B24 no implied end tags: <p>one<p>two and <dl><dt>t<dd>d stay open
+#       scopes (html.parser emits no implied closes); text order is
+#       unchanged so extraction sees every run
+EDGE_GOLDENS_3 = [
+    ("svg_text_and_links_decomposed",                              # B19
+     "<html><body><svg><rect/><text>svg txt</text>"
+     "<a href='/s'>s</a></svg>after</body></html>",
+     "after", []),
+    ("form_subtree_decomposed",                                    # B20
+     "<html><body><form><a href='/f'>x</a></form>out"
+     "<a href='/o'>o</a></body></html>",
+     "out o", ["/o"]),
+    ("form_swallows_unfostered_table_row",                         # B20
+     "<html><body><table><form><tr><td>c</td></tr></form>"
+     "</table></body></html>",
+     "", []),
+    ("media_and_button_decomposed",                                # B19
+     "<html><body><picture>p</picture><video>v</video>"
+     "<audio>a</audio><canvas>c</canvas><button>b</button>"
+     "<noscript>n</noscript>z</body></html>",
+     "z", []),
+    ("duplicate_attr_last_wins",                                   # B21
+     "<html><body><a href='/first' href='/second'>l</a>"
+     "</body></html>",
+     "l", ["/second"]),
+    ("unquoted_attr_value",                                        # B22
+     "<html><body><a href=/p?x=1&y=2>l</a></body></html>",
+     "l", ["/p?x=1&y=2"]),
+    ("lt_and_quote_inside_quoted_attr",                            # B22
+     "<html><body><a href=\"/q'r<s\">l</a></body></html>",
+     "l", ["/q'r<s"]),
+    ("legacy_entity_no_semicolon_text",                            # B23
+     "<html><body>a&amp b&ampc &notit; &nota</body></html>",
+     "a& b&c ¬it; ¬a", []),
+    ("legacy_entity_no_semicolon_attr",                            # B23
+     "<html><body><a href='/x?a=1&amp=2&ampb=3'>l</a>"
+     "</body></html>",
+     "l", ["/x?a=1&=2&b=3"]),
+    ("no_implied_p_close",                                         # B24
+     "<html><body><p>one<p>two</body></html>",
+     "one two", []),
+    ("no_implied_dt_dd_close",                                     # B24
+     "<html><body><dl><dt>t<dd>d</dl>x</body></html>",
+     "t d x", []),
+]
+
+
+def test_edge_case_goldens_3():
+    for name, html, want_text, want_paths in EDGE_GOLDENS_3:
+        _, text, links, _ = parse_page(html, "https://www.ex.org/p")
+        assert text == want_text, f"{name}: {text!r} != {want_text!r}"
+        got_paths = [l.replace("https://www.ex.org", "") for l in links]
+        assert got_paths == want_paths, f"{name}: links {got_paths}"
