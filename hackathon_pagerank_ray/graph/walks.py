@@ -15,10 +15,13 @@ the DuckDB twin is the documented strpos-over-hex trick.  Walks stop
 early at dangling vertices (no out-edges).  Output rows are
 ``(start, step, v)`` with step 0 = the start vertex itself.
 
-Scale shape: two equivalent plans, chosen by distinct-edge count.
-Small side (≤ ``broadcast_max_edges``): the sorted CSR adjacency is
-``ray.put`` once and a single ``map_batches`` over the start vertices
-walks all steps task-locally — zero shuffles.  Large side: the ranked
+Scale shape: two equivalent plans, chosen by raw edge count (an upper
+bound on the distinct count, so the gate is conservative).  Small side
+(≤ ``broadcast_max_edges``): dedup, CSR build and every step run in
+one worker task (default starts = the CSR's own uniq_src), or — with
+caller-supplied starts — the CSR is built in one worker task and its
+ObjectRef broadcast to a single ``map_batches`` over the starts; zero
+shuffles either way.  Large side: the ranked
 neighbor table ``(src, dst, r, deg)`` is built once (one groupby) and
 each step is ONE hash-partitioned inner join of the current frontier
 against it plus a batch-local hash filter — ``steps`` shuffles total,
@@ -42,10 +45,30 @@ def _h32(key: str) -> int:
     return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "big")
 
 
-def _ranked_neighbors(edges_ds, num_partitions: int):
-    """(src, dst, r, deg): distinct edges with the 0-based rank of each
-    dst within its src (ascending) and the src out-degree."""
-    e = distinct(edges_ds, ["src", "dst"], num_partitions)
+def _h32_bulk(starts: np.ndarray, t: int, vs: np.ndarray) -> np.ndarray:
+    """Vectorized step hash: ``_h32(f"{s}:{t}:{v}")`` for every row —
+    key strings built by Arrow kernels, md5 by the bulk DuckDB path
+    that killed the round-2 sketch bottleneck (the big-endian uint64 of
+    ``digest()[:8]`` shifted right 32 bits IS the first-4-bytes value
+    ``_h32`` computes; parity pinned by test_random_walks' independent
+    per-key hashlib replay)."""
+    import pyarrow.compute as pc
+
+    from ..stages.stats import _bulk_md5_upper_be
+
+    keys = pc.binary_join_element_wise(
+        pc.cast(pa.array(starts, pa.int64()), pa.string()),
+        str(t),
+        pc.cast(pa.array(vs, pa.int64()), pa.string()),
+        ":")
+    return (_bulk_md5_upper_be(keys)[0] >> np.uint64(32)).astype(np.int64)
+
+
+def _ranked_neighbors(e, num_partitions: int):
+    """(src, dst, r, deg) over an already-distinct edge dataset: the
+    0-based rank of each dst within its src (ascending) and the src
+    out-degree.  Only the join-per-step (large) plan needs ranks; the
+    broadcast plan builds its CSR straight from (src, dst)."""
 
     def _rank(g: pd.DataFrame) -> pd.DataFrame:
         d = np.sort(g["dst"].to_numpy())
@@ -76,10 +99,7 @@ def _walk_local(starts: np.ndarray, steps: int, uniq_src: np.ndarray,
         if not len(cur_v):
             break
         deg = indptr[pos + 1] - indptr[pos]
-        idx = np.fromiter(
-            (_h32(f"{s}:{t}:{v}") % d
-             for s, v, d in zip(cur_start, cur_v, deg)),
-            dtype=np.int64, count=len(cur_v))
+        idx = _h32_bulk(cur_start, t, cur_v) % deg
         cur_v = nbrs[indptr[pos] + idx]
         out_start.append(cur_start.copy())
         out_step.append(np.full(len(cur_v), t, dtype=np.int64))
@@ -100,32 +120,68 @@ def random_walks(edges_ds, steps: int = 8, starts_ds=None,
     """
     import ray
 
-    if starts_ds is None:
-        starts_ds = rename(distinct(edges_ds, ["src"], num_partitions),
-                           {"src": "start"})
+    # Small side gates on the RAW edge count (≥ distinct count, so the
+    # bound is conservative): dedup, the CSR build, the default starts
+    # (= distinct src, exactly uniq_src) and all the steps then run in
+    # ONE worker task — the Dataset restatement of this (distinct
+    # shuffle + starts shuffle + walk map_batches) paid ~3 exchange
+    # floors for a 0.15 s walk at bench scale.
+    raw = edges_ds.materialize()
+    if raw.count() <= broadcast_max_edges:
+        refs = raw.to_arrow_refs()
 
-    nbr = _ranked_neighbors(edges_ds, num_partitions).materialize()
-    n_edges = nbr.count()
+        def _csr(parts):
+            parts = [p if isinstance(p, pa.Table)
+                     else pa.Table.from_pandas(p, preserve_index=False)
+                     for p in parts]
+            parts = [p for p in parts if p.num_rows]
+            if not parts:
+                z = np.empty(0, dtype=np.int64)
+                return z, np.zeros(1, dtype=np.int64), z
+            tbl = pa.concat_tables(parts)
+            src = tbl["src"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            dst = tbl["dst"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            keep = np.r_[True, (src[1:] != src[:-1])
+                         | (dst[1:] != dst[:-1])]      # in-task distinct
+            src, dst = src[keep], dst[keep]
+            uniq_src, counts = np.unique(src, return_counts=True)
+            indptr = np.zeros(len(uniq_src) + 1, dtype=np.int64)
+            np.cumsum(counts, out=indptr[1:])
+            return uniq_src, indptr, dst
 
-    if n_edges <= broadcast_max_edges:
-        parts = [ray.get(r) for r in nbr.to_arrow_refs()]
-        tbl = pa.concat_tables([p for p in parts if p.num_rows]) \
-            if parts else pa.table({"src": pa.array([], pa.int64()),
-                                    "dst": pa.array([], pa.int64())})
-        src = tbl["src"].to_numpy(zero_copy_only=False)
-        dst = tbl["dst"].to_numpy(zero_copy_only=False)
-        order = np.lexsort((dst, src))
-        src, dst = src[order], dst[order]
-        uniq_src, counts = np.unique(src, return_counts=True)
-        indptr = np.zeros(len(uniq_src) + 1, dtype=np.int64)
-        np.cumsum(counts, out=indptr[1:])
-        csr_ref = ray.put((uniq_src, indptr, dst))
+        if starts_ds is None:
+            @ray.remote
+            def _solve(*parts):
+                u, ip, nb = _csr(list(parts))
+                df = _walk_local(u, steps, u, ip, nb)
+                return pa.Table.from_pandas(df, preserve_index=False)
+
+            return ray.data.from_arrow_refs([_solve.remote(*refs)])
+
+        # caller-supplied starts: build the CSR once in a worker task,
+        # broadcast the ref, stream the starts through one map_batches
+        @ray.remote
+        def _build(*parts):
+            return _csr(list(parts))
+
+        csr_ref = _build.remote(*refs)
 
         def _walk(batch: pd.DataFrame) -> pd.DataFrame:
             u, ip, nb = ray.get(csr_ref)
             return _walk_local(batch["start"].to_numpy(), steps, u, ip, nb)
 
         return starts_ds.map_batches(_walk, batch_format="pandas")
+
+    if starts_ds is None:
+        starts_ds = rename(distinct(edges_ds, ["src"], num_partitions),
+                           {"src": "start"})
+
+    e = distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
+    nbr = _ranked_neighbors(e, num_partitions).materialize()
 
     # join-per-step plan: frontier × ranked-neighbor join, hash filter
     frontier = starts_ds.map_batches(
@@ -146,10 +202,9 @@ def random_walks(edges_ds, steps: int = 8, starts_ds=None,
         # fed only those crashes pyarrow's FieldRef lookup
         def _pick(df: pd.DataFrame, t=t_step) -> pa.Table:
             if len(df):
-                idx = np.fromiter(
-                    (_h32(f"{s}:{t}:{v}") % d
-                     for s, v, d in zip(df["start"], df["v"], df["deg"])),
-                    dtype=np.int64, count=len(df))
+                idx = (_h32_bulk(df["start"].to_numpy(), t,
+                                 df["v"].to_numpy())
+                       % df["deg"].to_numpy())
                 keep = df["r"].to_numpy() == idx
                 start = df["start"].to_numpy()[keep].astype(np.int64)
                 v = df["dst"].to_numpy()[keep].astype(np.int64)

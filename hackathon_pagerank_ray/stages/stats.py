@@ -105,8 +105,10 @@ def _bulk_md5_upper_be(keys: np.ndarray, prefixes=("",)) -> np.ndarray:
         import duckdb
         _DUCK_CON = duckdb.connect()
     con = _DUCK_CON
-    tbl = pa.table({"i": pa.array(np.arange(len(keys)), pa.int64()),
-                    "k": pa.array(keys, pa.string())})
+    karr = (keys if isinstance(keys, (pa.Array, pa.ChunkedArray))
+            else pa.array(keys, pa.string()))
+    tbl = pa.table({"i": pa.array(np.arange(len(karr)), pa.int64()),
+                    "k": karr})
     con.register("__sketch_keys", tbl)
     cols = ", ".join(
         f"md5_number_upper('{p}' || k) AS h{j}"
@@ -378,7 +380,20 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
                 out[r] = float(vals[r - before])
         return out
 
-    ov = _order_stats(ds, col, lo, hi, ranks)
+    if n <= max_collect:
+        # small path: the refinement plan's whole point is to never pull
+        # more than max_collect values — under that bound, ONE collect
+        # pass yields the identical order statistics without the
+        # histogram level's extra execution (each level re-reads the
+        # pruned input).  Same driver-side memory bound as a single
+        # over-threshold bin in the big path.
+        chunks = [_vals(t, col) for t in ds.iter_batches(
+            batch_format="pyarrow", batch_size=None)]
+        vals = np.sort(np.concatenate(chunks) if chunks
+                       else np.array([]))
+        ov = {r: float(vals[r]) for r in ranks}
+    else:
+        ov = _order_stats(ds, col, lo, hi, ranks)
     rows = []
     for q in qs:
         h = (n - 1) * q
