@@ -125,10 +125,11 @@ def random_walks(edges_ds, steps: int = 8, starts_ds=None,
     # (= distinct src, exactly uniq_src) and all the steps then run in
     # ONE worker task — the Dataset restatement of this (distinct
     # shuffle + starts shuffle + walk map_batches) paid ~3 exchange
-    # floors for a 0.15 s walk at bench scale.
-    raw = edges_ds.materialize()
-    if raw.count() <= broadcast_max_edges:
-        refs = raw.to_arrow_refs()
+    # floors for a 0.15 s walk at bench scale.  The count is a
+    # streaming pass (nothing pinned); only a table already under the
+    # gate is materialized — never the raw edge table of the big path.
+    if edges_ds.count() <= broadcast_max_edges:
+        refs = edges_ds.materialize().to_arrow_refs()
 
         def _csr(parts):
             parts = [p if isinstance(p, pa.Table)
