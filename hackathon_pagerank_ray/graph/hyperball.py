@@ -221,8 +221,9 @@ def neighborhood_function(edges_ds, num_partitions: int = 8, m: int = 16,
     from ..stages.relational import inner_join, rename
     from .triangles import canonical_undirected
 
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
         rows = edges_ds.repartition(1).map_batches(
             lambda df: pd.DataFrame(_hyperball_small(df, m, max_t),
                                     columns=["t", "n_pairs"]),
@@ -367,8 +368,9 @@ def harmonic_centrality(edges_ds, num_partitions: int = 8, m: int = 16,
     from ..stages.relational import inner_join, rename
     from .triangles import canonical_undirected
 
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
         return drop_empty_blocks(edges_ds.repartition(1).map_batches(
             lambda df: _harmonic_small(df, m, max_t),
             batch_format="pandas", batch_size=None))

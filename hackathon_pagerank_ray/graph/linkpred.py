@@ -209,9 +209,9 @@ def _small_gate(edges_ds, mode: str, cap: int | None,
     → run the distributed wedge-join plan; ``use_small`` True with
     ``merged`` None → empty graph (caller returns its typed empty
     table)."""
-    edges_ds = edges_ds.materialize()
-    n = edges_ds.count()
+    n = edges_ds.count()               # streaming pass, nothing pinned
     if n <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
         mx = edges_ds.max(["src", "dst"]) if n else None
         max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
         if max_id < 2 ** 31:

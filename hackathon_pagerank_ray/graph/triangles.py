@@ -153,9 +153,10 @@ def triangle_counts(edges_ds, vertices_ds=None, num_partitions: int = 16,
     shuffles whose fixed spin-up dwarfs small inputs); the distributed
     wedge-join below is the shape at scale.
     """
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
+        mx = edges_ds.max(["src", "dst"]) if n_raw else None
         max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
         if max_id < 2 ** 31:
             counts = drop_empty_blocks(edges_ds.repartition(1).map_batches(
@@ -290,9 +291,10 @@ def clustering_coefficient(edges_ds, num_partitions: int = 16,
     vertex incident to at least one undirected edge.  Adaptive like
     :func:`triangle_counts`: small edge tables run one vectorized task.
     """
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
+        mx = edges_ds.max(["src", "dst"]) if n_raw else None
         max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
         if max_id < 2 ** 31:
             return drop_empty_blocks(edges_ds.repartition(1).map_batches(

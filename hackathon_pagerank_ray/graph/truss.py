@@ -102,9 +102,10 @@ def ktruss(edges_ds, num_partitions: int = 16,
     """Per-edge truss numbers ``(u, v, truss)`` over the undirected
     simple graph.  Adaptive single-task path under ``small_threshold``
     raw edges; distributed round-based peel above it."""
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
+        mx = edges_ds.max(["src", "dst"]) if n_raw else None
         max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
         if max_id < 2 ** 31:
             return drop_empty_blocks(edges_ds.repartition(1).map_batches(
@@ -262,9 +263,10 @@ def ktruss_edges(edges_ds, k: int, num_partitions: int = 16,
                  small_threshold: int = 3_000_000):
     """Edge set of the k-truss ``(u, v)`` — fixed-k peel (cheaper than
     the full decomposition when one cohesion level is wanted)."""
-    edges_ds = edges_ds.materialize()
-    if edges_ds.count() <= small_threshold:
-        mx = edges_ds.max(["src", "dst"]) if edges_ds.count() else None
+    n_raw = edges_ds.count()           # streaming pass, nothing pinned
+    if n_raw <= small_threshold:
+        edges_ds = edges_ds.materialize()   # bounded by the gate
+        mx = edges_ds.max(["src", "dst"]) if n_raw else None
         max_id = (max(mx["max(src)"], mx["max(dst)"]) if mx else 0) or 0
         if max_id < 2 ** 31:
             return drop_empty_blocks(edges_ds.repartition(1).map_batches(
