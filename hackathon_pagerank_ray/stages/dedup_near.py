@@ -128,8 +128,10 @@ def candidate_pairs(band_ds, id_col="doc_id", max_bucket: int = 256,
     the distributed hash shuffle (whose aggregator-pool spin-up costs
     seconds regardless of data size) and runs the groupby in one task;
     the distributed path is the default shape at corpus scale."""
-    band_ds = band_ds.materialize()
+    # streaming count: the big path consumes band_ds exactly once (the
+    # bucket groupby), so only a gate-bounded table is ever pinned
     if band_ds.count() <= small_threshold:
+        band_ds = band_ds.materialize()
         def _all_pairs(df: pd.DataFrame) -> pd.DataFrame:
             bnd = df["band"].to_numpy()
             bkt = df["bucket"].to_numpy()
