@@ -27,6 +27,16 @@ _EDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders")
 _WEDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst, "
               "CAST(1 + o_orderkey % 5 AS DOUBLE) AS w FROM orders")
 
+# host-graph collapse of the page edge table: domain(v) = v % 128,
+# intra-domain links dropped, weight = page-level link count (exact in a
+# double until 2^53) — the edge CTE domain_pagerank's oracle unrolls over
+_NUM_DOMAINS = 128
+_DOM_EDGE_SQL = (
+    "SELECT s AS src, d AS dst, CAST(COUNT(*) AS DOUBLE) AS w FROM "
+    f"(SELECT o_custkey % {_NUM_DOMAINS} AS s, "
+    f"(o_orderkey % 997) % {_NUM_DOMAINS} AS d FROM orders) "
+    "WHERE s <> d GROUP BY s, d")
+
 
 def _rd():
     import ray.data as rd
@@ -1062,6 +1072,39 @@ def _q_weighted_pagerank(sf_dir):
         g.shutdown()
 
 
+def _q_domain_graph(sf_dir):
+    """Host-graph collapse: page edges → (src_dom, dst_dom, link count),
+    intra-domain links dropped — one packed-key count shuffle with
+    output cardinality ≤ num_domains² regardless of edge count."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.domains import domain_graph
+    return domain_graph(_edges_ds(sf_dir), num_domains=_NUM_DOMAINS)
+
+
+def _q_domain_pagerank(sf_dir):
+    """PageRank over the collapsed host graph (weight = page-level link
+    count), fixed sweeps so the oracle unrolls identically."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.stages.domains import domain_weighted_edges
+    wedges = domain_weighted_edges(_edges_ds(sf_dir),
+                                   num_domains=_NUM_DOMAINS)
+    g = ShardedGraph.build(wedges, num_owners=4, weight_col="w")
+    try:
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
+        return ranks.materialize()
+    finally:
+        g.shutdown()
+
+
+def _q_reciprocity(sf_dir):
+    """Global link reciprocity over the distinct non-self-loop edge set:
+    one row (n_edges, n_mutual, reciprocity)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.domains import reciprocity
+    return reciprocity(_edges_ds(sf_dir))
+
+
 def _q_hits(sf_dir):
     """HITS hubs & authorities, fixed sweeps (oracle unrolls the same)."""
     _quiet()
@@ -1293,6 +1336,25 @@ def _q_flagship_corpus(sf_dir):
     out = out.materialize()
     res["graph"].shutdown()
     return out
+
+
+def _q_anchor_text(sf_dir):
+    """Anchor-text index over the seeded synthetic page corpus: per link
+    target, (n_anchors, n_unique_texts, most-frequent anchor text,
+    lexicographic tie-break).  Oracle = committed fixture computed by an
+    independent no-Ray loop (tools/make_anchor_fixture.py)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.anchors import anchor_text_index
+    from hackathon_pagerank_ray.testgen import write_pages_parquet
+
+    corpus = "/tmp/graft_corpus_200_s42"
+    if not os.path.exists(os.path.join(corpus, "part-00000.parquet")):
+        write_pages_parquet(corpus, 200, seed=42)
+    pages = _rd().read_parquet(corpus, columns=["url", "html"])
+    # map_groups emits schema-less empty blocks for empty partitions —
+    # the round-2 driver-hash poison (VERDICT §What's wrong #1)
+    from hackathon_pagerank_ray.stages.schema_util import drop_empty_blocks
+    return drop_empty_blocks(anchor_text_index(pages))
 
 
 def _q_tfidf_search(sf_dir):
@@ -1676,6 +1738,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # iterative graph ops — oracles are unrolled / recursive CTE SQL
         "pagerank": _q_pagerank,
         "weighted_pagerank": _q_weighted_pagerank,
+        "domain_graph": _q_domain_graph,
+        "domain_pagerank": _q_domain_pagerank,
+        "reciprocity": _q_reciprocity,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
@@ -1691,6 +1756,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": _q_language_id,
         "fingerprints": _q_fingerprints,
         "flagship_corpus": _q_flagship_corpus,
+        "anchor_text": _q_anchor_text,
         "tfidf_search": _q_tfidf_search,
     }
 
@@ -1767,10 +1833,13 @@ def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
             f"FROM r{sweeps}")
 
 
-def _wpr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
+def _wpr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85,
+                    edge_sql: str | None = None) -> str:
     """Unrolled weighted PageRank: ``contrib = r·w / Σ_out w``; dangling =
-    zero out-weight (same vertex set as no-out-edges for positive w)."""
-    parts = [f"edges AS MATERIALIZED ({_WEDGE_SQL})",
+    zero out-weight (same vertex set as no-out-edges for positive w).
+    ``edge_sql`` overrides the weighted-edge CTE (domain_pagerank feeds
+    the host-graph collapse here)."""
+    parts = [f"edges AS MATERIALIZED ({edge_sql or _WEDGE_SQL})",
              "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
              "FROM edges)",
              "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
@@ -2375,6 +2444,22 @@ def oracle_sql() -> dict[str, str]:
     return {
         "pagerank": _pagerank_oracle_sql(),
         "weighted_pagerank": _wpr_oracle_sql(),
+        "domain_graph": (
+            f"SELECT s AS src_dom, d AS dst_dom, COUNT(*) AS w FROM "
+            f"(SELECT o_custkey % {_NUM_DOMAINS} AS s, "
+            f"(o_orderkey % 997) % {_NUM_DOMAINS} AS d FROM orders) "
+            f"WHERE s <> d GROUP BY s, d"),
+        "domain_pagerank": _wpr_oracle_sql(edge_sql=_DOM_EDGE_SQL),
+        "reciprocity": (
+            "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            "(SELECT o_custkey AS src, o_orderkey % 997 AS dst "
+            "FROM orders) WHERE src <> dst), "
+            "m AS (SELECT COUNT(*) AS n_mutual FROM e a JOIN e b "
+            "ON a.src = b.dst AND a.dst = b.src), "
+            "t AS (SELECT COUNT(*) AS n_edges FROM e) "
+            "SELECT t.n_edges, m.n_mutual, "
+            "CAST(m.n_mutual AS DOUBLE) / t.n_edges AS reciprocity "
+            "FROM t, m"),
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
@@ -3265,6 +3350,18 @@ FROM srcs LEFT JOIN h ON h.s = srcs.src
             + os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "tests", "fixtures",
                            "flagship_corpus_expected.parquet")
+            + "')",
+        # anchor-text index over the same seeded corpus: the committed
+        # fixture is computed by an INDEPENDENT no-Ray loop
+        # (tools/make_anchor_fixture.py asserts Ray == loop, exact,
+        # before writing) — a true double implementation of the
+        # aggregation and tie-break conventions
+        "anchor_text":
+            "SELECT url, n_anchors, n_unique_texts, top_text "
+            "FROM read_parquet('"
+            + os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "fixtures",
+                           "anchor_text_expected.parquet")
             + "')",
         # source-sampled Brandes betweenness (graph/betweenness.
         # betweenness_centrality, exact_fold=True): unrolled per-level

@@ -147,6 +147,31 @@ def extract_links(doc: Document, page_url: str, base_domain: str) -> list[str]:
     return out
 
 
+def extract_anchors(doc: Document, page_url: str,
+                    base_domain: str) -> list[tuple[str, str]]:
+    """Like :func:`extract_links` but keeps each anchor's visible text —
+    ``(target_url, anchor_text)`` pairs with the text rendered by the
+    same ``get_text(" ", strip=True)`` contract as the page extractor.
+
+    The reference discards anchor text at crawl time
+    (crawler/core.py:296-304 keeps only hrefs); a search/training
+    pipeline additionally needs the anchor-text index (the classic
+    description signal for the TARGET page), so this is the reference's
+    anchor walk with the text retained.  Same filters: same-base-domain
+    only, ``mailto:``/``javascript:`` dropped, duplicates preserved.
+    """
+    out = []
+    for a in doc.find_all("a", href=True):
+        target = normalize_url(urljoin(page_url, a["href"]))
+        if not is_same_domain(target, base_domain):
+            continue
+        if target.startswith("mailto:") or target.startswith("javascript:"):
+            continue
+        text = _WS_RE.sub(" ", a.get_text(" ", strip=True)).strip()
+        out.append((target, text))
+    return out
+
+
 def parse_page(html: str, url: str, target_lang: str | None = None,
                base_domain: str | None = None):
     """Full per-page chain in reference order (crawler/core.py:271-310).

@@ -1,0 +1,121 @@
+"""Round-3 operator additions vs oracles: host-graph collapse, domain
+PageRank, global reciprocity."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from hackathon_pagerank_ray import oracle
+from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+from hackathon_pagerank_ray.stages.domains import (domain_graph,
+                                                   domain_weighted_edges,
+                                                   reciprocity)
+from hackathon_pagerank_ray.testgen import edges_to_table, gen_random_edges
+
+
+def _collapse_numpy(edges: np.ndarray, nd: int):
+    """Reference collapse: dict of (sdom, ddom) -> page-link count."""
+    out = {}
+    for s, d in edges:
+        sd, dd = int(s) % nd, int(d) % nd
+        if sd == dd:
+            continue
+        out[(sd, dd)] = out.get((sd, dd), 0) + 1
+    return out
+
+
+def test_domain_graph_matches_numpy_replay():
+    edges = gen_random_edges(400, 5000, seed=3)
+    ds = rd.from_arrow(edges_to_table(edges)).repartition(4)
+    got = (domain_graph(ds, num_domains=16).to_pandas()
+           .sort_values(["src_dom", "dst_dom"]).reset_index(drop=True))
+    want = _collapse_numpy(edges, 16)
+    assert len(got) == len(want)
+    for row in got.itertuples(index=False):
+        assert want[(row.src_dom, row.dst_dom)] == row.w
+    assert got["w"].dtype == np.int64
+    # intra-domain edges are dropped
+    assert (got["src_dom"] != got["dst_dom"]).all()
+
+
+def test_domain_graph_keeps_intra_when_asked():
+    df = pd.DataFrame({"src": [0, 1, 16, 5], "dst": [16, 1, 0, 21]})
+    ds = rd.from_pandas(df)
+    got = (domain_graph(ds, num_domains=16, drop_intra=False).to_pandas()
+           .sort_values(["src_dom", "dst_dom"]).reset_index(drop=True))
+    # 0→16 and 16→0 both collapse to (0,0); 1→1 is (1,1); 5→21 is (5,5)
+    assert got.values.tolist() == [[0, 0, 2], [1, 1, 1], [5, 5, 1]]
+
+
+def test_domain_pagerank_matches_weighted_oracle():
+    edges = gen_random_edges(300, 4000, seed=7)
+    nd = 32
+    ds = rd.from_arrow(edges_to_table(edges)).repartition(4)
+    wedges = domain_weighted_edges(ds, num_domains=nd)
+    g = ShardedGraph.build(wedges, num_owners=4, weight_col="w")
+    try:
+        ranks = (pagerank(g, tol=0.0, max_iter=20)[0].to_pandas()
+                 .sort_values("vid")["rank"].to_numpy())
+    finally:
+        g.shutdown()
+    # numpy twin over the same collapse
+    want = _collapse_numpy(edges, nd)
+    ce = np.array([[s, d] for (s, d) in sorted(want)], dtype=np.int64)
+    cw = np.array([want[(s, d)] for (s, d) in sorted(want)],
+                  dtype=np.float64)
+    ro, _, _ = oracle.weighted_pagerank(ce, cw, n=int(ce.max()) + 1,
+                                        tol=0.0, max_iter=20)
+    assert np.abs(ranks - ro).max() < 1e-12
+
+
+def test_reciprocity_counts_exact():
+    # distinct non-self edges: (1,2) (2,1) (2,3) (3,2) (4,5) -> 4 mutual
+    # of 5; the (4,4) self-loop and the duplicate (1,2) must not count
+    df = pd.DataFrame({"src": [1, 2, 2, 3, 4, 4, 1],
+                       "dst": [2, 1, 3, 2, 5, 4, 2]})
+    out = reciprocity(rd.from_pandas(df).repartition(3)).to_pandas()
+    assert out["n_edges"].tolist() == [5]
+    assert out["n_mutual"].tolist() == [4]
+    assert out["reciprocity"].tolist() == [4.0 / 5.0]
+    assert out["n_edges"].dtype == np.int64
+    assert out["reciprocity"].dtype == np.float64
+
+
+def test_anchor_text_index_semantics():
+    """Pruned-tree anchors only; per-target count/distinct/top with
+    lexicographic tie-break; cross-domain and mailto links dropped."""
+    from hackathon_pagerank_ray.stages.anchors import anchor_text_index
+
+    p1 = (b"<html><body><nav><a href='/nav'>chrome link</a></nav>"
+          b"<p><a href='/t1'>Alpha</a> <a href='/t1'>Beta</a>"
+          b"<a href='http://other.example.org/x'>offsite</a>"
+          b"<a href='mailto:a@b.c'>mail</a></p></body></html>")
+    p2 = (b"<html><body><p><a href='/t1'>Beta</a>"
+          b"<a href='/t2'>Gamma</a></p></body></html>")
+    pages = rd.from_arrow(pa.table({
+        "url": ["http://site.example.com/a", "http://site.example.com/b"],
+        "html": pa.array([p1, p2], pa.binary())}))
+    out = (anchor_text_index(pages).to_pandas()
+           .sort_values("url").reset_index(drop=True))
+    t1 = out[out["url"].str.endswith("/t1")].iloc[0]
+    # /t1: texts Alpha, Beta, Beta -> top = Beta (count 2)
+    assert t1["n_anchors"] == 3 and t1["n_unique_texts"] == 2
+    assert t1["top_text"] == "Beta"
+    t2 = out[out["url"].str.endswith("/t2")].iloc[0]
+    assert t2["n_anchors"] == 1 and t2["top_text"] == "Gamma"
+    # nav anchor pruned, offsite + mailto filtered: exactly 2 targets
+    assert len(out) == 2
+    assert out["n_anchors"].dtype == np.int64
+
+
+def test_anchor_text_tie_breaks_lexicographic():
+    from hackathon_pagerank_ray.stages.anchors import anchor_text_index
+
+    html = (b"<html><body><p><a href='/t'>zeta</a>"
+            b"<a href='/t'>alpha</a></p></body></html>")
+    pages = rd.from_arrow(pa.table({
+        "url": ["http://s.example.com/"],
+        "html": pa.array([html], pa.binary())}))
+    out = anchor_text_index(pages).to_pandas()
+    assert out.iloc[0]["top_text"] == "alpha"
