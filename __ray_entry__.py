@@ -27,6 +27,15 @@ _EDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders")
 _WEDGE_SQL = ("SELECT o_custkey AS src, o_orderkey % 997 AS dst, "
               "CAST(1 + o_orderkey % 5 AS DOUBLE) AS w FROM orders")
 
+# second crawl snapshot for the diff operators: ~1/7 of snapshot-A edges
+# vanish, ~1/11 of orders contribute a NEW edge with a shifted dst —
+# deterministic, SQL-expressible churn in both directions
+_EDGE_B_SQL = (
+    "SELECT o_custkey AS src, o_orderkey % 997 AS dst FROM orders "
+    "WHERE o_orderkey % 7 <> 0 UNION ALL "
+    "SELECT o_custkey AS src, (o_orderkey * 3) % 997 AS dst FROM orders "
+    "WHERE o_orderkey % 11 = 0")
+
 # host-graph collapse of the page edge table: domain(v) = v % 128,
 # intra-domain links dropped, weight = page-level link count (exact in a
 # double until 2^53) — the edge CTE domain_pagerank's oracle unrolls over
@@ -1072,6 +1081,43 @@ def _q_weighted_pagerank(sf_dir):
         g.shutdown()
 
 
+def _edges_b_ds(sf_dir: str):
+    """Snapshot-B edge table (the _EDGE_B_SQL twin, vectorized)."""
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _mkb(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        ck = t["o_custkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = ok % 7 != 0
+        add = ok % 11 == 0
+        src = np.concatenate([ck[keep], ck[add]])
+        dst = np.concatenate([ok[keep] % 997, (ok[add] * 3) % 997])
+        return pa.table({"src": pa.array(src, pa.int64()),
+                         "dst": pa.array(dst, pa.int64())})
+
+    return orders.map_batches(_mkb, batch_format="pyarrow")
+
+
+def _q_edge_churn(sf_dir):
+    """Crawl-to-crawl link churn: one row (n_a, n_b, n_common, n_added,
+    n_removed, jaccard) over the two snapshots' distinct edge sets."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.snapshots import edge_churn
+    return edge_churn(_edges_ds(sf_dir), _edges_b_ds(sf_dir))
+
+
+def _q_degree_delta(sf_dir):
+    """Per-vertex out-degree movement between the two snapshots — the
+    FULL OUTER JOIN of the degree tables, computed joinlessly via the
+    tagged two-input count shuffle."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.snapshots import degree_delta
+    return degree_delta(_edges_ds(sf_dir), _edges_b_ds(sf_dir))
+
+
 def _q_domain_graph(sf_dir):
     """Host-graph collapse: page edges → (src_dom, dst_dom, link count),
     intra-domain links dropped — one packed-key count shuffle with
@@ -1741,6 +1787,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_graph": _q_domain_graph,
         "domain_pagerank": _q_domain_pagerank,
         "reciprocity": _q_reciprocity,
+        "edge_churn": _q_edge_churn,
+        "degree_delta": _q_degree_delta,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
         "connected_components": _q_connected_components,
@@ -2460,6 +2508,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.n_edges, m.n_mutual, "
             "CAST(m.n_mutual AS DOUBLE) / t.n_edges AS reciprocity "
             "FROM t, m"),
+        "edge_churn": (
+            f"WITH a AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            f"({_EDGE_SQL})), "
+            f"b AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
+            f"({_EDGE_B_SQL})), "
+            "na AS (SELECT COUNT(*) AS n FROM a), "
+            "nb AS (SELECT COUNT(*) AS n FROM b), "
+            "c AS (SELECT COUNT(*) AS n FROM a JOIN b USING (src, dst)) "
+            "SELECT na.n AS n_a, nb.n AS n_b, c.n AS n_common, "
+            "nb.n - c.n AS n_added, na.n - c.n AS n_removed, "
+            "CAST(c.n AS DOUBLE) / (na.n + nb.n - c.n) AS jaccard "
+            "FROM na, nb, c"),
+        "degree_delta": (
+            f"WITH da AS (SELECT src, COUNT(*) AS c FROM ({_EDGE_SQL}) "
+            "GROUP BY src), "
+            f"db AS (SELECT src, COUNT(*) AS c FROM ({_EDGE_B_SQL}) "
+            "GROUP BY src) "
+            "SELECT COALESCE(da.src, db.src) AS src, "
+            "COALESCE(da.c, 0) AS outdeg_a, COALESCE(db.c, 0) AS outdeg_b, "
+            "COALESCE(db.c, 0) - COALESCE(da.c, 0) AS delta "
+            "FROM da FULL OUTER JOIN db ON da.src = db.src"),
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),

@@ -1,0 +1,72 @@
+"""Crawl-snapshot diff operators: edge churn and per-vertex degree delta.
+
+A production web pipeline re-crawls continuously; the graph maintenance
+step diffs consecutive snapshots — which links appeared/vanished
+(churn) and how each page's out-degree moved (the freshness/decay
+signal; cf. Ntoulas, Cho & Olston, "What's new on the web?", WWW'04).
+The reference is a single-crawl engine (crawler/core.py runs one BFS
+frontier); these operators extend it to the recrawl loop.
+
+Scale shape: churn is ONE hash-partitioned semi-join over the two
+distinct edge sets plus three streaming counts (added/removed derived
+arithmetically — never materialized as row sets); degree delta is ONE
+two-input tagged count shuffle (taskshuffle.two_way_count_int64) — no
+join at all, both snapshots' partials meet in the reducer by key hash.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+
+
+def edge_churn(edges_a, edges_b, num_partitions: int = 16):
+    """One row ``(n_a, n_b, n_common, n_added, n_removed, jaccard)``
+    comparing the DISTINCT edge sets of two snapshots.
+
+    Only the common count needs a join (both sides distinct, so the
+    semi-join count equals the SQL inner-join COUNT(*)); added/removed
+    fall out arithmetically, and the Jaccard is one float64 division of
+    exact int64 counts — bit-identical to the SQL twin.
+    """
+    from .relational import distinct, semi_join
+
+    a = distinct(edges_a, ["src", "dst"], num_partitions).materialize()
+    b = distinct(edges_b, ["src", "dst"], num_partitions).materialize()
+    n_a = a.count()
+    n_b = b.count()
+    n_common = semi_join(a, b, on=("src", "dst"),
+                         num_partitions=num_partitions).count()
+    union = n_a + n_b - n_common
+    jac = float(n_common) / float(union) if union else 0.0
+    return rd.from_arrow(pa.table({
+        "n_a": pa.array([n_a], pa.int64()),
+        "n_b": pa.array([n_b], pa.int64()),
+        "n_common": pa.array([n_common], pa.int64()),
+        "n_added": pa.array([n_b - n_common], pa.int64()),
+        "n_removed": pa.array([n_a - n_common], pa.int64()),
+        "jaccard": pa.array([jac], pa.float64())}))
+
+
+def degree_delta(edges_a, edges_b, src_col: str = "src",
+                 num_reducers: int | None = None):
+    """Per-vertex out-degree movement between two snapshots:
+    ``(src, outdeg_a, outdeg_b, delta)`` over the UNION of sources
+    (missing side = 0) — the FULL OUTER JOIN of the two degree tables,
+    computed without a join via the tagged two-input count shuffle."""
+    from .taskshuffle import two_way_count_int64
+
+    counts = two_way_count_int64(
+        edges_a.select_columns([src_col]), edges_b.select_columns([src_col]),
+        src_col, num_reducers, out_a="outdeg_a", out_b="outdeg_b")
+
+    def _delta(t: pa.Table) -> pa.Table:
+        import numpy as np
+        a = np.asarray(t["outdeg_a"], dtype=np.int64)
+        b = np.asarray(t["outdeg_b"], dtype=np.int64)
+        return pa.table({src_col: t[src_col].combine_chunks(),
+                         "outdeg_a": t["outdeg_a"].combine_chunks(),
+                         "outdeg_b": t["outdeg_b"].combine_chunks(),
+                         "delta": pa.array(b - a, pa.int64())})
+
+    return counts.map_batches(_delta, batch_format="pyarrow")

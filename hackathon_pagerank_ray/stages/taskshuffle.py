@@ -141,3 +141,66 @@ def distinct_int64(ds, key_col: str, num_reducers: int | None = None):
     else:
         red = [_reduce.remote(*[s[r] for s in splits]) for r in range(R)]
     return ray.data.from_arrow_refs(red)
+
+
+def two_way_count_int64(ds_a, ds_b, key_col: str,
+                        num_reducers: int | None = None,
+                        out_a: str = "cnt_a", out_b: str = "cnt_b"):
+    """Per-key row counts of TWO datasets in ONE shuffle — the outer-join
+    count table ``(key, cnt_a, cnt_b)`` over the union of keys (missing
+    side = 0), without a join: both sides' partials are tagged and land
+    in the same reducer by ``key % R``.  The building block for
+    snapshot-diff operators (degree deltas between two crawls)."""
+    import ray
+
+    mat_a = ds_a.materialize()
+    mat_b = ds_b.materialize()
+    refs_a = mat_a.to_arrow_refs()
+    refs_b = mat_b.to_arrow_refs()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    R = num_reducers or max(1, min(len(refs_a) + len(refs_b), cpus // 4))
+
+    def _make_split(tag: int):
+        @ray.remote
+        def _split(block):
+            t = _block_table(block)
+            k = (np.asarray(t[key_col], dtype=np.int64) if t.num_rows
+                 else np.empty(0, dtype=np.int64))
+            uniq, agg = _combine(k, np.ones(len(k), dtype=np.int64), "sum")
+            part = uniq % R
+            outs = []
+            for r in range(R):
+                m = part == r
+                outs.append(pa.table({
+                    "k": pa.array(uniq[m], pa.int64()),
+                    "v": pa.array(agg[m], pa.int64()),
+                    "tag": pa.array(np.full(int(m.sum()), tag, np.int64),
+                                    pa.int64())}))
+            return tuple(outs) if R > 1 else outs[0]
+        return _split
+
+    @ray.remote
+    def _reduce(*parts):
+        if not parts:
+            empty = pa.array([], pa.int64())
+            return pa.table({key_col: empty, out_a: empty, out_b: empty})
+        k = np.concatenate([np.asarray(p["k"]) for p in parts])
+        v = np.concatenate([np.asarray(p["v"]) for p in parts])
+        tag = np.concatenate([np.asarray(p["tag"]) for p in parts])
+        uniq, inv = np.unique(k, return_inverse=True)
+        ca = np.zeros(len(uniq), dtype=np.int64)
+        cb = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(ca, inv[tag == 0], v[tag == 0])
+        np.add.at(cb, inv[tag == 1], v[tag == 1])
+        return pa.table({key_col: pa.array(uniq, pa.int64()),
+                         out_a: pa.array(ca, pa.int64()),
+                         out_b: pa.array(cb, pa.int64())})
+
+    split_a, split_b = _make_split(0), _make_split(1)
+    splits = ([split_a.options(num_returns=R).remote(r) for r in refs_a]
+              + [split_b.options(num_returns=R).remote(r) for r in refs_b])
+    if R == 1:
+        red = [_reduce.remote(*splits)]
+    else:
+        red = [_reduce.remote(*[s[r] for s in splits]) for r in range(R)]
+    return ray.data.from_arrow_refs(red)

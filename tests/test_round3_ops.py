@@ -119,3 +119,40 @@ def test_anchor_text_tie_breaks_lexicographic():
         "html": pa.array([html], pa.binary())}))
     out = anchor_text_index(pages).to_pandas()
     assert out.iloc[0]["top_text"] == "alpha"
+
+
+def test_two_way_count_union_of_keys():
+    from hackathon_pagerank_ray.stages.taskshuffle import two_way_count_int64
+    a = rd.from_pandas(pd.DataFrame({"k": [1, 1, 2, 5]})).repartition(2)
+    b = rd.from_pandas(pd.DataFrame({"k": [2, 2, 3]})).repartition(2)
+    out = (two_way_count_int64(a, b, "k").to_pandas()
+           .sort_values("k").reset_index(drop=True))
+    assert out["k"].tolist() == [1, 2, 3, 5]
+    assert out["cnt_a"].tolist() == [2, 1, 0, 1]
+    assert out["cnt_b"].tolist() == [0, 2, 1, 0]
+
+
+def test_edge_churn_counts_exact():
+    from hackathon_pagerank_ray.stages.snapshots import edge_churn
+    # A = {(1,2),(2,3),(3,4)} (dup (1,2) ignored); B = {(1,2),(3,4),(4,5)}
+    a = pd.DataFrame({"src": [1, 2, 3, 1], "dst": [2, 3, 4, 2]})
+    b = pd.DataFrame({"src": [1, 3, 4], "dst": [2, 4, 5]})
+    out = edge_churn(rd.from_pandas(a).repartition(2),
+                     rd.from_pandas(b)).to_pandas()
+    assert out.iloc[0][["n_a", "n_b", "n_common", "n_added",
+                        "n_removed"]].tolist() == [3, 3, 2, 1, 1]
+    assert out.iloc[0]["jaccard"] == 2.0 / 4.0
+
+
+def test_degree_delta_full_outer_semantics():
+    from hackathon_pagerank_ray.stages.snapshots import degree_delta
+    a = pd.DataFrame({"src": [1, 1, 2], "dst": [9, 8, 9]})
+    b = pd.DataFrame({"src": [1, 3], "dst": [9, 9]})
+    out = (degree_delta(rd.from_pandas(a).repartition(2),
+                        rd.from_pandas(b)).to_pandas()
+           .sort_values("src").reset_index(drop=True))
+    assert out["src"].tolist() == [1, 2, 3]
+    assert out["outdeg_a"].tolist() == [2, 1, 0]
+    assert out["outdeg_b"].tolist() == [1, 0, 1]
+    assert out["delta"].tolist() == [-1, -1, 1]
+    assert out["delta"].dtype == np.int64
