@@ -21,6 +21,7 @@ import math
 import time
 
 import numpy as np
+import pyarrow as pa
 import ray
 
 from ..state.checkpoint import (latest_sweep, read_manifest, sweep_dir,
@@ -238,7 +239,7 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
              max_iter: int = 100, checkpoint_dir: str | None = None,
              checkpoint_every: int = 1, resume: bool = False,
              normalize: bool = True, dangling_mode: str = "distribute",
-             personalization=None):
+             personalization=None, warm_start=None):
     """Distributed power iteration, reference semantics
     (backend/cuda/pagerank_gpu.cu:137-191): per sweep measure dangling mass
     on the in-vector, ``r' = α·(P·r + dm/n) + (1-α)/n``, L1 stop AFTER the
@@ -257,9 +258,20 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     distribution instead of uniform 1/n.  Only the seed entries ship to
     the owners (each holds its dense local slice), so a sparse seed set
     costs O(|seeds|) transfer regardless of n.
+
+    ``warm_start``: optional starting rank vector for the recrawl loop —
+    a ``(vid, rank)`` Dataset (e.g. the previous snapshot's output) or a
+    ``(vids, ranks)`` array pair.  Vertices absent from it start at the
+    uniform 1/n.  The power iteration's fixpoint is unique for α < 1, so
+    warm-starting changes ONLY the sweep count to tolerance, never the
+    converged ranks; a Dataset ships block-by-block through worker-side
+    split tasks (no driver collect).  Mutually exclusive with ``resume``
+    (checkpoints already carry their own state).
     """
     if dangling_mode not in ("distribute", "teleport"):
         raise ValueError(dangling_mode)
+    if warm_start is not None and resume:
+        raise ValueError("warm_start and resume are mutually exclusive")
     _install_personalization(graph, personalization)
     if graph.n == 0:
         ray.get([ow.init_ranks.remote() for ow in graph.owners])
@@ -272,7 +284,9 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     owners = graph.owners
     start_it = 0
     residual = math.inf
-    if resume and checkpoint_dir:
+    if warm_start is not None:
+        _install_warm_start(graph, warm_start)
+    elif resume and checkpoint_dir:
         last = latest_sweep(checkpoint_dir)
         if last is not None:
             it, manifest = last
@@ -387,6 +401,57 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
             graph.m / median_sweep if median_sweep else None,
     }
     return graph.ranks_dataset(), info
+
+
+def _install_warm_start(graph: ShardedGraph, warm_start) -> None:
+    """Scatter a previous rank vector onto the owners: init every slot to
+    the uniform 1/n (new-since-last-crawl vertices), then overlay the
+    given (vid, rank) rows.  A Dataset is split per-owner in worker tasks
+    block-by-block — the driver never holds the vector."""
+    owners = graph.owners
+    P = graph.P
+    fill = 1.0 / graph.n if graph.n else 0.0
+    ray.get([ow.init_ranks.remote(fill) for ow in owners])
+
+    if isinstance(warm_start, tuple):
+        vids, vals = warm_start
+        vids = np.asarray(vids, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        if len(vids) and (vids.min() < 0 or vids.max() >= graph.n):
+            raise ValueError("warm_start vid outside [0, n)")
+        owner_of = vids % P
+        ray.get([ow.warm_apply_parts.remote(
+            pa.table({"vid": pa.array(vids[owner_of == j], pa.int64()),
+                      "rank": pa.array(vals[owner_of == j], pa.float64())}))
+            for j, ow in enumerate(owners) if (owner_of == j).any()])
+        return
+
+    # Dataset path: split each block by owner in a worker task
+    n = graph.n
+
+    @ray.remote
+    def _split(block):
+        t = block if isinstance(block, pa.Table) else \
+            pa.Table.from_pandas(block, preserve_index=False)
+        v = (np.asarray(t["vid"], dtype=np.int64) if t.num_rows
+             else np.empty(0, dtype=np.int64))
+        r = (np.asarray(t["rank"], dtype=np.float64) if t.num_rows
+             else np.empty(0, dtype=np.float64))
+        if len(v) and (v.min() < 0 or v.max() >= n):
+            raise ValueError("warm_start vid outside [0, n)")
+        owner_of = v % P
+        return tuple(
+            pa.table({"vid": pa.array(v[owner_of == j], pa.int64()),
+                      "rank": pa.array(r[owner_of == j], pa.float64())})
+            for j in range(P))
+
+    refs = warm_start.materialize().to_arrow_refs()
+    splits = [_split.options(num_returns=P).remote(b) for b in refs]
+    if P == 1:
+        ray.get([owners[0].warm_apply_parts.remote(*splits)])
+    else:
+        ray.get([ow.warm_apply_parts.remote(*[s[j] for s in splits])
+                 for j, ow in enumerate(owners)])
 
 
 def _install_personalization(graph: ShardedGraph, personalization) -> None:

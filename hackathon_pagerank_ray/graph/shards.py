@@ -158,6 +158,16 @@ class RankOwner:
     def set_ranks(self, ranks: np.ndarray) -> None:
         self.r = np.asarray(ranks, dtype=np.float64).copy()
 
+    def warm_apply_parts(self, *tables) -> None:
+        """Overlay (vid, rank) rows onto the current rank vector — the
+        warm-start scatter target.  ``init_ranks(fill)`` must run first;
+        every vid must be owned here (``vid % P == j``)."""
+        for t in tables:
+            v = np.asarray(t["vid"], dtype=np.int64)
+            if len(v):
+                self.r[v // self.P] = np.asarray(t["rank"],
+                                                 dtype=np.float64)
+
     def start_pagerank_sweep(self) -> float:
         """Compute rr = r/outdeg and return this partition's dangling mass
         (reference measures it on the in-vector, pagerank_gpu.cu:150-154)."""

@@ -14,6 +14,10 @@ from hackathon_pagerank_ray.stages.domains import (domain_graph,
 from hackathon_pagerank_ray.testgen import edges_to_table, gen_random_edges
 
 
+def _ranks(ds):
+    return ds.to_pandas().sort_values("vid")["rank"].to_numpy()
+
+
 def _collapse_numpy(edges: np.ndarray, nd: int):
     """Reference collapse: dict of (sdom, ddom) -> page-link count."""
     out = {}
@@ -156,3 +160,64 @@ def test_degree_delta_full_outer_semantics():
     assert out["outdeg_b"].tolist() == [1, 0, 1]
     assert out["delta"].tolist() == [-1, -1, 1]
     assert out["delta"].dtype == np.int64
+
+
+def test_pagerank_warm_start_same_fixpoint_fewer_sweeps():
+    """Recrawl loop: warm-starting snapshot B's solve from snapshot A's
+    ranks converges to the identical fixpoint in fewer sweeps (the power
+    iteration's fixpoint is unique for alpha < 1)."""
+    edges_a = gen_random_edges(400, 4000, seed=5)
+    # snapshot B: drop every 7th edge, add a shifted batch
+    keep = edges_a[np.arange(len(edges_a)) % 7 != 0]
+    extra = gen_random_edges(400, 400, seed=6)
+    edges_b = np.concatenate([keep, extra])
+
+    g_a = ShardedGraph.build(rd.from_arrow(edges_to_table(edges_a)),
+                             n=400, num_owners=4)
+    try:
+        ranks_a, _ = pagerank(g_a, tol=1e-12)
+        ranks_a_ds = ranks_a.materialize()
+    finally:
+        g_a.shutdown()
+
+    g_b = ShardedGraph.build(rd.from_arrow(edges_to_table(edges_b)),
+                             n=400, num_owners=4)
+    try:
+        cold, info_cold = pagerank(g_b, tol=1e-12)
+        cold_r = _ranks(cold)
+        warm, info_warm = pagerank(g_b, tol=1e-12, warm_start=ranks_a_ds)
+        warm_r = _ranks(warm)
+        # array-pair form must behave identically
+        df_a = ranks_a_ds.to_pandas()
+        warm2, info_warm2 = pagerank(
+            g_b, tol=1e-12, warm_start=(df_a["vid"].to_numpy(),
+                                        df_a["rank"].to_numpy()))
+        warm2_r = _ranks(warm2)
+    finally:
+        g_b.shutdown()
+
+    assert np.abs(warm_r - cold_r).max() < 1e-9
+    assert np.abs(warm2_r - warm_r).max() == 0.0
+    assert info_warm["sweeps"] < info_cold["sweeps"]
+    assert info_warm2["sweeps"] == info_warm["sweeps"]
+
+
+def test_pagerank_warm_start_resume_conflict_and_reuse():
+    edges = gen_random_edges(100, 600, seed=9)
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           n=100, num_owners=2)
+    try:
+        import pytest
+        with pytest.raises(ValueError):
+            pagerank(g, warm_start=(np.array([0]), np.array([1.0])),
+                     resume=True, checkpoint_dir="/tmp/never")
+        # a warm-started mesh reused WITHOUT warm_start must re-init
+        # to uniform and give the plain cold-start result
+        r_warm = _ranks(pagerank(g, warm_start=(
+            np.arange(100, dtype=np.int64), np.full(100, 0.01)))[0])
+        r_plain = _ranks(pagerank(g)[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.pagerank(edges, n=100)
+    assert np.abs(r_plain - ro).max() < 1e-12
+    assert np.abs(r_warm - ro).max() < 1e-6  # same fixpoint at tol
