@@ -159,7 +159,9 @@ def run_queries(sf_dir: str) -> dict:
              "order_price_ntile", "price_band_counts", "pack_offsets",
              "random_walks", "betweenness", "kmeans", "corpus_shuffle",
              "mktsegment_mode", "price_qty_slope", "mutual_edges",
-             "order_price_prank", "acctbal_mad_by_nation", "dup_windows"]
+             "order_price_prank", "acctbal_mad_by_nation", "dup_windows",
+             "domain_graph", "domain_pagerank", "reciprocity",
+             "edge_churn", "degree_delta", "anchor_text"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
