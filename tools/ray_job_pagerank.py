@@ -42,6 +42,10 @@ def main(argv=None) -> int:
                     help="per-sweep rank-vector checkpoints + lineage")
     ap.add_argument("--resume", action="store_true",
                     help="resume from the latest checkpoint sweep")
+    ap.add_argument("--warm-start-from", default=None,
+                    help="previous snapshot's (vid, rank) parquet — the "
+                    "recrawl delta-solve seeds from it (new vertices "
+                    "start at 1/n); mutually exclusive with --resume")
     ap.add_argument("--damping", type=float, default=0.85)
     ap.add_argument("--tol", type=float, default=1e-6)
     ap.add_argument("--max-iter", type=int, default=100)
@@ -65,11 +69,16 @@ def main(argv=None) -> int:
     graph = ShardedGraph.build(args.edges, num_owners=mesh,
                                num_edge_shards=mesh,
                                gather_mode=args.gather_mode)
+    warm = None
+    if args.warm_start_from:
+        import ray.data as rd
+        warm = rd.read_parquet(args.warm_start_from,
+                               columns=["vid", "rank"])
     try:
         ranks, info = pagerank(
             graph, alpha=args.damping, tol=args.tol,
             max_iter=args.max_iter, checkpoint_dir=args.checkpoint_dir,
-            resume=args.resume)
+            resume=args.resume, warm_start=warm)
         ranks.write_parquet(args.out)
         print(json.dumps({
             "n": graph.n, "m": graph.m, "mesh": mesh,
