@@ -1143,12 +1143,57 @@ def _q_domain_pagerank(sf_dir):
         g.shutdown()
 
 
+def _q_domain_rank_mass(sf_dir):
+    """Domain-level PageRank mass: run page PageRank, roll ranks up by
+    domain — the rollup a web pipeline keys per-host crawl budgets on.
+    128 output groups regardless of page count (bounded-cardinality
+    groupby after the solve)."""
+    _quiet()
+    from ray.data.aggregate import Count, Sum
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    g = ShardedGraph.build(_edges_ds(sf_dir), num_owners=4)
+    try:
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
+
+        def _dom(t: pa.Table) -> pa.Table:
+            import numpy as np
+            v = np.asarray(t["vid"], dtype=np.int64)
+            return pa.table({"dom": pa.array(v % _NUM_DOMAINS, pa.int64()),
+                             "rank": t["rank"].combine_chunks()})
+
+        out = (ranks.map_batches(_dom, batch_format="pyarrow")
+               .groupby("dom").aggregate(Sum("rank"), Count())
+               .rename_columns({"sum(rank)": "mass",
+                                "count()": "n_pages"}))
+
+        def _cast(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "dom": t["dom"].combine_chunks().cast(pa.int64()),
+                "mass": t["mass"].combine_chunks().cast(pa.float64()),
+                "n_pages": t["n_pages"].combine_chunks().cast(pa.int64())})
+
+        return out.map_batches(_cast, batch_format="pyarrow").materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_reciprocity(sf_dir):
     """Global link reciprocity over the distinct non-self-loop edge set:
     one row (n_edges, n_mutual, reciprocity)."""
     _quiet()
     from hackathon_pagerank_ray.stages.domains import reciprocity
     return reciprocity(_edges_ds(sf_dir))
+
+
+def _q_eigenvector(sf_dir):
+    """Eigenvector centrality, fixed sweeps (oracle unrolls the same
+    count; the L2 normalize is one sqrt both engines round identically)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import eigenvector_centrality
+    scores, _ = eigenvector_centrality(_edges_ds(sf_dir), num_owners=4,
+                                       max_iter=_PR_SWEEPS)
+    return scores
 
 
 def _q_hits(sf_dir):
@@ -1789,8 +1834,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "edge_churn": _q_edge_churn,
         "degree_delta": _q_degree_delta,
+        "domain_rank_mass": _q_domain_rank_mass,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
+        "eigenvector": _q_eigenvector,
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
         "label_propagation": _q_label_propagation,
@@ -1879,6 +1926,36 @@ def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
             f"FROM r{sweeps}")
+
+
+def _eig_oracle_sql(sweeps: int = _PR_SWEEPS) -> str:
+    """Unrolled eigenvector-centrality power iteration: per sweep an
+    in-edge plain sum, then one L2 normalize (sqrt is correctly rounded
+    in both engines; the sums differ only in association order)."""
+    parts = [f"edges AS MATERIALIZED ({_EDGE_SQL})",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "x0 AS MATERIALIZED (SELECT vid, "
+             "1.0 / sqrt(CAST((SELECT n FROM p) AS DOUBLE)) AS r "
+             "FROM verts)"]
+    for k in range(1, sweeps + 1):
+        prev = f"x{k-1}"
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vid, SUM(x.r) AS s "
+            f"FROM edges e JOIN {prev} x ON x.vid = e.src GROUP BY e.dst)")
+        parts.append(
+            f"pre{k} AS MATERIALIZED (SELECT v.vid, COALESCE(c.s, 0.0) "
+            f"AS r FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid)")
+        parts.append(
+            f"n{k} AS MATERIALIZED (SELECT sqrt(SUM(r * r)) AS nr "
+            f"FROM pre{k})")
+        parts.append(
+            f"x{k} AS MATERIALIZED (SELECT vid, "
+            f"r / (SELECT nr FROM n{k}) AS r FROM pre{k})")
+    return ("WITH " + ", ".join(parts)
+            + f" SELECT vid, r AS score FROM x{sweeps}")
 
 
 def _wpr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85,
@@ -2498,6 +2575,10 @@ def oracle_sql() -> dict[str, str]:
             f"(o_orderkey % 997) % {_NUM_DOMAINS} AS d FROM orders) "
             f"WHERE s <> d GROUP BY s, d"),
         "domain_pagerank": _wpr_oracle_sql(edge_sql=_DOM_EDGE_SQL),
+        "domain_rank_mass": (
+            f"SELECT vid % {_NUM_DOMAINS} AS dom, SUM(rank) AS mass, "
+            f"COUNT(*) AS n_pages FROM ({_pagerank_oracle_sql()}) "
+            f"GROUP BY vid % {_NUM_DOMAINS}"),
         "reciprocity": (
             "WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
             "(SELECT o_custkey AS src, o_orderkey % 997 AS dst "
@@ -2531,6 +2612,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM da FULL OUTER JOIN db ON da.src = db.src"),
         "personalized_pagerank": _ppr_oracle_sql(),
         "hits_scores": _hits_oracle_sql(),
+        "eigenvector": _eig_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""

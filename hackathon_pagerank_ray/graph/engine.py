@@ -564,6 +564,56 @@ def hits(edges_ds, num_owners: int = 8, max_iter: int = 20,
         g_rev.shutdown()
 
 
+def eigenvector_centrality(edges_ds, num_owners: int = 8,
+                           max_iter: int = 20,
+                           num_edge_shards: int | None = None):
+    """Eigenvector centrality (Bonacich): power iteration
+    ``x' = A^T x / ||A^T x||_2`` — a vertex is central when pointed to by
+    central vertices, the undamped ancestor of PageRank.  Exactly the
+    HITS authority half-sweep (:func:`hits`) run on ONE mesh against
+    itself: plain-sum gather-scatter keyed by dst, one L2 scalar barrier
+    per sweep, same per-sweep cost structure as :func:`pagerank`.
+
+    Fixed ``max_iter`` sweeps (deterministic — the conformance oracle
+    unrolls the same count; convergence of undamped power iteration is
+    graph-dependent, which is why PageRank damps).  Returns
+    ``(scores_dataset(vid, score), info)``.
+    """
+    g = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                           num_edge_shards=num_edge_shards)
+    try:
+        n = g.n
+        if n == 0:
+            empty = ray.data.from_arrow(pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "score": pa.array([], pa.float64())}))
+            return empty, {"sweeps": 0, "n": 0, "m": 0}
+        t0 = time.perf_counter()
+        ray.get([ow.init_ranks.remote(1.0 / math.sqrt(n))
+                 for ow in g.owners])
+        for _ in range(max_iter):
+            vals = [ow.ranks_array.remote() for ow in g.owners]
+            ray.get([ow.set_sweep_values.remote(vals[j])
+                     for j, ow in enumerate(g.owners)])
+            partials = g._partial_refs("pagerank_partials")
+            ssq = ray.get([
+                ow.apply_sum_update.remote(
+                    *[partials[e][j] for e in range(g.E)])
+                for j, ow in enumerate(g.owners)
+            ])
+            norm = math.sqrt(sum(ssq))
+            if norm > 0:
+                ray.get([ow.scale_ranks.remote(1.0 / norm)
+                         for ow in g.owners])
+        elapsed = time.perf_counter() - t0
+        out = (g.ranks_dataset()
+               .rename_columns({"rank": "score"}).materialize())
+        return out, {"sweeps": max_iter, "n": n, "m": g.m,
+                     "elapsed_sec": elapsed}
+    finally:
+        g.shutdown()
+
+
 def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float,
                      personalized: bool = False):
     """Fail fast when a checkpoint was written by a differently-shaped run —

@@ -221,3 +221,23 @@ def test_pagerank_warm_start_resume_conflict_and_reuse():
     ro, _, _ = oracle.pagerank(edges, n=100)
     assert np.abs(r_plain - ro).max() < 1e-12
     assert np.abs(r_warm - ro).max() < 1e-6  # same fixpoint at tol
+
+
+def test_eigenvector_centrality_matches_numpy_replay():
+    from hackathon_pagerank_ray.graph.engine import eigenvector_centrality
+    edges = gen_random_edges(300, 3000, seed=17)
+    ds = rd.from_arrow(edges_to_table(edges)).repartition(4)
+    out, info = eigenvector_centrality(ds, num_owners=4, max_iter=20)
+    got = out.to_pandas().sort_values("vid")["score"].to_numpy()
+    # numpy twin: x' = A^T x, L2 normalize, 20 sweeps from 1/sqrt(n)
+    n = 300
+    x = np.full(n, 1.0 / np.sqrt(n))
+    src, dst = edges[:, 0], edges[:, 1]
+    for _ in range(20):
+        pre = np.bincount(dst, weights=x[src], minlength=n)
+        nr = np.sqrt((pre * pre).sum())
+        x = pre / nr if nr > 0 else pre
+    assert np.abs(got - x).max() < 1e-12
+    assert info["sweeps"] == 20
+    # L2 norm of the output is 1
+    assert abs(np.sqrt((got * got).sum()) - 1.0) < 1e-12
