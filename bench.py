@@ -161,7 +161,8 @@ def run_queries(sf_dir: str) -> dict:
              "mktsegment_mode", "price_qty_slope", "mutual_edges",
              "order_price_prank", "acctbal_mad_by_nation", "dup_windows",
              "domain_graph", "domain_pagerank", "reciprocity",
-             "edge_churn", "degree_delta", "anchor_text"]
+             "edge_churn", "degree_delta", "anchor_text",
+             "eigenvector", "domain_rank_mass"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
