@@ -1230,6 +1230,39 @@ def _q_hll_users(sf_dir):
     return out.map_batches(_cast, batch_format="pyarrow")
 
 
+def _q_hourly_hll_users(sf_dir):
+    """Grouped HyperLogLog registers: COUNT(DISTINCT user) per hour as a
+    mergeable (hour_bucket, bucket, rho) table — the bounded-exchange
+    replacement for the exact two-level distinct at 100 TB (per-block
+    exchange ≤ hours×256 rows; registers hex-derived, SQL-bit-exact)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.stats import hll_registers_by
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t["ts"], pa.int64())
+        hour = pc.divide(micros, pa.scalar(3_600_000_000, pa.int64()))
+        if isinstance(hour, pa.ChunkedArray):
+            hour = hour.combine_chunks()
+        return pa.Table.from_arrays(
+            [hour, t["user_id"].combine_chunks()],
+            names=["hour_bucket", "user_id"])
+
+    out = hll_registers_by(
+        ev.map_batches(_bucket, batch_format="pyarrow"),
+        "hour_bucket", "user_id")
+
+    def _cast(t: pa.Table) -> pa.Table:
+        return pa.Table.from_arrays(
+            [t["hour_bucket"].combine_chunks().cast(pa.int64()),
+             t["bucket"].combine_chunks().cast(pa.int64()),
+             t["rho"].combine_chunks().cast(pa.int64())],
+            names=["hour_bucket", "bucket", "rho"])
+
+    return out.map_batches(_cast, batch_format="pyarrow")
+
+
 def _q_scc(sf_dir):
     """Strongly connected components (min-vid labels) via forward/backward
     min-label coloring with a settled mask on the sharded mesh."""
@@ -1844,6 +1877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
         "hll_users": _q_hll_users,
+        "hourly_hll_users": _q_hourly_hll_users,
         "cms_event_users": _q_cms_users,
         "minhash_pairs": _q_minhash_pairs,
         "simhash_pairs": _q_simhash_pairs,
@@ -3265,6 +3299,29 @@ r AS (SELECT
   FROM t)
 SELECT CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS rho
 FROM r GROUP BY bucket
+""",
+        # grouped HLL registers (stages/stats.hll_registers_by): same
+        # hex-derived bucket/rho, partitioned by epoch-hour
+        "hourly_hll_users": """
+WITH t AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS hour_bucket,
+                  substr(md5(CAST(user_id AS VARCHAR)), 1, 16) AS hx
+           FROM events),
+r AS (SELECT hour_bucket,
+  (strpos('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+    + (strpos('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+  CASE WHEN ltrim(substr(hx, 3, 14), '0') = '' THEN 57
+       ELSE 4 * (14 - length(ltrim(substr(hx, 3, 14), '0')))
+            + CASE WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1) = '1'
+                     THEN 3
+                   WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1)
+                     IN ('2', '3') THEN 2
+                   WHEN substr(ltrim(substr(hx, 3, 14), '0'), 1, 1)
+                     IN ('4', '5', '6', '7') THEN 1
+                   ELSE 0 END + 1 END AS rho
+  FROM t)
+SELECT CAST(hour_bucket AS BIGINT) AS hour_bucket,
+       CAST(bucket AS BIGINT) AS bucket, CAST(MAX(rho) AS BIGINT) AS rho
+FROM r GROUP BY hour_bucket, bucket
 """,
         # count-min registers (stages/stats.cms_registers): bucket_d(k) =
         # first-8-hex of md5('d:'||k) mod 1024 — hex digits parsed

@@ -179,6 +179,60 @@ def hll_registers(ds, key_col: str, m: int = 256):
                              out_val="rho")
 
 
+def _hll_partial_by(batch: pd.DataFrame, group_col: str, key_col: str,
+                    m: int) -> pd.DataFrame:
+    """Per-batch GROUPED HLL partial: one packed (group<<8 | bucket,
+    max-rho) row per batch-local register.  Each distinct key is hashed
+    once (bulk md5) even when it appears under many groups; the group
+    key must be a non-negative int64 below 2^55 (epoch-hour buckets are
+    ~2^19)."""
+    df = batch[[group_col, key_col]].drop_duplicates()
+    if not len(df):
+        return pd.DataFrame({"k": pd.Series(dtype=np.int64),
+                             "rho": pd.Series(dtype=np.int64)})
+    keys, inv = np.unique(df[key_col].astype(str).to_numpy(),
+                          return_inverse=True)
+    h = _bulk_md5_upper_be(keys)[0]
+    buckets = (h >> np.uint64(56)).astype(np.int64)
+    tail = (h & np.uint64((1 << 56) - 1))
+    rhos = 57 - _bit_length_u64(tail)
+    g = df[group_col].to_numpy(dtype=np.int64)
+    if len(g) and (g.min() < 0 or g.max() >= (1 << 55)):
+        raise ValueError("group key outside the packed-register bound")
+    packed = (g << np.int64(8)) | buckets[inv]
+    uniq, uinv = np.unique(packed, return_inverse=True)
+    mx = np.zeros(len(uniq), dtype=np.int64)
+    np.maximum.at(mx, uinv, rhos[inv])
+    return pd.DataFrame({"k": uniq, "rho": mx})
+
+
+def hll_registers_by(ds, group_col: str, key_col: str, m: int = 256):
+    """Grouped HyperLogLog: ``COUNT(DISTINCT key) GROUP BY group`` as a
+    mergeable register table ``(group, bucket, rho)`` — ≤ m partial rows
+    per (batch, group) leave each block and the merge is one
+    packed-int64 max shuffle, so the exchange is bounded by
+    groups × m regardless of input size (the at-scale replacement for
+    the exact two-level distinct in ``events.distinct_count_by``)."""
+    if m != 256:
+        raise ValueError("m=256 is the md5-hex bucketing this sketch uses")
+    import pyarrow as pa
+
+    from .taskshuffle import grouped_agg_int64
+    partials = ds.map_batches(_hll_partial_by, batch_format="pandas",
+                              fn_kwargs=dict(group_col=group_col,
+                                             key_col=key_col, m=m))
+    merged = grouped_agg_int64(partials, "k", "rho", op="max",
+                               out_val="rho")
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["k"], dtype=np.int64)
+        return pa.table({group_col: pa.array(k >> np.int64(8), pa.int64()),
+                         "bucket": pa.array(k & np.int64(0xFF), pa.int64()),
+                         "rho": t["rho"].combine_chunks()})
+
+    return merged.map_batches(_unpack, batch_format="pyarrow")
+
+
 def hll_estimate(registers_df, m: int = 256) -> float:
     """Driver-side HLL estimator (Flajolet et al.): bias-corrected
     harmonic mean with the small-range linear-counting correction.

@@ -241,3 +241,32 @@ def test_eigenvector_centrality_matches_numpy_replay():
     assert info["sweeps"] == 20
     # L2 norm of the output is 1
     assert abs(np.sqrt((got * got).sum()) - 1.0) < 1e-12
+
+
+def test_grouped_hll_matches_per_group_global_sketch():
+    """hll_registers_by(group) must equal running hll_registers on each
+    group's rows separately — and its estimates track exact distincts."""
+    from hackathon_pagerank_ray.stages.stats import (hll_estimate,
+                                                     hll_registers,
+                                                     hll_registers_by)
+    rng = np.random.default_rng(31)
+    groups, keys = [], []
+    exact = {}
+    for g, n in ((3, 50), (7, 400), (12, 1500)):
+        ks = rng.integers(0, n * 2, n * 3)   # duplicates on purpose
+        groups += [g] * len(ks)
+        keys += [f"u{g}_{k}" for k in ks]
+        exact[g] = len(set(keys[-len(ks):]))
+    df = pd.DataFrame({"grp": groups, "key": keys})
+    ds = rd.from_pandas(df).repartition(4)
+    out = hll_registers_by(ds, "grp", "key").to_pandas()
+    for g in exact:
+        regs = (out[out["grp"] == g][["bucket", "rho"]]
+                .reset_index(drop=True))
+        solo = (hll_registers(
+            rd.from_pandas(df[df["grp"] == g][["key"]]), "key")
+            .to_pandas().sort_values("bucket").reset_index(drop=True))
+        merged = regs.sort_values("bucket").reset_index(drop=True)
+        pd.testing.assert_frame_equal(merged, solo, check_exact=True)
+        est = hll_estimate(regs)
+        assert abs(est - exact[g]) / exact[g] < 0.2, (g, est, exact[g])
