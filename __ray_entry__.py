@@ -1345,6 +1345,38 @@ def _q_minhash_pairs(sf_dir):
     return pairs.select_columns(["a", "b"])
 
 
+def _q_dup_cluster_sizes(sf_dir):
+    """Near-dup cluster-size histogram (corpus-quality metric: how much
+    of the corpus sits in 2-doc vs 50-doc boilerplate clusters): MinHash
+    verified pairs → connected components → two bounded count shuffles.
+    Output (cluster_size, n_clusters) over clusters of size ≥ 2."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import (minhash_dedup,
+                                                          near_dup_groups)
+    from hackathon_pagerank_ray.stages.relational import distinct
+    from hackathon_pagerank_ray.stages.taskshuffle import grouped_agg_int64
+
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    pairs = minhash_dedup(docs, threshold=0.5, num_partitions=8)
+    pairs = pairs.materialize()
+
+    def _ids(t: pa.Table) -> pa.Table:
+        import numpy as np
+        ids = np.concatenate([np.asarray(t["a"], dtype=np.int64),
+                              np.asarray(t["b"], dtype=np.int64)])
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.int64())})
+
+    universe = distinct(pairs.map_batches(_ids, batch_format="pyarrow"),
+                        ["doc_id"], 4)
+    groups = near_dup_groups(pairs, universe_ids_ds=universe)
+    sizes = grouped_agg_int64(groups.select_columns(["group"]), "group",
+                              None, op="sum", out_val="cluster_size")
+    hist = grouped_agg_int64(sizes.select_columns(["cluster_size"]),
+                             "cluster_size", None, op="sum",
+                             out_val="n_clusters")
+    return hist
+
+
 def _q_simhash_pairs(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.dedup_near import (simhash_candidates,
@@ -1880,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hourly_hll_users": _q_hourly_hll_users,
         "cms_event_users": _q_cms_users,
         "minhash_pairs": _q_minhash_pairs,
+        "dup_cluster_sizes": _q_dup_cluster_sizes,
         "simhash_pairs": _q_simhash_pairs,
         "embedding_near_dups": _q_embedding_near_dups,
         "language_id": _q_language_id,
@@ -2684,6 +2717,25 @@ GROUP BY x.a
         "fingerprints": _FP_ORACLE_SQL,
         "tfidf_search": _TFIDF_ORACLE_SQL,
         "minhash_pairs": _MINHASH_ORACLE_SQL,
+        # near-dup cluster sizes: CC over the verified MinHash pair graph
+        # (tiny by construction), then two GROUP BY counts
+        "dup_cluster_sizes": f"""
+WITH RECURSIVE prs AS MATERIALIZED (
+  SELECT a, b FROM ({_MINHASH_ORACLE_SQL})),
+und AS MATERIALIZED (
+  SELECT a AS u, b AS v FROM prs UNION ALL SELECT b, a FROM prs),
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+reach(vid, lab) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT und.v, reach.lab FROM reach JOIN und ON und.u = reach.vid
+),
+labels AS (SELECT vid, MIN(lab) AS grp FROM reach GROUP BY vid),
+sizes AS (SELECT grp, COUNT(*) AS cluster_size FROM labels GROUP BY grp)
+SELECT CAST(cluster_size AS BIGINT) AS cluster_size,
+       COUNT(*) AS n_clusters
+FROM sizes GROUP BY cluster_size
+""",
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "embedding_near_dups": _EMB_ORACLE_SQL,
         "user_sessions": _SESSIONS_ORACLE_SQL,

@@ -270,3 +270,37 @@ def test_grouped_hll_matches_per_group_global_sketch():
         pd.testing.assert_frame_equal(merged, solo, check_exact=True)
         est = hll_estimate(regs)
         assert abs(est - exact[g]) / exact[g] < 0.2, (g, est, exact[g])
+
+
+def test_dup_cluster_size_histogram():
+    """Identical texts form clusters; histogram counts clusters by size."""
+    from hackathon_pagerank_ray.stages.dedup_near import (minhash_dedup,
+                                                          near_dup_groups)
+    from hackathon_pagerank_ray.stages.relational import distinct
+    from hackathon_pagerank_ray.stages.taskshuffle import grouped_agg_int64
+
+    t3 = "the quick brown fox jumps over the lazy dog again and again"
+    t2 = "an entirely different duplicated boilerplate footer text block"
+    uniq = "completely unrelated single document with its own words"
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 10, 11, 20],
+        "text": [t3, t3, t3, t2, t2, uniq]})
+    ds = rd.from_pandas(docs).repartition(3)
+    pairs = minhash_dedup(ds, threshold=0.5, num_partitions=4).materialize()
+
+    def _ids(t):
+        ids = np.concatenate([np.asarray(t["a"], dtype=np.int64),
+                              np.asarray(t["b"], dtype=np.int64)])
+        return pa.table({"doc_id": pa.array(np.unique(ids), pa.int64())})
+
+    universe = distinct(pairs.map_batches(_ids, batch_format="pyarrow"),
+                        ["doc_id"], 2)
+    groups = near_dup_groups(pairs, universe_ids_ds=universe)
+    sizes = grouped_agg_int64(groups.select_columns(["group"]), "group",
+                              None, op="sum", out_val="cluster_size")
+    hist = (grouped_agg_int64(sizes.select_columns(["cluster_size"]),
+                              "cluster_size", None, op="sum",
+                              out_val="n_clusters")
+            .to_pandas().sort_values("cluster_size")
+            .reset_index(drop=True))
+    assert hist.values.tolist() == [[2, 1], [3, 1]]
