@@ -136,15 +136,21 @@ def extract_links(doc: Document, page_url: str, base_domain: str) -> list[str]:
     targets, drops ``mailto:`` / ``javascript:``; duplicates are preserved
     (dedup is a separate operator, SURVEY.md D2).
     """
-    out = []
+    return [t for _, t in _iter_anchor_targets(doc, page_url, base_domain)]
+
+
+def _iter_anchor_targets(doc: Document, page_url: str, base_domain: str):
+    """The ONE anchor walk + filter set both link extraction and the
+    anchor-text index use — yields ``(element, target_url)`` so the two
+    callers can't drift apart on filter rules (and the hot link path
+    pays no per-anchor text extraction)."""
     for a in doc.find_all("a", href=True):
         target = normalize_url(urljoin(page_url, a["href"]))
         if not is_same_domain(target, base_domain):
             continue
         if target.startswith("mailto:") or target.startswith("javascript:"):
             continue
-        out.append(target)
-    return out
+        yield a, target
 
 
 def extract_anchors(doc: Document, page_url: str,
@@ -157,19 +163,13 @@ def extract_anchors(doc: Document, page_url: str,
     (crawler/core.py:296-304 keeps only hrefs); a search/training
     pipeline additionally needs the anchor-text index (the classic
     description signal for the TARGET page), so this is the reference's
-    anchor walk with the text retained.  Same filters: same-base-domain
-    only, ``mailto:``/``javascript:`` dropped, duplicates preserved.
+    anchor walk with the text retained.  Same filters by construction
+    (shared :func:`_iter_anchor_targets`): same-base-domain only,
+    ``mailto:``/``javascript:`` dropped, duplicates preserved.
     """
-    out = []
-    for a in doc.find_all("a", href=True):
-        target = normalize_url(urljoin(page_url, a["href"]))
-        if not is_same_domain(target, base_domain):
-            continue
-        if target.startswith("mailto:") or target.startswith("javascript:"):
-            continue
-        text = _WS_RE.sub(" ", a.get_text(" ", strip=True)).strip()
-        out.append((target, text))
-    return out
+    return [(target, _WS_RE.sub(" ", a.get_text(" ", strip=True)).strip())
+            for a, target in _iter_anchor_targets(doc, page_url,
+                                                  base_domain)]
 
 
 def parse_page(html: str, url: str, target_lang: str | None = None,

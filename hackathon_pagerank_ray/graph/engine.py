@@ -262,7 +262,9 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
     ``warm_start``: optional starting rank vector for the recrawl loop —
     a ``(vid, rank)`` Dataset (e.g. the previous snapshot's output) or a
     ``(vids, ranks)`` array pair.  Vertices absent from it start at the
-    uniform 1/n.  The power iteration's fixpoint is unique for α < 1, so
+    uniform 1/n; rank rows whose vid no longer exists (the graph shrank —
+    pages vanished since the last crawl) are dropped.  The power
+    iteration's fixpoint is unique for α < 1, so
     warm-starting changes ONLY the sweep count to tolerance, never the
     converged ranks; a Dataset ships block-by-block through worker-side
     split tasks (no driver collect).  Mutually exclusive with ``resume``
@@ -417,8 +419,12 @@ def _install_warm_start(graph: ShardedGraph, warm_start) -> None:
         vids, vals = warm_start
         vids = np.asarray(vids, dtype=np.int64)
         vals = np.asarray(vals, dtype=np.float64)
-        if len(vids) and (vids.min() < 0 or vids.max() >= graph.n):
-            raise ValueError("warm_start vid outside [0, n)")
+        if len(vids) and vids.min() < 0:
+            raise ValueError("warm_start vid < 0")
+        # vids >= n are pages that VANISHED since the previous snapshot
+        # (the graph shrank) — drop them, that's the recrawl contract
+        keep = vids < graph.n
+        vids, vals = vids[keep], vals[keep]
         owner_of = vids % P
         ray.get([ow.warm_apply_parts.remote(
             pa.table({"vid": pa.array(vids[owner_of == j], pa.int64()),
@@ -437,19 +443,24 @@ def _install_warm_start(graph: ShardedGraph, warm_start) -> None:
              else np.empty(0, dtype=np.int64))
         r = (np.asarray(t["rank"], dtype=np.float64) if t.num_rows
              else np.empty(0, dtype=np.float64))
-        if len(v) and (v.min() < 0 or v.max() >= n):
-            raise ValueError("warm_start vid outside [0, n)")
+        if len(v) and v.min() < 0:
+            raise ValueError("warm_start vid < 0")
+        keep = v < n          # vanished-page vids: drop (see tuple path)
+        v, r = v[keep], r[keep]
         owner_of = v % P
-        return tuple(
-            pa.table({"vid": pa.array(v[owner_of == j], pa.int64()),
-                      "rank": pa.array(r[owner_of == j], pa.float64())})
-            for j in range(P))
+        outs = [pa.table({"vid": pa.array(v[owner_of == j], pa.int64()),
+                          "rank": pa.array(r[owner_of == j], pa.float64())})
+                for j in range(P)]
+        # with num_returns=1 Ray would keep a 1-tuple as ONE object and
+        # warm_apply_parts would receive a tuple, not a table
+        return tuple(outs) if P > 1 else outs[0]
 
     refs = warm_start.materialize().to_arrow_refs()
-    splits = [_split.options(num_returns=P).remote(b) for b in refs]
     if P == 1:
-        ray.get([owners[0].warm_apply_parts.remote(*splits)])
+        splits = [_split.remote(b) for b in refs]
+        ray.get(owners[0].warm_apply_parts.remote(*splits))
     else:
+        splits = [_split.options(num_returns=P).remote(b) for b in refs]
         ray.get([ow.warm_apply_parts.remote(*[s[j] for s in splits])
                  for j, ow in enumerate(owners)])
 
@@ -592,9 +603,10 @@ def eigenvector_centrality(edges_ds, num_owners: int = 8,
         ray.get([ow.init_ranks.remote(1.0 / math.sqrt(n))
                  for ow in g.owners])
         for _ in range(max_iter):
-            vals = [ow.ranks_array.remote() for ow in g.owners]
-            ray.get([ow.set_sweep_values.remote(vals[j])
-                     for j, ow in enumerate(g.owners)])
+            # src and dst owner are the SAME actor (unlike hits()'s two
+            # meshes), so publishing r as this sweep's values is a local
+            # assignment — no object-store round-trip of the vector
+            ray.get([ow.start_value_sweep.remote() for ow in g.owners])
             partials = g._partial_refs("pagerank_partials")
             ssq = ray.get([
                 ow.apply_sum_update.remote(

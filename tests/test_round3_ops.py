@@ -304,3 +304,29 @@ def test_dup_cluster_size_histogram():
             .to_pandas().sort_values("cluster_size")
             .reset_index(drop=True))
     assert hist.values.tolist() == [[2, 1], [3, 1]]
+
+
+def test_warm_start_single_owner_and_shrunk_graph():
+    """Review regressions: (a) the Dataset warm-start path must work at
+    num_owners=1 (Ray keeps a 1-tuple return as one object); (b) rank
+    rows whose vid no longer exists (graph shrank) are dropped, not a
+    crash."""
+    edges = gen_random_edges(80, 500, seed=23)
+    ds = rd.from_arrow(edges_to_table(edges))
+
+    # previous snapshot had MORE vertices (120) than the new graph (80)
+    prev = rd.from_pandas(pd.DataFrame({
+        "vid": np.arange(120, dtype=np.int64),
+        "rank": np.full(120, 1.0 / 120)}))
+
+    g = ShardedGraph.build(ds, n=80, num_owners=1)
+    try:
+        r = _ranks(pagerank(g, warm_start=prev)[0])
+        # array-pair form with stale vids must also drop them
+        r2 = _ranks(pagerank(g, warm_start=(
+            np.arange(120, dtype=np.int64), np.full(120, 1.0 / 120)))[0])
+    finally:
+        g.shutdown()
+    ro, _, _ = oracle.pagerank(edges, n=80)
+    assert np.abs(r - ro).max() < 1e-6
+    assert np.abs(r2 - ro).max() < 1e-6
