@@ -971,6 +971,14 @@ def _q_degree_histogram(sf_dir):
     return degree_histogram(_edges_ds(sf_dir))
 
 
+def _q_powerlaw_alpha(sf_dir):
+    """Hill estimator of the out-degree power-law exponent over the
+    degree tail (degree ≥ 5) — one row (n_tail, alpha)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import powerlaw_alpha
+    return powerlaw_alpha(_edges_ds(sf_dir))
+
+
 def _q_link_prediction(sf_dir):
     """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
     the per-center cap is the documented scale knob)."""
@@ -1900,6 +1908,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_churn": _q_edge_churn,
         "degree_delta": _q_degree_delta,
         "domain_rank_mass": _q_domain_rank_mass,
+        "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
         "hits_scores": _q_hits,
         "eigenvector": _q_eigenvector,
@@ -2668,6 +2677,15 @@ def oracle_sql() -> dict[str, str]:
             "nb.n - c.n AS n_added, na.n - c.n AS n_removed, "
             "CAST(c.n AS DOUBLE) / (na.n + nb.n - c.n) AS jaccard "
             "FROM na, nb, c"),
+        "powerlaw_alpha": (
+            f"WITH hist AS (SELECT outdeg AS degree, COUNT(*) AS c FROM "
+            f"(SELECT src, COUNT(*) AS outdeg FROM ({_EDGE_SQL}) "
+            "GROUP BY src) GROUP BY outdeg), "
+            "tail AS (SELECT degree, c FROM hist WHERE degree >= 5), "
+            "s AS (SELECT SUM(c) AS n, "
+            "SUM(c * ln(CAST(degree AS DOUBLE) / 5.0)) AS sl FROM tail) "
+            "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
+            "FROM s"),
         "degree_delta": (
             f"WITH da AS (SELECT src, COUNT(*) AS c FROM ({_EDGE_SQL}) "
             "GROUP BY src), "

@@ -122,3 +122,34 @@ def two_hop_counts(edges_ds, num_partitions: int = 8):
                      ["src", "w"], num_partitions)
     return (pairs.groupby("src").count()
             .rename_columns({"count()": "two_hop"}))
+
+
+def powerlaw_alpha(edges_ds, src_col: str = "src", dmin: int = 5):
+    """Hill estimator of the out-degree power-law exponent
+    ``alpha = 1 + n / Σ ln(d_i / dmin)`` over vertices with degree ≥
+    ``dmin`` (Broder et al. report alpha ≈ 2.1 for the web graph — the
+    health check a crawl rollup runs on its degree distribution).
+
+    Shape: reuses :func:`degree_histogram` (bounded output — at most
+    max-degree rows on any graph size), collects the tiny histogram,
+    and folds the log-sum in degree order with ``math.log`` per DISTINCT
+    degree — ``math.log`` matches SQL ``ln`` bit-for-bit where numpy's
+    SIMD log differs in the last ulp (BASELINE.md float-parity rules).
+    One row ``(n_tail, alpha)``.
+    """
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    hist = degree_histogram(edges_ds, src_col).to_pandas()
+    tail = hist[hist["degree"] >= dmin].sort_values("degree")
+    n = int(tail["n_vertices"].sum())
+    sl = 0.0
+    for deg, cnt in zip(tail["degree"].to_numpy(),
+                        tail["n_vertices"].to_numpy()):
+        sl += float(cnt) * math.log(float(deg) / float(dmin))
+    alpha = 1.0 + float(n) / sl if sl > 0 else float("inf")
+    return rd.from_arrow(pa.table({
+        "n_tail": pa.array([n], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64())}))

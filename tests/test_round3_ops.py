@@ -330,3 +330,16 @@ def test_warm_start_single_owner_and_shrunk_graph():
     ro, _, _ = oracle.pagerank(edges, n=80)
     assert np.abs(r - ro).max() < 1e-6
     assert np.abs(r2 - ro).max() < 1e-6
+
+
+def test_powerlaw_alpha_closed_form():
+    import math
+    from hackathon_pagerank_ray.stages.degrees import powerlaw_alpha
+    # degrees: v0->6 edges, v1->10 edges, v2->3 edges (below dmin=5)
+    src = [0] * 6 + [1] * 10 + [2] * 3
+    dst = list(range(6)) + list(range(10)) + list(range(3))
+    ds = rd.from_pandas(pd.DataFrame({"src": src, "dst": dst}))
+    out = powerlaw_alpha(ds, dmin=5).to_pandas()
+    sl = math.log(6 / 5) + math.log(10 / 5)
+    assert out["n_tail"].tolist() == [2]
+    assert out["alpha"].iloc[0] == 1.0 + 2.0 / sl
