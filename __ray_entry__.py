@@ -1281,6 +1281,16 @@ def _q_scc(sf_dir):
     return out
 
 
+def _q_bowtie(sf_dir):
+    """Bow-tie decomposition region sizes (Broder et al. WWW 2000):
+    CORE = largest SCC, IN/OUT = single-source BFS from the core's
+    min-vid representative over the reversed/forward mesh, TENDRIL =
+    core's weak component minus the above, DISCONNECTED = rest."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+    return bowtie_regions(_edges_ds(sf_dir), num_owners=4)
+
+
 _BFS_SOURCE = 1
 _BFS_MAX_D = 99
 
@@ -1914,6 +1924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigenvector": _q_eigenvector,
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
+        "bowtie": _q_bowtie,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
@@ -2729,6 +2740,54 @@ r(a, b) AS (
 SELECT x.a AS vid, MIN(x.b) AS label
 FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
 GROUP BY x.a
+""",
+        # bow-tie: largest SCC from the same closure r(a,b); IN/OUT from
+        # single-representative reachability (valid because CORE is
+        # strongly connected); TENDRIL via the undirected reach relation
+        "bowtie": f"""
+WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid FROM p),
+r(a, b) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b
+),
+scc AS MATERIALIZED (
+  SELECT x.a AS vid, MIN(x.b) AS label
+  FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+  GROUP BY x.a),
+core AS MATERIALIZED (
+  SELECT label FROM (SELECT label, COUNT(*) AS c FROM scc GROUP BY label)
+  ORDER BY c DESC, label LIMIT 1),
+fwd AS MATERIALIZED (SELECT DISTINCT b AS vid FROM r
+                     WHERE a = (SELECT label FROM core)),
+bwd AS MATERIALIZED (SELECT DISTINCT a AS vid FROM r
+                     WHERE b = (SELECT label FROM core)),
+e2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM edges WHERE src <> dst),
+und AS MATERIALIZED (SELECT u, v FROM e2 UNION ALL SELECT v, u FROM e2),
+reach(vid, lab) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT und.v, reach.lab FROM reach JOIN und ON und.u = reach.vid
+),
+wcc AS MATERIALIZED (SELECT vid, MIN(lab) AS label FROM reach GROUP BY vid),
+cls AS (
+  SELECT v.vid,
+    CASE WHEN s.label = (SELECT label FROM core) THEN 'CORE'
+         WHEN b.vid IS NOT NULL THEN 'IN'
+         WHEN f.vid IS NOT NULL THEN 'OUT'
+         WHEN w.label = (SELECT label FROM wcc
+                         WHERE vid = (SELECT label FROM core))
+           THEN 'TENDRIL'
+         ELSE 'DISCONNECTED' END AS region
+  FROM verts v
+  JOIN scc s ON s.vid = v.vid
+  JOIN wcc w ON w.vid = v.vid
+  LEFT JOIN fwd f ON f.vid = v.vid
+  LEFT JOIN bwd b ON b.vid = v.vid)
+SELECT region, COUNT(*) AS n_vertices FROM cls GROUP BY region
 """,
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,

@@ -365,3 +365,27 @@ def triangle_counts(edges: np.ndarray, n: int | None = None) -> np.ndarray:
                     counts[b] += 1
                     counts[c] += 1
     return counts
+
+
+def bowtie_regions(edges: np.ndarray, n: int | None = None) -> np.ndarray:
+    """Per-vertex bow-tie region (graph/bowtie.py contract): array of
+    strings in {CORE, IN, OUT, TENDRIL, DISCONNECTED}.  CORE = largest
+    SCC (ties by min label); reachability sides are BFS from/to the
+    CORE's min-vid representative; TENDRIL = same weak component as
+    CORE but not CORE/IN/OUT."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.empty(0, dtype=object)
+    scc = strongly_connected_components(edges, n)
+    labs, counts = np.unique(scc, return_counts=True)
+    core = int(labs[np.lexsort((labs, -counts))[0]])
+    fwd = bfs_distances(edges, core, n)
+    rev = edges[:, ::-1] if len(edges) else edges
+    bwd = bfs_distances(rev, core, n)
+    wcc = connected_components(edges, n)
+    region = np.select(
+        [scc == core, bwd >= 0, fwd >= 0, wcc == wcc[core]],
+        ["CORE", "IN", "OUT", "TENDRIL"],
+        default="DISCONNECTED")
+    return region

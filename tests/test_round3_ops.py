@@ -343,3 +343,25 @@ def test_powerlaw_alpha_closed_form():
     sl = math.log(6 / 5) + math.log(10 / 5)
     assert out["n_tail"].tolist() == [2]
     assert out["alpha"].iloc[0] == 1.0 + 2.0 / sl
+
+
+def test_bowtie_handmade():
+    from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+    # 0 -> {1,2} cycle (CORE) -> 3; tendril 0->4; island 5->6
+    edges = np.array([[0, 1], [1, 2], [2, 1], [2, 3], [0, 4], [5, 6]])
+    out = (bowtie_regions(rd.from_arrow(edges_to_table(edges)),
+                          num_owners=2, num_partitions=2)
+           .to_pandas().set_index("region")["n_vertices"])
+    assert out.to_dict() == {"CORE": 2, "IN": 1, "OUT": 1,
+                             "TENDRIL": 1, "DISCONNECTED": 2}
+
+
+def test_bowtie_matches_numpy_oracle_on_random_graph():
+    from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+    edges = gen_random_edges(90, 260, seed=47)
+    out = (bowtie_regions(rd.from_arrow(edges_to_table(edges)),
+                          num_owners=2, num_partitions=2)
+           .to_pandas().set_index("region")["n_vertices"].to_dict())
+    reg = oracle.bowtie_regions(edges)
+    want = {k: int((reg == k).sum()) for k in np.unique(reg)}
+    assert out == want
