@@ -1281,6 +1281,18 @@ def _q_scc(sf_dir):
     return out
 
 
+def _q_lp_modularity(sf_dir):
+    """Per-community Newman modularity terms of the 10-sweep LP
+    communities: (label, inside_edges, volume, q) with exact-int counts
+    and q = inside/m - (vol/2m)^2 as a fixed float expression tree (no
+    float summation anywhere, so the SQL twin is bit-equal per row)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.modularity import community_modularity
+    labels = _q_label_propagation(sf_dir)
+    return community_modularity(_edges_ds(sf_dir), labels,
+                                num_partitions=8)
+
+
 def _q_bowtie(sf_dir):
     """Bow-tie decomposition region sizes (Broder et al. WWW 2000):
     CORE = largest SCC, IN/OUT = single-source BFS from the core's
@@ -1925,6 +1937,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
         "bowtie": _q_bowtie,
+        "lp_modularity": _q_lp_modularity,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
@@ -2788,6 +2801,31 @@ cls AS (
   LEFT JOIN fwd f ON f.vid = v.vid
   LEFT JOIN bwd b ON b.vid = v.vid)
 SELECT region, COUNT(*) AS n_vertices FROM cls GROUP BY region
+""",
+        # modularity of the LP communities: LP twin reused as a CTE;
+        # inside/volume are exact int counts, q a fixed float expression
+        "lp_modularity": f"""
+WITH labels AS MATERIALIZED ({_lp_oracle_sql()}),
+edges AS MATERIALIZED ({_EDGE_SQL}),
+und AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM edges WHERE src <> dst),
+mm AS (SELECT COUNT(*) AS m FROM und),
+ej AS MATERIALIZED (
+  SELECT lu.label AS lab_u, lv.label AS lab_v
+  FROM und JOIN labels lu ON lu.vid = und.u
+           JOIN labels lv ON lv.vid = und.v),
+inside AS (SELECT lab_u AS label, COUNT(*) AS inside_edges FROM ej
+           WHERE lab_u = lab_v GROUP BY lab_u),
+vol AS (SELECT label, COUNT(*) AS volume FROM (
+          SELECT lab_u AS label FROM ej
+          UNION ALL SELECT lab_v FROM ej) GROUP BY label)
+SELECT v.label,
+       CAST(COALESCE(i.inside_edges, 0) AS BIGINT) AS inside_edges,
+       CAST(v.volume AS BIGINT) AS volume,
+       CAST(COALESCE(i.inside_edges, 0) AS DOUBLE) / (SELECT m FROM mm)
+         - (CAST(v.volume AS DOUBLE) / (2 * (SELECT m FROM mm)))
+           * (CAST(v.volume AS DOUBLE) / (2 * (SELECT m FROM mm))) AS q
+FROM vol v LEFT JOIN inside i ON i.label = v.label
 """,
         "label_propagation": _lp_oracle_sql(),
         "language_id": _LANG_ORACLE_SQL,

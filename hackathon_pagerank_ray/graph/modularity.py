@@ -1,0 +1,102 @@
+"""Newman modularity of a community assignment over the undirected
+simple graph — the standard quality score for label-propagation
+communities (Newman & Girvan 2004; LP per Raghavan et al. 2007).
+
+Per community c:  ``q_c = inside_c / m  -  (vol_c / 2m)^2``
+where ``inside_c`` = edges with both endpoints in c, ``vol_c`` = sum of
+member degrees (each edge contributes 2 to its endpoints' communities),
+and ``m`` = undirected simple edge count.  Global modularity Q is the
+sum of ``q_c`` — left to the consumer, so this operator emits NO float
+summation anywhere: ``inside``/``volume`` are exact int64 counts and
+each ``q_c`` is a fixed expression tree over them, making the DuckDB
+twin bit-equal per row.
+
+Scale shape: two vid-keyed hash joins of the edge table against the
+label table (the engine's single partitioning key), then two
+single-int64-key count shuffles whose output is bounded by the number
+of communities.  No per-row Python; no driver collect.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def community_modularity(edges_ds, labels_ds, num_partitions: int = 8):
+    """Per-community modularity terms.
+
+    ``labels_ds`` has columns ``(vid, label)`` covering every vertex that
+    appears on an edge (LP/CC outputs qualify).  Returns a Dataset
+    ``(label:int64, inside_edges:int64, volume:int64, q:float64)`` with
+    one row per community that touches at least one edge (communities of
+    isolated vertices have q = 0 by definition and are omitted), sorted
+    by label.
+    """
+    import ray.data
+    from .triangles import canonical_undirected
+    from ..stages.relational import inner_join, left_join_coalesce
+    from ..stages.schema_util import drop_empty_blocks, enforce_schema
+    from ..stages.taskshuffle import grouped_agg_int64
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    m = und.count()
+    if m == 0:
+        return ray.data.from_arrow(_SCHEMA.empty_table())
+
+    def _as(name):
+        # arrow-projection rename: robust to pandas-backed label blocks,
+        # and pins int64 dtypes before the joins
+        def _p(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vid": t["vid"].combine_chunks().cast(pa.int64()),
+                name: t["label"].combine_chunks().cast(pa.int64())})
+        return labels_ds.map_batches(_p, batch_format="pyarrow")
+
+    ej = inner_join(und, _as("lab_u"),
+                    "u", right_on="vid", num_partitions=num_partitions)
+    ej = inner_join(ej, _as("lab_v"),
+                    "v", right_on="vid", num_partitions=num_partitions)
+    ej = drop_empty_blocks(ej.select_columns(["lab_u", "lab_v"]))
+
+    inside = grouped_agg_int64(
+        ej.map_batches(
+            lambda t: pa.table({"label": t.filter(
+                pc.equal(t["lab_u"], t["lab_v"]))["lab_u"].combine_chunks()
+                .cast(pa.int64())}),
+            batch_format="pyarrow"),
+        "label", None, op="sum", out_val="inside_edges")
+    volume = grouped_agg_int64(
+        ej.map_batches(
+            lambda t: pa.table({"label": pa.concat_arrays(
+                [t["lab_u"].combine_chunks().cast(pa.int64()),
+                 t["lab_v"].combine_chunks().cast(pa.int64())])}),
+            batch_format="pyarrow"),
+        "label", None, op="sum", out_val="volume")
+
+    out = left_join_coalesce(volume, inside, "label",
+                             fill={"inside_edges": 0},
+                             num_partitions=num_partitions)
+
+    def _q(t: pa.Table) -> pa.Table:
+        inside_f = t["inside_edges"].combine_chunks().cast(pa.float64())
+        vol_f = t["volume"].combine_chunks().cast(pa.float64())
+        # fixed expression tree (division + one multiply, no pow/log):
+        # bit-equal to the SQL twin's CAST(...)/m - (CAST(..)/(2m))*(..)
+        frac = pc.divide(vol_f, pa.scalar(float(2 * m), pa.float64()))
+        q = pc.subtract(
+            pc.divide(inside_f, pa.scalar(float(m), pa.float64())),
+            pc.multiply(frac, frac))
+        return pa.table({"label": t["label"].combine_chunks(),
+                         "inside_edges": t["inside_edges"].combine_chunks(),
+                         "volume": t["volume"].combine_chunks(),
+                         "q": q})
+
+    out = out.map_batches(_q, batch_format="pyarrow")
+    return drop_empty_blocks(enforce_schema(out, _SCHEMA).sort("label"))
+
+
+_SCHEMA = pa.schema([pa.field("label", pa.int64()),
+                     pa.field("inside_edges", pa.int64()),
+                     pa.field("volume", pa.int64()),
+                     pa.field("q", pa.float64())])

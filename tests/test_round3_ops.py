@@ -365,3 +365,50 @@ def test_bowtie_matches_numpy_oracle_on_random_graph():
     reg = oracle.bowtie_regions(edges)
     want = {k: int((reg == k).sum()) for k in np.unique(reg)}
     assert out == want
+
+
+def test_modularity_two_triangles():
+    from hackathon_pagerank_ray.graph.modularity import community_modularity
+    edges = np.array([[0, 1], [1, 2], [0, 2], [3, 4], [4, 5], [3, 5],
+                      [2, 3]])
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(6, dtype=np.int64),
+         "label": np.array([0, 0, 0, 3, 3, 3], dtype=np.int64)}))
+    out = (community_modularity(rd.from_arrow(edges_to_table(edges)), labels,
+                                num_partitions=2)
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    assert out["label"].tolist() == [0, 3]
+    assert out["inside_edges"].tolist() == [3, 3]
+    assert out["volume"].tolist() == [7, 7]
+    # m = 7: q_c = 3/7 - (7/14)^2
+    want = 3.0 / 7.0 - (7.0 / 14.0) * (7.0 / 14.0)
+    assert out["q"].tolist() == [want, want]
+
+
+def test_modularity_random_graph_numpy_twin():
+    from hackathon_pagerank_ray.graph.modularity import community_modularity
+    edges = gen_random_edges(60, 200, seed=11)
+    n = 60
+    labels_np = oracle.label_propagation(edges, n=n)
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(n, dtype=np.int64), "label": labels_np}))
+    out = (community_modularity(rd.from_arrow(edges_to_table(edges)), labels,
+                                num_partitions=2)
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    und = {(min(int(u), int(v)), max(int(u), int(v)))
+           for u, v in edges if u != v}
+    m = len(und)
+    inside, vol = {}, {}
+    for u, v in und:
+        lu, lv = int(labels_np[u]), int(labels_np[v])
+        vol[lu] = vol.get(lu, 0) + 1
+        vol[lv] = vol.get(lv, 0) + 1
+        if lu == lv:
+            inside[lu] = inside.get(lu, 0) + 1
+    assert out["label"].tolist() == sorted(vol)
+    for _, r in out.iterrows():
+        lab = int(r["label"])
+        assert r["inside_edges"] == inside.get(lab, 0)
+        assert r["volume"] == vol[lab]
+        frac = vol[lab] / (2.0 * m)
+        assert r["q"] == inside.get(lab, 0) / float(m) - frac * frac
