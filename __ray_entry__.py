@@ -1126,6 +1126,17 @@ def _q_degree_delta(sf_dir):
     return degree_delta(_edges_ds(sf_dir), _edges_b_ds(sf_dir))
 
 
+def _q_rank_delta(sf_dir):
+    """Per-vertex PageRank churn between the two crawl snapshots: fixed
+    20-sweep solve on A, then on B warm-started from A's final vector
+    (new pages seed at 1/n_B, vanished pages drop) — the SQL twin
+    unrolls both chains with the same seeding."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.snapshots import rank_delta
+    return rank_delta(_edges_ds(sf_dir), _edges_b_ds(sf_dir),
+                      num_owners=4, sweeps=_PR_SWEEPS)
+
+
 def _q_domain_graph(sf_dir):
     """Host-graph collapse: page edges → (src_dom, dst_dom, link count),
     intra-domain links dropped — one packed-key count shuffle with
@@ -1929,6 +1940,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity": _q_reciprocity,
         "edge_churn": _q_edge_churn,
         "degree_delta": _q_degree_delta,
+        "rank_delta": _q_rank_delta,
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -1989,6 +2001,67 @@ def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT vid, r / (SELECT SUM(r) FROM r{sweeps}) AS rank "
             f"FROM r{sweeps}")
+
+
+def _rank_delta_oracle_sql(sweeps: int = _PR_SWEEPS,
+                           alpha: float = 0.85) -> str:
+    """Two unrolled fixed-sweep PageRank chains: snapshot A from uniform,
+    snapshot B seeded from A's final normalized vector (COALESCE to
+    1/n_B for pages new in B — exactly ``_install_warm_start``), then a
+    LEFT JOIN over B's universe with rank_a COALESCE 0.0 and one exact
+    float64 subtraction per row (stages/snapshots.rank_delta twin)."""
+    def _chain(tag: str, edges_cte: str, r0_cte: str) -> list[str]:
+        parts = []
+        for k in range(1, sweeps + 1):
+            prev = f"{tag}{k - 1}" if k > 1 else r0_cte
+            parts.append(
+                f"c{tag}{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+                f"SUM(pr.r / od.outdeg) AS s FROM {edges_cte} e "
+                f"JOIN {prev} pr ON pr.vid = e.src "
+                f"JOIN od{tag} od ON od.src = e.src GROUP BY e.dst)")
+            parts.append(
+                f"d{tag}{k} AS MATERIALIZED (SELECT COALESCE(SUM(r), 0.0) "
+                f"AS dm FROM {prev} WHERE vid NOT IN "
+                f"(SELECT src FROM {edges_cte}))")
+            parts.append(
+                f"{tag}{k} AS MATERIALIZED (SELECT v.vid, {alpha} * "
+                f"(COALESCE(c.s, 0.0) + (SELECT dm FROM d{tag}{k}) "
+                f"/ (SELECT n FROM n{tag})) + {1.0 - alpha} "
+                f"/ (SELECT n FROM n{tag}) AS r "
+                f"FROM verts{tag} v LEFT JOIN c{tag}{k} c ON c.vid = v.vid)")
+        return parts
+
+    parts = [f"ea AS MATERIALIZED ({_EDGE_SQL})",
+             "na AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM ea)",
+             "vertsa AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM na)",
+             "oda AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) "
+             "AS outdeg FROM ea GROUP BY src)",
+             "a0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM na) "
+             "AS r FROM vertsa)"]
+    parts += _chain("a", "ea", "a0")
+    parts.append(f"ra AS MATERIALIZED (SELECT vid, "
+                 f"r / (SELECT SUM(r) FROM a{sweeps}) AS rank "
+                 f"FROM a{sweeps})")
+    parts += [f"eb AS MATERIALIZED ({_EDGE_B_SQL})",
+              "nb AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+              "FROM eb)",
+              "vertsb AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+              "FROM nb)",
+              "odb AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) "
+              "AS outdeg FROM eb GROUP BY src)",
+              "b0 AS MATERIALIZED (SELECT v.vid, "
+              "COALESCE(ra.rank, 1.0 / (SELECT n FROM nb)) AS r "
+              "FROM vertsb v LEFT JOIN ra ON ra.vid = v.vid)"]
+    parts += _chain("b", "eb", "b0")
+    parts.append(f"rb AS MATERIALIZED (SELECT vid, "
+                 f"r / (SELECT SUM(r) FROM b{sweeps}) AS rank "
+                 f"FROM b{sweeps})")
+    return ("WITH " + ", ".join(parts) +
+            " SELECT rb.vid, COALESCE(ra.rank, 0.0) AS rank_a, "
+            "rb.rank AS rank_b, rb.rank - COALESCE(ra.rank, 0.0) AS delta "
+            "FROM rb LEFT JOIN ra ON ra.vid = rb.vid")
 
 
 def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -2710,6 +2783,7 @@ def oracle_sql() -> dict[str, str]:
             "SUM(c * ln(CAST(degree AS DOUBLE) / 5.0)) AS sl FROM tail) "
             "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
             "FROM s"),
+        "rank_delta": _rank_delta_oracle_sql(),
         "degree_delta": (
             f"WITH da AS (SELECT src, COUNT(*) AS c FROM ({_EDGE_SQL}) "
             "GROUP BY src), "

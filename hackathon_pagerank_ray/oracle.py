@@ -29,9 +29,11 @@ def n_from_edges(edges: np.ndarray) -> int:
 
 def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
              tol: float = 1e-8, max_iter: int = 100,
-             dangling_mode: str = "distribute"):
+             dangling_mode: str = "distribute", r0: np.ndarray | None = None):
     """Power iteration with dangling redistribution; returns (ranks, sweeps,
-    residual).  Semantics of backend/cuda/pagerank_gpu.cu:137-191."""
+    residual).  Semantics of backend/cuda/pagerank_gpu.cu:137-191.
+    ``r0`` optionally seeds the iteration (warm-start twin; default
+    uniform 1/n)."""
     if n is None:
         n = n_from_edges(edges)
     if n == 0:
@@ -46,7 +48,7 @@ def pagerank(edges: np.ndarray, n: int | None = None, alpha: float = 0.85,
     nz = outdeg > 0
     inv_out[nz] = 1.0 / outdeg[nz]
 
-    r = np.full(n, 1.0 / n)
+    r = np.full(n, 1.0 / n) if r0 is None else np.asarray(r0, np.float64).copy()
     teleport = (1.0 - alpha) / n
     sweeps, delta = 0, np.inf
     for it in range(max_iter):
@@ -84,7 +86,7 @@ def weighted_pagerank(edges: np.ndarray, w: np.ndarray,
     nz = outw > 0
     inv_out[nz] = 1.0 / outw[nz]
 
-    r = np.full(n, 1.0 / n)
+    r = np.full(n, 1.0 / n) if r0 is None else np.asarray(r0, np.float64).copy()
     teleport = (1.0 - alpha) / n
     sweeps, delta = 0, np.inf
     for it in range(max_iter):

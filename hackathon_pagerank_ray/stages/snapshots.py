@@ -70,3 +70,69 @@ def degree_delta(edges_a, edges_b, src_col: str = "src",
                          "delta": pa.array(b - a, pa.int64())})
 
     return counts.map_batches(_delta, batch_format="pyarrow")
+
+
+def rank_delta(edges_a, edges_b, num_owners: int = 4, sweeps: int = 20,
+               alpha: float = 0.85, num_partitions: int = 8):
+    """Per-vertex PageRank movement between two crawl snapshots — the
+    rank-churn signal that drives re-crawl prioritization (pages whose
+    rank is rising get fetched sooner).
+
+    Runs fixed-``sweeps`` PageRank on snapshot A, then on snapshot B
+    **warm-started from A's final vector** (the recrawl loop's real
+    shape: new-since-A vertices seed at uniform 1/n_B, vanished vertices
+    drop — ``graph.engine._install_warm_start``).  With ``tol=0`` both
+    solves run exactly ``sweeps`` power sweeps, so a SQL twin can unroll
+    the same two chains and match bit-for-bit at hash precision.
+
+    Returns ``(vid, rank_a, rank_b, delta)`` over snapshot B's vertex
+    universe; ``rank_a`` is 0.0 for pages new in B (delta = rank_b), and
+    ``delta = rank_b - rank_a`` is one exact float64 subtraction per row.
+
+    Scale shape: two mesh solves (the engine's core primitive) + ONE
+    vid-keyed hash join of two per-vertex rank tables.
+    """
+    from ..graph.engine import ShardedGraph, pagerank
+    from .relational import left_join_coalesce
+    from .schema_util import drop_empty_blocks, enforce_schema
+
+    g_a = ShardedGraph.build(edges_a, num_owners=num_owners)
+    try:
+        ranks_a, _ = pagerank(g_a, alpha=alpha, tol=0.0, max_iter=sweeps)
+        ranks_a = ranks_a.materialize()
+    finally:
+        g_a.shutdown()
+
+    g_b = ShardedGraph.build(edges_b, num_owners=num_owners)
+    try:
+        ranks_b, _ = pagerank(g_b, alpha=alpha, tol=0.0, max_iter=sweeps,
+                              warm_start=ranks_a)
+        ranks_b = ranks_b.materialize()
+    finally:
+        g_b.shutdown()
+
+    a2 = ranks_a.map_batches(
+        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
+                            "rank_a": t["rank"].combine_chunks()}),
+        batch_format="pyarrow")
+    b2 = ranks_b.map_batches(
+        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
+                            "rank_b": t["rank"].combine_chunks()}),
+        batch_format="pyarrow")
+    out = left_join_coalesce(b2, a2, "vid", fill={"rank_a": 0.0},
+                             num_partitions=num_partitions)
+
+    def _delta_col(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ra = t["rank_a"].combine_chunks().cast(pa.float64())
+        rb = t["rank_b"].combine_chunks().cast(pa.float64())
+        return pa.table({"vid": t["vid"].combine_chunks(),
+                         "rank_a": ra, "rank_b": rb,
+                         "delta": pc.subtract(rb, ra)})
+
+    schema = pa.schema([pa.field("vid", pa.int64()),
+                        pa.field("rank_a", pa.float64()),
+                        pa.field("rank_b", pa.float64()),
+                        pa.field("delta", pa.float64())])
+    return drop_empty_blocks(enforce_schema(
+        out.map_batches(_delta_col, batch_format="pyarrow"), schema))

@@ -412,3 +412,26 @@ def test_modularity_random_graph_numpy_twin():
         assert r["volume"] == vol[lab]
         frac = vol[lab] / (2.0 * m)
         assert r["q"] == inside.get(lab, 0) / float(m) - frac * frac
+
+
+def test_rank_delta_warm_start_twin():
+    from hackathon_pagerank_ray.stages.snapshots import rank_delta
+    a = gen_random_edges(70, 300, seed=5)
+    # snapshot B: drop every 7th edge, add a few new ones (incl. a new vid)
+    b = np.vstack([a[np.arange(len(a)) % 7 != 0],
+                   np.array([[69, 70], [70, 3], [2, 70]])])
+    out = (rank_delta(rd.from_arrow(edges_to_table(a)),
+                      rd.from_arrow(edges_to_table(b)),
+                      num_owners=2, sweeps=12)
+           .to_pandas().sort_values("vid").reset_index(drop=True))
+    n_a, n_b = 70, 71
+    ra, _, _ = oracle.pagerank(a, n=n_a, tol=0.0, max_iter=12)
+    seed = np.full(n_b, 1.0 / n_b)
+    seed[:n_a] = ra                       # warm-start overlay contract
+    rb, _, _ = oracle.pagerank(b, n=n_b, tol=0.0, max_iter=12, r0=seed)
+    assert len(out) == n_b
+    ra_pad = np.zeros(n_b)
+    ra_pad[:n_a] = ra
+    assert np.abs(out["rank_a"].to_numpy() - ra_pad).max() < 1e-12
+    assert np.abs(out["rank_b"].to_numpy() - rb).max() < 1e-12
+    assert np.abs(out["delta"].to_numpy() - (rb - ra_pad)).max() < 1e-12
