@@ -162,7 +162,8 @@ def run_queries(sf_dir: str) -> dict:
              "order_price_prank", "acctbal_mad_by_nation", "dup_windows",
              "domain_graph", "domain_pagerank", "reciprocity",
              "edge_churn", "degree_delta", "anchor_text",
-             "eigenvector", "domain_rank_mass"]
+             "eigenvector", "domain_rank_mass",
+             "bowtie", "lp_modularity", "rank_delta"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -11,7 +11,8 @@ Subcommands::
     pagerank  <edges.(txt|parquet dir)> --out DIR [--damping/--tol/...]
               [--weight-col w] [--seeds 1,2,3]
     graph     <edges.(txt|parquet dir)> --out DIR
-              --op cc|scc|lp|kcore|hits|bfs [--k 3] [--source 0]
+              --op cc|scc|lp|kcore|hits|bfs|truss|diameter|harmonic|
+                   bowtie|modularity [--k 3] [--source 0]
     gen-corpus <out_dir> --pages N [--seed 42]
 
 Owns the Ray session (guarded init; the library itself never inits).
@@ -77,7 +78,8 @@ def main(argv=None):
     gr.add_argument("--out", required=True)
     gr.add_argument("--op", required=True,
                     choices=["cc", "scc", "lp", "kcore", "hits", "bfs",
-                             "truss", "diameter", "harmonic"])
+                             "truss", "diameter", "harmonic", "bowtie",
+                             "modularity"])
     gr.add_argument("--k", type=int, default=3,
                     help="kcore/truss threshold")
     gr.add_argument("--source", type=int, default=0, help="bfs source vid")
@@ -142,6 +144,28 @@ def main(argv=None):
                 info = {"vertices": out.count()}
             elif args.op == "hits":
                 out, info = hits(edges, num_owners=args.owners, **kw)
+            elif args.op == "bowtie":
+                from .graph.bowtie import bowtie_regions
+                out = bowtie_regions(edges, num_owners=args.owners,
+                                     num_partitions=args.owners)
+                out = out.materialize()
+                info = {"regions": out.count()}
+            elif args.op == "modularity":
+                from .graph.engine import label_propagation as _lp
+                from .graph.modularity import community_modularity
+                und0 = canonical_undirected(edges, args.owners).map_batches(
+                    lambda t: pa.Table.from_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()],
+                        names=["src", "dst"]),
+                    batch_format="pyarrow")
+                graph = ShardedGraph.build(und0, num_owners=args.owners,
+                                           undirected=True)
+                labels, _ = _lp(graph, **kw)
+                labels = labels.materialize()
+                graph.shutdown()
+                out = community_modularity(
+                    edges, labels, num_partitions=args.owners).materialize()
+                info = {"communities": out.count()}
             elif args.op == "scc":
                 from .graph.engine import strongly_connected_components
                 out, info = strongly_connected_components(

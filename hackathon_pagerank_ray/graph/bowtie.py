@@ -71,38 +71,37 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
          "n_vertices": pa.array([], pa.int64())}))
 
     edges_ds = edges_ds.materialize()
-    scc, _ = strongly_connected_components(
-        edges_ds, num_owners=num_owners, num_edge_shards=num_edge_shards)
-    scc = scc.materialize()
-
-    # Largest SCC, ties by min label.  The groupby output is one row per
-    # component; the sort ranks component COUNT rows, not vertices.
-    top = (scc.groupby("label").count()
-           .sort(["count()", "label"], descending=[True, False])
-           .limit(1).take_all())
-    if not top:
-        return empty
-    core_label = int(top[0]["label"])
-
-    # Forward BFS from the representative (reachable-from-CORE side).
+    # ONE forward + ONE reversed mesh serve both the SCC coloring and the
+    # two BFS reachability passes (owner state is re-initialized between
+    # algorithms) — builds are the fixed cost here, so share them.
+    rev = edges_ds.map_batches(_swap_src_dst, batch_format="pyarrow")
     g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                               num_edge_shards=num_edge_shards)
+    g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
                                num_edge_shards=num_edge_shards)
     n = g_fwd.n
     try:
+        scc, _ = strongly_connected_components(
+            edges_ds, meshes=(g_fwd, g_rev))
+        scc = scc.materialize()
+
+        # Largest SCC, ties by min label.  The groupby output is one row
+        # per component; the sort ranks component COUNT rows, not vertices.
+        top = (scc.groupby("label").count()
+               .sort(["count()", "label"], descending=[True, False])
+               .limit(1).take_all())
+        if not top:
+            return empty
+        core_label = int(top[0]["label"])
+
+        # Forward BFS from the representative (reachable-from-CORE side);
+        # backward BFS = forward BFS over the reversed mesh.
         fwd, _ = bfs_distances(g_fwd, core_label)
         fwd = fwd.materialize()
-    finally:
-        g_fwd.shutdown()
-
-    # Backward BFS = forward BFS over the reversed edge set (reaches-CORE
-    # side).  Same universe n (vids don't change under reversal).
-    rev = edges_ds.map_batches(_swap_src_dst, batch_format="pyarrow")
-    g_rev = ShardedGraph.build(rev, n=n, num_owners=num_owners,
-                               num_edge_shards=num_edge_shards)
-    try:
         bwd, _ = bfs_distances(g_rev, core_label)
         bwd = bwd.materialize()
     finally:
+        g_fwd.shutdown()
         g_rev.shutdown()
 
     # Weak components over the same universe (n passed explicitly:

@@ -706,7 +706,8 @@ def k_core(graph: ShardedGraph, k: int, max_iter: int = 10_000):
 
 def strongly_connected_components(edges_ds, num_owners: int = 8,
                                   num_edge_shards: int | None = None,
-                                  max_outer: int = 100_000):
+                                  max_outer: int = 100_000,
+                                  meshes=None):
     """Exact SCCs of the directed graph, labels = min vid per component.
 
     Forward/backward min-label coloring with a settled mask (the
@@ -723,20 +724,29 @@ def strongly_connected_components(edges_ds, num_owners: int = 8,
     settle in a handful.
 
     Returns ``(dataset, info)`` with columns ``(vid, label)`` — exact,
-    matching ``oracle.strongly_connected_components``."""
+    matching ``oracle.strongly_connected_components``.
+
+    ``meshes``: optional prebuilt ``(g_fwd, g_rev)`` ShardedGraph pair
+    (forward and reversed edge sets, same n) — state is re-initialized
+    here, and the CALLER keeps ownership (no shutdown), so a composite
+    like the bow-tie decomposition can reuse the meshes for BFS passes
+    instead of paying two more builds."""
     import pyarrow as pa
     import ray.data  # noqa: F401  (ensure the submodule is loaded)
 
-    edges_ds = edges_ds.materialize()
-    rev = edges_ds.map_batches(
-        lambda t: pa.Table.from_arrays(
-            [t["dst"].combine_chunks(), t["src"].combine_chunks()],
-            names=["src", "dst"]),
-        batch_format="pyarrow")
-    g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
-                               num_edge_shards=num_edge_shards)
-    g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
-                               num_edge_shards=num_edge_shards)
+    if meshes is not None:
+        g_fwd, g_rev = meshes
+    else:
+        edges_ds = edges_ds.materialize()
+        rev = edges_ds.map_batches(
+            lambda t: pa.Table.from_arrays(
+                [t["dst"].combine_chunks(), t["src"].combine_chunks()],
+                names=["src", "dst"]),
+            batch_format="pyarrow")
+        g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                                   num_edge_shards=num_edge_shards)
+        g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
+                                   num_edge_shards=num_edge_shards)
     try:
         n = g_fwd.n
         for g in (g_fwd, g_rev):
@@ -782,8 +792,9 @@ def strongly_connected_components(edges_ds, num_owners: int = 8,
                      "n": n, "m": g_fwd.m,
                      "elapsed_sec": time.perf_counter() - t0}
     finally:
-        g_fwd.shutdown()
-        g_rev.shutdown()
+        if meshes is None:
+            g_fwd.shutdown()
+            g_rev.shutdown()
 
 
 def bfs_distances(graph: ShardedGraph, source: int, max_iter: int = 10_000):

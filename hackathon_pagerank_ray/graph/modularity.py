@@ -74,9 +74,26 @@ def community_modularity(edges_ds, labels_ds, num_partitions: int = 8):
             batch_format="pyarrow"),
         "label", None, op="sum", out_val="volume")
 
-    out = left_join_coalesce(volume, inside, "label",
-                             fill={"inside_edges": 0},
-                             num_partitions=num_partitions)
+    # The task shuffle emits schema-less blocks for empty reducers —
+    # strip/re-type both sides or the join can't resolve the key field.
+    # A zero-inside-edge assignment (possible: synchronous LP two-colors
+    # bipartite-ish graphs, leaving every edge cross-community) makes the
+    # whole `inside` dataset schema-less; Ray's hash join can't take an
+    # all-empty side, so skip the join and splice a zero column instead.
+    volume = drop_empty_blocks(enforce_schema(volume, pa.schema(
+        [pa.field("label", pa.int64()), pa.field("volume", pa.int64())])))
+    if inside.count() == 0:
+        out = volume.map_batches(
+            lambda t: t.append_column(
+                "inside_edges", pa.array([0] * t.num_rows, pa.int64())),
+            batch_format="pyarrow")
+    else:
+        inside = drop_empty_blocks(enforce_schema(inside, pa.schema(
+            [pa.field("label", pa.int64()),
+             pa.field("inside_edges", pa.int64())])))
+        out = left_join_coalesce(volume, inside, "label",
+                                 fill={"inside_edges": 0},
+                                 num_partitions=num_partitions)
 
     def _q(t: pa.Table) -> pa.Table:
         inside_f = t["inside_edges"].combine_chunks().cast(pa.float64())

@@ -86,7 +86,7 @@ def weighted_pagerank(edges: np.ndarray, w: np.ndarray,
     nz = outw > 0
     inv_out[nz] = 1.0 / outw[nz]
 
-    r = np.full(n, 1.0 / n) if r0 is None else np.asarray(r0, np.float64).copy()
+    r = np.full(n, 1.0 / n)
     teleport = (1.0 - alpha) / n
     sweeps, delta = 0, np.inf
     for it in range(max_iter):

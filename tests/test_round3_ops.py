@@ -435,3 +435,20 @@ def test_rank_delta_warm_start_twin():
     assert np.abs(out["rank_a"].to_numpy() - ra_pad).max() < 1e-12
     assert np.abs(out["rank_b"].to_numpy() - rb).max() < 1e-12
     assert np.abs(out["delta"].to_numpy() - (rb - ra_pad)).max() < 1e-12
+
+
+def test_modularity_zero_inside_edges():
+    """Synchronous LP can two-color bipartite-ish graphs so no edge is
+    within-community — the inside table is then entirely empty and the
+    operator must splice a zero column instead of joining."""
+    from hackathon_pagerank_ray.graph.modularity import community_modularity
+    edges = np.array([[0, 1], [1, 2], [2, 3]])
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(4, dtype=np.int64),
+         "label": np.array([0, 1, 0, 1], dtype=np.int64)}))
+    out = (community_modularity(rd.from_arrow(edges_to_table(edges)), labels,
+                                num_partitions=2)
+           .to_pandas().sort_values("label").reset_index(drop=True))
+    assert out["inside_edges"].tolist() == [0, 0]
+    assert out["volume"].tolist() == [3, 3]
+    assert out["q"].tolist() == [-0.25, -0.25]
