@@ -1063,6 +1063,16 @@ def _q_personalized_pagerank(sf_dir):
         g.shutdown()
 
 
+def _q_spam_mass(sf_dir):
+    """TrustRank spam mass: plain PR and seed-personalized PR (trusted
+    set vid %% 10 == 0) on ONE mesh, spam_mass = (pr - tr)/pr per vertex
+    — the VLDB'04 link-spam signal; SQL twin composes the two unrolled
+    chains."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.trustrank import spam_mass
+    return spam_mass(_edges_ds(sf_dir), num_owners=4, sweeps=_PR_SWEEPS)
+
+
 def _q_weighted_pagerank(sf_dir):
     """Weighted PageRank (per-edge weight column; contrib = r·w/Σ_out w),
     fixed sweeps so the oracle unrolls identically."""
@@ -1944,6 +1954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
+        "spam_mass": _q_spam_mass,
         "hits_scores": _q_hits,
         "eigenvector": _q_eigenvector,
         "connected_components": _q_connected_components,
@@ -2784,6 +2795,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
             "FROM s"),
         "rank_delta": _rank_delta_oracle_sql(),
+        # spam mass: the two existing unrolled chains composed; one fixed
+        # float expression per row
+        "spam_mass": f"""
+WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),
+tr AS MATERIALIZED ({_ppr_oracle_sql()})
+SELECT pr.vid, pr.rank AS pr, tr.rank AS tr,
+       (pr.rank - tr.rank) / pr.rank AS spam_mass
+FROM pr JOIN tr ON tr.vid = pr.vid
+""",
         "degree_delta": (
             f"WITH da AS (SELECT src, COUNT(*) AS c FROM ({_EDGE_SQL}) "
             "GROUP BY src), "

@@ -452,3 +452,24 @@ def test_modularity_zero_inside_edges():
     assert out["inside_edges"].tolist() == [0, 0]
     assert out["volume"].tolist() == [3, 3]
     assert out["q"].tolist() == [-0.25, -0.25]
+
+
+def test_spam_mass_numpy_twin():
+    from hackathon_pagerank_ray.graph.trustrank import spam_mass
+    edges = gen_random_edges(80, 350, seed=77)
+    out = (spam_mass(rd.from_arrow(edges_to_table(edges)), num_owners=2,
+                     sweeps=10)
+           .to_pandas().sort_values("vid").reset_index(drop=True))
+    n = 80
+    pr, _, _ = oracle.pagerank(edges, n=n, tol=0.0, max_iter=10)
+    seeds = np.arange(0, n, 10, dtype=np.int64)
+    tr, _, _ = oracle.personalized_pagerank(edges, seeds, n=n, tol=0.0,
+                                            max_iter=10)
+    assert len(out) == n
+    assert np.abs(out["pr"].to_numpy() - pr).max() < 1e-12
+    assert np.abs(out["tr"].to_numpy() - tr).max() < 1e-12
+    assert np.abs(out["spam_mass"].to_numpy() - (pr - tr) / pr).max() < 1e-12
+    # trusted seeds concentrate trust: their mean spam mass must sit
+    # below the non-seed mean
+    sm = out["spam_mass"].to_numpy()
+    assert sm[seeds].mean() < np.delete(sm, seeds).mean()
