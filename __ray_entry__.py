@@ -1215,6 +1215,17 @@ def _q_reciprocity(sf_dir):
     return reciprocity(_edges_ds(sf_dir))
 
 
+def _q_salsa(sf_dir):
+    """SALSA authority/hub scores (Lempel & Moran WWW9): two-step
+    bipartite-walk power iteration over the distinct edge set, fixed
+    sweeps, L1 renormalize per sweep — the unrolled SQL twin runs the
+    same two chains."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import salsa
+    out, _ = salsa(_edges_ds(sf_dir), num_owners=4, max_iter=_PR_SWEEPS)
+    return out
+
+
 def _q_eigenvector(sf_dir):
     """Eigenvector centrality, fixed sweeps (oracle unrolls the same
     count; the L2 normalize is one sqrt both engines round identically)."""
@@ -1955,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
         "spam_mass": _q_spam_mass,
+        "salsa": _q_salsa,
         "hits_scores": _q_hits,
         "eigenvector": _q_eigenvector,
         "connected_components": _q_connected_components,
@@ -2073,6 +2085,55 @@ def _rank_delta_oracle_sql(sweeps: int = _PR_SWEEPS,
             " SELECT rb.vid, COALESCE(ra.rank, 0.0) AS rank_a, "
             "rb.rank AS rank_b, rb.rank - COALESCE(ra.rank, 0.0) AS delta "
             "FROM rb LEFT JOIN ra ON ra.vid = rb.vid")
+
+
+def _salsa_oracle_sql(sweeps: int = _PR_SWEEPS) -> str:
+    """Unrolled SALSA twin (graph/engine.salsa): authority chain
+    a' = A_cT(A_r a) and hub chain h' = A_r(A_cT h) over the DISTINCT
+    edge set, per-sweep L1 divide by the raw-iterate sum (zero slots
+    contribute nothing on both sides)."""
+    parts = [f"edges0 AS MATERIALIZED ({_EDGE_SQL})",
+             "e AS MATERIALIZED (SELECT DISTINCT src, dst FROM edges0)",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM edges0)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             "od AS MATERIALIZED (SELECT src AS vid, "
+             "CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+             "ind AS MATERIALIZED (SELECT dst AS vid, "
+             "CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY dst)",
+             "a0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM p) AS r "
+             "FROM verts)",
+             "h0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM p) AS r "
+             "FROM verts)"]
+    for k in range(1, sweeps + 1):
+        parts.append(
+            f"at{k} AS MATERIALIZED (SELECT e.src AS vid, "
+            f"SUM(a.r / i.d) AS s FROM e JOIN a{k-1} a ON a.vid = e.dst "
+            f"JOIN ind i ON i.vid = e.dst GROUP BY e.src)")
+        parts.append(
+            f"ar{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(t.s / o.d) AS s FROM e JOIN at{k} t ON t.vid = e.src "
+            f"JOIN od o ON o.vid = e.src GROUP BY e.dst)")
+        parts.append(
+            f"a{k} AS MATERIALIZED (SELECT v.vid, COALESCE(c.s, 0.0) "
+            f"/ (SELECT SUM(s) FROM ar{k}) AS r "
+            f"FROM verts v LEFT JOIN ar{k} c ON c.vid = v.vid)")
+        parts.append(
+            f"ht{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(h.r / o.d) AS s FROM e JOIN h{k-1} h ON h.vid = e.src "
+            f"JOIN od o ON o.vid = e.src GROUP BY e.dst)")
+        parts.append(
+            f"hr{k} AS MATERIALIZED (SELECT e.src AS vid, "
+            f"SUM(t.s / i.d) AS s FROM e JOIN ht{k} t ON t.vid = e.dst "
+            f"JOIN ind i ON i.vid = e.dst GROUP BY e.src)")
+        parts.append(
+            f"h{k} AS MATERIALIZED (SELECT v.vid, COALESCE(c.s, 0.0) "
+            f"/ (SELECT SUM(s) FROM hr{k}) AS r "
+            f"FROM verts v LEFT JOIN hr{k} c ON c.vid = v.vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT a.vid, a.r AS salsa_auth, h.r AS salsa_hub "
+            f"FROM a{sweeps} a JOIN h{sweeps} h ON h.vid = a.vid")
 
 
 def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -2797,6 +2858,7 @@ def oracle_sql() -> dict[str, str]:
         "rank_delta": _rank_delta_oracle_sql(),
         # spam mass: the two existing unrolled chains composed; one fixed
         # float expression per row
+        "salsa": _salsa_oracle_sql(),
         "spam_mass": f"""
 WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),
 tr AS MATERIALIZED ({_ppr_oracle_sql()})

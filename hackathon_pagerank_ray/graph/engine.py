@@ -575,6 +575,121 @@ def hits(edges_ds, num_owners: int = 8, max_iter: int = 20,
         g_rev.shutdown()
 
 
+def salsa(edges_ds, num_owners: int = 8, max_iter: int = 20,
+          num_edge_shards: int | None = None):
+    """SALSA (Lempel & Moran, "The stochastic approach for link-structure
+    analysis", WWW9 2000): authority and hub scores as the stationary
+    distributions of the two-step bipartite random walks
+
+        a' = A_cᵀ (A_r a)        (authority chain)
+        h' = A_r (A_cᵀ h)        (hub chain)
+
+    with ``A_r`` / ``A_c`` the row- / column-L1-normalized adjacency over
+    the DISTINCT directed edge set.  Fixed ``max_iter`` power sweeps from
+    the uniform vector, L1-renormalized per sweep (mass reaching a
+    zero-out-degree / zero-in-degree endpoint leaks and the renormalize
+    compensates — standard power-iteration SALSA).
+
+    Mesh shape: the two HITS meshes (forward + reversed, shared vid % P
+    partition map) and the same plain-sum half-sweep; the only addition
+    is the owner-side pre-scale by the OTHER mesh's degree slice
+    (``scaled_ranks_array``), shipped once per half-sweep as an
+    O(n/P)-sized plasma object — identical per-sweep exchange volume to
+    :func:`hits`.  Returns ``(dataset, info)`` with columns
+    ``(vid, salsa_auth, salsa_hub)``.
+    """
+    import pyarrow as pa
+    import ray.data  # noqa: F401  (ensure the submodule is loaded)
+    from ..stages.relational import distinct
+
+    edges_ds = distinct(edges_ds, ["src", "dst"],
+                        num_partitions=num_owners * 2).materialize()
+    rev = edges_ds.map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["dst"].combine_chunks(), t["src"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                               num_edge_shards=num_edge_shards)
+    g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
+                               num_edge_shards=num_edge_shards)
+    try:
+        n = g_fwd.n
+        if n == 0:
+            empty = ray.data.from_arrow(pa.table(
+                {"vid": pa.array([], pa.int64()),
+                 "salsa_auth": pa.array([], pa.float64()),
+                 "salsa_hub": pa.array([], pa.float64())}))
+            return empty, {"sweeps": 0, "n": 0, "m": 0}
+        t0 = time.perf_counter()
+        # degree slices, fetched once: outdeg of the forward mesh is the
+        # out-degree, outdeg of the reversed mesh is the in-degree —
+        # same vid % P slots on both sides
+        fwd_deg = [ow.outdeg_array.remote() for ow in g_fwd.owners]
+        rev_deg = [ow.outdeg_array.remote() for ow in g_rev.owners]
+
+        def _half(src_graph, dst_graph, deg_refs):
+            """Ship src owners' r/deg into dst mesh, plain-sum reduce
+            (scores land in dst_graph.owners[].r, unnormalized)."""
+            vals = [ow.scaled_ranks_array.remote(deg_refs[j])
+                    for j, ow in enumerate(src_graph.owners)]
+            ray.get([ow.set_sweep_values.remote(vals[j])
+                     for j, ow in enumerate(dst_graph.owners)])
+            partials = dst_graph._partial_refs("pagerank_partials")
+            ray.get([ow.apply_sum_update.remote(
+                *[partials[e][j] for e in range(dst_graph.E)])
+                for j, ow in enumerate(dst_graph.owners)])
+
+        def _l1_normalize(graph):
+            total = sum(ray.get([ow.rank_sum.remote()
+                                 for ow in graph.owners]))
+            if total > 0:
+                ray.get([ow.scale_ranks.remote(1.0 / total)
+                         for ow in graph.owners])
+
+        def _chain(holder, other, holder_deg, other_deg):
+            """Run one SALSA chain to ``max_iter`` sweeps: scores live on
+            ``holder``; each sweep ships holder's scores scaled by the
+            OTHER mesh's degree slice (``other_deg``) into the other
+            mesh, then back scaled by ``holder_deg``, then L1
+            renormalizes.  ``holder_deg`` / ``other_deg`` are each mesh's
+            own outdeg arrays (the reversed mesh's outdeg is the forward
+            graph's in-degree)."""
+            ray.get([ow.init_ranks.remote(1.0 / n) for ow in holder.owners])
+            for _ in range(max_iter):
+                _half(holder, other, other_deg)
+                _half(other, holder, holder_deg)
+                _l1_normalize(holder)
+            return [ow.ranks_table.remote() for ow in holder.owners]
+
+        # authority chain: scores on the forward mesh (gathers key on the
+        # forward graph's dst), pre-scales by in-degree then out-degree.
+        # Snapshot the tables (per-actor ordering already fixes their
+        # content before the hub chain re-inits the owners; the get+put
+        # also pins them independent of actor lifetime).
+        auth_refs = [ray.put(t)
+                     for t in ray.get(_chain(g_fwd, g_rev, fwd_deg,
+                                             rev_deg))]
+        # hub chain: scores on the reversed mesh — the mirror walk
+        hub_refs = _chain(g_rev, g_fwd, rev_deg, fwd_deg)
+
+        def _zip_tables(auth_t, hub_t):
+            return pa.Table.from_arrays(
+                [auth_t["vid"].combine_chunks(),
+                 auth_t["rank"].combine_chunks(),
+                 hub_t["rank"].combine_chunks()],
+                names=["vid", "salsa_auth", "salsa_hub"])
+        zip_remote = ray.remote(_zip_tables)
+        refs = [zip_remote.remote(a, h)
+                for a, h in zip(auth_refs, hub_refs)]
+        out = ray.data.from_arrow_refs(refs).materialize()
+        return out, {"sweeps": max_iter, "n": n, "m": g_fwd.m,
+                     "elapsed_sec": time.perf_counter() - t0}
+    finally:
+        g_fwd.shutdown()
+        g_rev.shutdown()
+
+
 def eigenvector_centrality(edges_ds, num_owners: int = 8,
                            max_iter: int = 20,
                            num_edge_shards: int | None = None):

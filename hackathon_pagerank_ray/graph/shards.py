@@ -275,6 +275,22 @@ class RankOwner:
     def ranks_array(self) -> np.ndarray:
         return self.r
 
+    def outdeg_array(self) -> np.ndarray:
+        """This owner's per-slot out-degree vector (in the graph this mesh
+        was built over — the REVERSED mesh's outdeg is the forward graph's
+        in-degree for the same vid % P slots)."""
+        return self.outdeg
+
+    def scaled_ranks_array(self, deg) -> np.ndarray:
+        """``r / deg`` with zero-degree slots contributing 0.0 — the
+        SALSA pre-scale (``deg`` is usually the OTHER mesh's outdeg slice
+        for the same slots; both meshes share the vid % P map)."""
+        deg = np.asarray(deg, dtype=np.float64)
+        out = np.zeros(self.n_local)
+        nz = deg > 0
+        out[nz] = self.r[nz] / deg[nz]
+        return out
+
     def apply_sum_update(self, *partials) -> float:
         """Plain-sum reduce (no damping, no teleport): ``r = Σ partials`` —
         the HITS half-sweep.  Returns this partition's Σ r² so the driver

@@ -391,3 +391,40 @@ def bowtie_regions(edges: np.ndarray, n: int | None = None) -> np.ndarray:
         ["CORE", "IN", "OUT", "TENDRIL"],
         default="DISCONNECTED")
     return region
+
+
+def salsa(edges: np.ndarray, n: int | None = None, max_iter: int = 20):
+    """SALSA authority/hub scores (graph/engine.salsa contract): power
+    iteration of the two-step bipartite walks over the DISTINCT directed
+    edge set, L1-renormalized per sweep, from uniform.  Returns
+    ``(auth, hub)``."""
+    if n is None:
+        n = n_from_edges(edges)
+    if n == 0:
+        return np.zeros(0), np.zeros(0)
+    dist = np.unique(edges[:, :2].astype(np.int64), axis=0) \
+        if len(edges) else np.empty((0, 2), dtype=np.int64)
+    src, dst = dist[:, 0], dist[:, 1]
+    outdeg = np.bincount(src, minlength=n).astype(np.float64)
+    indeg = np.bincount(dst, minlength=n).astype(np.float64)
+
+    def _scale(x, deg):
+        out = np.zeros(n)
+        nz = deg > 0
+        out[nz] = x[nz] / deg[nz]
+        return out
+
+    a = np.full(n, 1.0 / n)
+    h = np.full(n, 1.0 / n)
+    for _ in range(max_iter):
+        tmp = np.bincount(src, weights=_scale(a, indeg)[dst], minlength=n)
+        a_new = np.bincount(dst, weights=_scale(tmp, outdeg)[src],
+                            minlength=n)
+        s = a_new.sum()
+        a = a_new / s if s > 0 else a_new
+        tmp2 = np.bincount(dst, weights=_scale(h, outdeg)[src], minlength=n)
+        h_new = np.bincount(src, weights=_scale(tmp2, indeg)[dst],
+                            minlength=n)
+        s = h_new.sum()
+        h = h_new / s if s > 0 else h_new
+    return a, h

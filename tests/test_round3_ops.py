@@ -473,3 +473,27 @@ def test_spam_mass_numpy_twin():
     # below the non-seed mean
     sm = out["spam_mass"].to_numpy()
     assert sm[seeds].mean() < np.delete(sm, seeds).mean()
+
+
+def test_salsa_matches_numpy_twin():
+    from hackathon_pagerank_ray.graph.engine import salsa
+    edges = gen_random_edges(70, 300, seed=19)
+    out, info = salsa(rd.from_arrow(edges_to_table(edges)), num_owners=2,
+                      max_iter=8)
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    a, h = oracle.salsa(edges, n=70, max_iter=8)
+    assert info["sweeps"] == 8
+    assert len(df) == 70
+    assert np.abs(df["salsa_auth"].to_numpy() - a).max() < 1e-12
+    assert np.abs(df["salsa_hub"].to_numpy() - h).max() < 1e-12
+
+
+def test_salsa_star_graph_closed_form():
+    from hackathon_pagerank_ray.graph.engine import salsa
+    # star: 1..4 -> 0; authority concentrates on 0, hubs split evenly
+    edges = np.array([[1, 0], [2, 0], [3, 0], [4, 0]])
+    out, _ = salsa(rd.from_arrow(edges_to_table(edges)), num_owners=2,
+                   max_iter=5)
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert df["salsa_auth"].tolist() == [1.0, 0.0, 0.0, 0.0, 0.0]
+    assert df["salsa_hub"].tolist() == [0.0, 0.25, 0.25, 0.25, 0.25]
