@@ -561,6 +561,16 @@ def _q_term_df(sf_dir):
     return rename(tf.groupby("term").count(), {"count()": "df"})
 
 
+def _q_term_zipf(sf_dir):
+    """Zipf tail exponent of the corpus term-frequency distribution
+    (Hill estimator over terms with total count >= 5) — the corpus-health
+    twin of powerlaw_alpha."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.tfidf import term_zipf_alpha
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return term_zipf_alpha(docs, fmin=5)
+
+
 def _q_stopword_ratio(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.text_ops import add_quality_scores
@@ -1902,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_doc_lines": _q_cross_doc_lines,
         "contamination": _q_contamination,
         "term_df": _q_term_df,
+        "term_zipf": _q_term_zipf,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
         "setsim_pairs": _q_setsim_pairs,
@@ -3296,6 +3307,16 @@ SELECT d.doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
+        "term_zipf": (
+            r"WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            r"'\w+')) AS term FROM documents), "
+            r"tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term), "
+            r"hist AS (SELECT f, COUNT(*) AS c FROM tc GROUP BY f), "
+            r"tail AS (SELECT f, c FROM hist WHERE f >= 5), "
+            r"s AS (SELECT SUM(c) AS n, "
+            r"SUM(c * ln(CAST(f AS DOUBLE) / 5.0)) AS sl FROM tail) "
+            r"SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
+            r"FROM s"),
         "term_df":
             r"SELECT term, COUNT(*) AS df FROM (SELECT doc_id, "
             r"unnest(list_distinct(regexp_extract_all(lower(text), '\w+'))) "

@@ -190,3 +190,53 @@ def make_snippet(text: str, query: str, max_len: int = 220) -> str:
     if end < len(text):
         snippet = snippet + " …"
     return snippet
+
+
+def term_zipf_alpha(docs_ds, fmin: int = 5, id_col="doc_id",
+                    text_col="text"):
+    """Hill estimator of the Zipf tail exponent of the corpus
+    term-frequency distribution: ``alpha = 1 + n / Σ ln(f_i / fmin)``
+    over terms with total occurrence count ≥ ``fmin`` — the corpus-health
+    twin of ``stages/degrees.powerlaw_alpha`` (natural text follows
+    Zipf's law with alpha ≈ 2 in this parameterization; a corpus whose
+    tail exponent drifts is boilerplate- or spam-skewed).
+
+    Shape: token explode → one count shuffle over the vocabulary → a
+    BOUNDED frequency histogram (≤ max-frequency rows on any corpus) →
+    an ascending-frequency ``math.log`` fold of the tiny histogram
+    (``math.log`` matches SQL ``ln`` bit-for-bit; numpy's SIMD log
+    differs in the last ulp).  One row ``(n_tail, alpha)``.
+    """
+    import math
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ..stages.taskshuffle import grouped_agg_int64
+
+    tf = term_freq_table(docs_ds, id_col, text_col)
+
+    def _to_int(t: pa.Table) -> pa.Table:
+        # per-doc tf is an exact small integer carried as float64
+        return pa.table({"term": t["term"].combine_chunks(),
+                         "f": t["tf"].combine_chunks().cast(pa.int64())})
+
+    totals = (tf.map_batches(_to_int, batch_format="pyarrow")
+              .groupby("term").sum("f"))
+
+    def _freq_only(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"f": t["sum(f)"].combine_chunks().cast(pa.int64())})
+
+    hist = grouped_agg_int64(
+        totals.map_batches(_freq_only, batch_format="pyarrow"),
+        "f", None, op="sum", out_val="c").to_pandas()
+    tail = hist[hist["f"] >= fmin].sort_values("f")
+    n = int(tail["c"].sum())
+    sl = 0.0
+    for f, cnt in zip(tail["f"].to_numpy(), tail["c"].to_numpy()):
+        sl += float(cnt) * math.log(float(f) / float(fmin))
+    alpha = 1.0 + float(n) / sl if sl > 0 else float("inf")
+    return rd.from_arrow(pa.table({
+        "n_tail": pa.array([n], pa.int64()),
+        "alpha": pa.array([alpha], pa.float64())}))

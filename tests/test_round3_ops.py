@@ -497,3 +497,15 @@ def test_salsa_star_graph_closed_form():
     df = out.to_pandas().sort_values("vid").reset_index(drop=True)
     assert df["salsa_auth"].tolist() == [1.0, 0.0, 0.0, 0.0, 0.0]
     assert df["salsa_hub"].tolist() == [0.0, 0.25, 0.25, 0.25, 0.25]
+
+
+def test_term_zipf_closed_form():
+    import math
+    from hackathon_pagerank_ray.functions.tfidf import term_zipf_alpha
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1],
+        "text": ["a a a a b b C c", "A a a b b b x"]}))
+    # totals: a=7, b=5, c=2, x=1 -> tail (>=5): a(7), b(5)
+    out = term_zipf_alpha(docs, fmin=5).to_pandas()
+    assert out["n_tail"].tolist() == [2]
+    assert out["alpha"].iloc[0] == 1.0 + 2.0 / math.log(7.0 / 5.0)
