@@ -396,3 +396,72 @@ def test_edge_case_goldens_3():
         assert text == want_text, f"{name}: {text!r} != {want_text!r}"
         got_paths = [l.replace("https://www.ex.org", "") for l in links]
         assert got_paths == want_paths, f"{name}: links {got_paths}"
+
+
+# -- edge-case goldens (round 3, fourth family) --------------------------------
+# More stdlib-tokenizer semantics pinned this round (the invariant's
+# parser is html.parser on BOTH sides — bs4's default tree builder —
+# so these encode the shared tokenizer's documented behaviour):
+#   B25 numeric character references: decimal and hex decode via
+#       convert_charrefs; C1 controls (&#128;-&#159;) take the HTML5
+#       Windows-1252 remap (html.unescape table); NULL and
+#       out-of-range code points become U+FFFD
+#   B26 comments tolerate inner "--" and close at the first "-->";
+#       the degenerate "<!-->" is NOT a complete declaration for the
+#       stdlib lexer and passes through as literal text
+#   B27 processing instructions (<?...?>) and mid-stream doctypes are
+#       events without text — both vanish from extraction
+#   B28 an end tag of a void element (</br>) is a no-op event
+#   B29 <title> lives in <head>: the reference extracts from the body
+#       candidate (crawler/core.py main/article/body selection), so
+#       title text never reaches the output; the stdlib has no RCDATA
+#       mode for title, so markup inside it nests as real elements —
+#       also outside the body candidate
+#   B30 no implied </a>: nested anchors both survive with their hrefs,
+#       in document order
+#   B31 <xmp> has no CDATA mode in the stdlib (script/style only):
+#       its content parses as ordinary markup
+EDGE_GOLDENS_4 = [
+    ("numeric_charrefs",                                           # B25
+     "<html><body>&#65;&#x42;c &#8212; d</body></html>",
+     "ABc — d", []),
+    ("c1_windows1252_remap",                                       # B25
+     "<html><body>a&#151;b &#150;</body></html>",
+     "a—b –", []),
+    ("null_and_oob_charref",                                       # B25
+     "<html><body>x&#0;y &#x110000;z</body></html>",
+     "x�y �z", []),
+    ("comment_dashes_and_bang_gt",                                 # B26
+     "<html><body>a<!-- -- w -->b<!-->c</body></html>",
+     "a b<!-->c", []),
+    ("processing_instruction_dropped",                             # B27
+     "<html><body>a<?php echo 1 ?>b</body></html>",
+     "a b", []),
+    ("bogus_doctype_midstream_dropped",                            # B27
+     "<html><body>a<!DOCTYPE junk>b</body></html>",
+     "a b", []),
+    ("end_tag_of_void_noop",                                       # B28
+     "<html><body>a<br></br>b</body></html>",
+     "a b", []),
+    ("title_outside_body_candidate",                               # B29
+     "<html><head><title>T</title></head><body>x</body></html>",
+     "x", []),
+    ("title_markup_nests_outside_candidate",                       # B29
+     "<html><head><title>a<b>c</b></title></head><body>z</body></html>",
+     "z", []),
+    ("nested_anchors_both_extracted",                              # B30
+     "<html><body><a href='/1'>one<a href='/2'>two</a></a>end"
+     "</body></html>",
+     "one two end", ["/1", "/2"]),
+    ("xmp_parsed_as_markup",                                       # B31
+     "<html><body><xmp>a<b>c</b></xmp>d</body></html>",
+     "a c d", []),
+]
+
+
+def test_edge_case_goldens_4():
+    for name, html, want_text, want_paths in EDGE_GOLDENS_4:
+        _, text, links, _ = parse_page(html, "https://www.ex.org/p")
+        assert text == want_text, f"{name}: {text!r} != {want_text!r}"
+        got_paths = [l.replace("https://www.ex.org", "") for l in links]
+        assert got_paths == want_paths, f"{name}: links {got_paths}"
