@@ -23,10 +23,13 @@ multi-source propagation.
 
 Scale shape: one SCC coloring + one CC fixpoint + two single-source BFS
 fixpoints (all sharded-mesh gather-scatter, the same exchange volume as
-:func:`connected_components`), then three hash joins keyed on the
-engine's single partitioning key (vid) over per-vertex tables, a
-vectorized 5-way classify in ``map_batches``, and a ≤5-key count
-shuffle.  Output is 5 rows no matter the graph size.
+:func:`connected_components`).  Every per-vertex state lives on meshes
+sharing the same ``vid % P`` slot layout, so classification is a
+per-owner zip over aligned arrays — no join and no classify shuffle;
+only P five-int count vectors reach the driver.  The one Dataset
+shuffle left is the component-size groupby that picks the giant SCC
+(O(components) rows — never a driver merge).  Output is 5 rows no
+matter the graph size.
 
 Reference scope note: the reference engine computes PageRank only
 (backend/data/pagerank.py); the bow-tie report is part of this repo's
@@ -38,9 +41,34 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 REGIONS = ("CORE", "IN", "OUT", "TENDRIL", "DISCONNECTED")
+
+
+def _pick_slot_fn(arr, slot):
+    """One int out of an owner's per-slot array without shipping the
+    array to the driver."""
+    return int(arr[slot])
+
+
+def _region_counts_fn(scc_t, fwd_arr, bwd_arr, wcc_arr, core, wcc_core,
+                      sent):
+    """Per-owner 5-way classify over slot-aligned arrays → one 5-vector
+    of counts (REGIONS order).  CASE order matters: CORE first; a vertex
+    reachable in BOTH directions is mutually reachable with the
+    representative and hence CORE, so IN/OUT are disjoint."""
+    lab = np.asarray(scc_t["label"])
+    fwd = np.asarray(fwd_arr)
+    bwd = np.asarray(bwd_arr)
+    wcc = np.asarray(wcc_arr)
+    core_m = lab == core
+    in_m = ~core_m & (bwd != sent)
+    out_m = ~core_m & ~in_m & (fwd != sent)
+    tend_m = ~core_m & ~in_m & ~out_m & (wcc == wcc_core)
+    n_loc = len(lab)
+    c = [int(core_m.sum()), int(in_m.sum()), int(out_m.sum()),
+         int(tend_m.sum())]
+    return c + [n_loc - sum(c)]
 
 
 def _swap_src_dst(t: pa.Table) -> pa.Table:
@@ -60,11 +88,14 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
     (isolated vids in range count as singleton weak components, i.e.
     ``DISCONNECTED``), matching :func:`strongly_connected_components`.
     """
+    import ray
     import ray.data
     from .engine import (ShardedGraph, bfs_distances, connected_components,
                          strongly_connected_components)
     from .triangles import canonical_undirected
-    from ..stages.relational import inner_join
+
+    _pick_slot = ray.remote(_pick_slot_fn)
+    _region_counts = ray.remote(_region_counts_fn)
 
     empty = ray.data.from_arrow(pa.table(
         {"region": pa.array([], pa.string()),
@@ -73,39 +104,17 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
     edges_ds = edges_ds.materialize()
     # ONE forward + ONE reversed mesh serve both the SCC coloring and the
     # two BFS reachability passes (owner state is re-initialized between
-    # algorithms) — builds are the fixed cost here, so share them.
+    # algorithms) — builds are the fixed cost here, so share them.  The
+    # CC mesh is built with the same n and num_owners, so ALL per-vertex
+    # state (scc labels, fwd/bwd distances, weak labels) lives on the
+    # same vid % P slot layout: classification is a per-owner zip over
+    # aligned arrays, no joins and no classify shuffle at all.
     rev = edges_ds.map_batches(_swap_src_dst, batch_format="pyarrow")
     g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
                                num_edge_shards=num_edge_shards)
     g_rev = ShardedGraph.build(rev, n=g_fwd.n, num_owners=num_owners,
                                num_edge_shards=num_edge_shards)
     n = g_fwd.n
-    try:
-        scc, _ = strongly_connected_components(
-            edges_ds, meshes=(g_fwd, g_rev))
-        scc = scc.materialize()
-
-        # Largest SCC, ties by min label.  The groupby output is one row
-        # per component; the sort ranks component COUNT rows, not vertices.
-        top = (scc.groupby("label").count()
-               .sort(["count()", "label"], descending=[True, False])
-               .limit(1).take_all())
-        if not top:
-            return empty
-        core_label = int(top[0]["label"])
-
-        # Forward BFS from the representative (reachable-from-CORE side);
-        # backward BFS = forward BFS over the reversed mesh.
-        fwd, _ = bfs_distances(g_fwd, core_label)
-        fwd = fwd.materialize()
-        bwd, _ = bfs_distances(g_rev, core_label)
-        bwd = bwd.materialize()
-    finally:
-        g_fwd.shutdown()
-        g_rev.shutdown()
-
-    # Weak components over the same universe (n passed explicitly:
-    # canonical_undirected drops self-loops, which could shrink max vid).
     und = canonical_undirected(edges_ds, num_partitions).map_batches(
         lambda t: pa.Table.from_arrays(
             [t["u"].combine_chunks(), t["v"].combine_chunks()],
@@ -115,48 +124,50 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
                               num_edge_shards=num_edge_shards,
                               undirected=True)
     try:
-        wcc, _ = connected_components(g_cc)
-        wcc = wcc.materialize()
+        scc, _ = strongly_connected_components(
+            edges_ds, meshes=(g_fwd, g_rev))
+
+        # Largest SCC, ties by min label.  The groupby output is one row
+        # per component (can be O(n) on a shattered graph, so this stays
+        # a Dataset shuffle, never a driver merge); the sort ranks
+        # component COUNT rows, not vertices.
+        top = (scc.groupby("label").count()
+               .sort(["count()", "label"], descending=[True, False])
+               .limit(1).take_all())
+        if not top:
+            return empty
+        core_label = int(top[0]["label"])
+
+        # Forward BFS from the representative (reachable-from-CORE side);
+        # backward BFS = forward BFS over the reversed mesh.  BFS state
+        # lives in owner.labels; owner.scc_label is untouched by it.
+        bfs_distances(g_fwd, core_label)
+        bfs_distances(g_rev, core_label)
+        connected_components(g_cc)
+
+        sent = np.iinfo(np.int64).max
+        wcc_core = ray.get(_pick_slot.remote(
+            g_cc.owners[core_label % num_owners].labels_array.remote(),
+            core_label // num_owners))
+
+        counts = ray.get([
+            _region_counts.remote(
+                fo.scc_table.remote(),      # (vid, scc label)
+                fo.labels_array.remote(),   # fwd BFS distances (sentinel)
+                ro.labels_array.remote(),   # bwd BFS distances (sentinel)
+                co.labels_array.remote(),   # weak labels
+                core_label, wcc_core, sent)
+            for fo, ro, co in zip(g_fwd.owners, g_rev.owners, g_cc.owners)
+        ])
     finally:
+        g_fwd.shutdown()
+        g_rev.shutdown()
         g_cc.shutdown()
 
-    wcc_core = int(wcc.map_batches(
-        lambda t: t.filter(pc.equal(t["vid"],
-                                    pa.scalar(core_label, pa.int64()))),
-        batch_format="pyarrow").take_all()[0]["label"])
-
-    # Three vid-keyed hash joins of per-vertex tables (n rows each).
-    t = inner_join(scc, fwd.rename_columns({"dist": "dist_f"}), "vid",
-                   num_partitions=num_partitions)
-    t = inner_join(t, bwd.rename_columns({"dist": "dist_b"}), "vid",
-                   num_partitions=num_partitions)
-    t = inner_join(t, wcc.rename_columns({"label": "wlabel"}), "vid",
-                   num_partitions=num_partitions)
-
-    def _classify(tb: pa.Table) -> pa.Table:
-        lab = tb["label"].combine_chunks().to_numpy(zero_copy_only=False)
-        d_f = tb["dist_f"].combine_chunks().to_numpy(zero_copy_only=False)
-        d_b = tb["dist_b"].combine_chunks().to_numpy(zero_copy_only=False)
-        wl = tb["wlabel"].combine_chunks().to_numpy(zero_copy_only=False)
-        # Order matters: CORE first; a vertex with both dist_f >= 0 and
-        # dist_b >= 0 is mutually reachable with the representative and
-        # hence in CORE, so IN/OUT below are disjoint.
-        region = np.select(
-            [lab == core_label, d_b >= 0, d_f >= 0, wl == wcc_core],
-            ["CORE", "IN", "OUT", "TENDRIL"],
-            default="DISCONNECTED")
-        return pa.table({"region": pa.array(region.astype(str),
-                                            pa.string())})
-
-    counts = (t.map_batches(_classify, batch_format="pyarrow")
-              .groupby("region").count()
-              .rename_columns({"count()": "n_vertices"}))
-
-    out_schema = pa.schema([pa.field("region", pa.string()),
-                            pa.field("n_vertices", pa.int64())])
-    # enforce_schema + drop_empty_blocks: the groupby emits schema-less
-    # empty blocks for empty partitions, which would poison the driver's
-    # schema/hash comparison downstream.
-    from ..stages.schema_util import drop_empty_blocks, enforce_schema
-    return drop_empty_blocks(
-        enforce_schema(counts, out_schema).sort("region"))
+    total = np.sum(np.asarray(counts, dtype=np.int64), axis=0)
+    keep = total > 0
+    names = np.array(REGIONS)[keep]
+    order = np.argsort(names)
+    return ray.data.from_arrow(pa.table({
+        "region": pa.array(names[order], pa.string()),
+        "n_vertices": pa.array(total[keep][order], pa.int64())}))
