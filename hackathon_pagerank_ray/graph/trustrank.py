@@ -9,9 +9,9 @@ of a page's PageRank that does NOT flow through trusted pages; values
 near 1 flag link-spam candidates, trusted hubs sit near or below 0.
 
 Scale shape: ONE mesh build, two fixed-sweep solves on it (state is
-re-initialized per solve), one vid-keyed hash join of the two rank
-tables, and one fixed float64 expression per row (subtract + divide, no
-summation) — the SQL twin composes the two unrolled chains and matches
+re-initialized per solve), a per-owner slot-aligned zip of the two
+rank tables (both solves share the mesh, so no join at all), and one
+fixed float64 expression per row (subtract + divide, no summation) — the SQL twin composes the two unrolled chains and matches
 at hash precision.
 
 Reference scope note: the reference computes plain PageRank only
@@ -31,6 +31,16 @@ _SCHEMA = pa.schema([pa.field("vid", pa.int64()),
                      pa.field("spam_mass", pa.float64())])
 
 
+def _zip_mass_fn(pr_t: pa.Table, tr_t: pa.Table) -> pa.Table:
+    """Slot-aligned zip of the two rank tables + the per-row mass
+    expression.  pr > 0 always (the (1-alpha)/n teleport floor is
+    strictly positive), so the division is safe."""
+    p = pr_t["rank"].combine_chunks().cast(pa.float64())
+    r = tr_t["rank"].combine_chunks().cast(pa.float64())
+    return pa.table({"vid": pr_t["vid"].combine_chunks(), "pr": p, "tr": r,
+                     "spam_mass": pc.divide(pc.subtract(p, r), p)})
+
+
 def spam_mass(edges_ds, seeds: np.ndarray | None = None,
               num_owners: int = 4, sweeps: int = 20, alpha: float = 0.85,
               num_partitions: int = 8):
@@ -42,44 +52,30 @@ def spam_mass(edges_ds, seeds: np.ndarray | None = None,
     run exactly ``sweeps`` power sweeps (tol=0) so the unrolled SQL twin
     is exact.
     """
+    import ray
     import ray.data
     from .engine import ShardedGraph, pagerank
-    from ..stages.relational import inner_join
-    from ..stages.schema_util import drop_empty_blocks, enforce_schema
+
+    zip_mass = ray.remote(_zip_mass_fn)
 
     g = ShardedGraph.build(edges_ds, num_owners=num_owners)
     try:
         if g.n == 0:
             return ray.data.from_arrow(_SCHEMA.empty_table())
-        pr, _ = pagerank(g, alpha=alpha, tol=0.0, max_iter=sweeps)
-        pr = pr.materialize()
+        pagerank(g, alpha=alpha, tol=0.0, max_iter=sweeps)
+        # snapshot pr per owner (get+put) before the second solve
+        # overwrites owner state — both solves run on ONE mesh, so the
+        # two rank tables are slot-aligned and zip without a join
+        pr_refs = [ray.put(t) for t in ray.get(
+            [ow.ranks_table.remote() for ow in g.owners])]
         if seeds is None:
             seeds = np.arange(0, g.n, 10, dtype=np.int64)
         w = np.full(len(seeds), 1.0 / len(seeds))
-        tr, _ = pagerank(g, alpha=alpha, tol=0.0, max_iter=sweeps,
-                         personalization=(seeds, w))
-        tr = tr.materialize()
+        pagerank(g, alpha=alpha, tol=0.0, max_iter=sweeps,
+                 personalization=(seeds, w))
+        refs = [zip_mass.remote(pr_refs[j], ow.ranks_table.remote())
+                for j, ow in enumerate(g.owners)]
+        out = ray.data.from_arrow_refs(refs).materialize()
     finally:
         g.shutdown()
-
-    pr2 = pr.map_batches(
-        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
-                            "pr": t["rank"].combine_chunks()}),
-        batch_format="pyarrow")
-    tr2 = tr.map_batches(
-        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
-                            "tr": t["rank"].combine_chunks()}),
-        batch_format="pyarrow")
-    out = inner_join(pr2, tr2, "vid", num_partitions=num_partitions)
-
-    def _mass(t: pa.Table) -> pa.Table:
-        p = t["pr"].combine_chunks().cast(pa.float64())
-        r = t["tr"].combine_chunks().cast(pa.float64())
-        # pr > 0 always: the (1-alpha)/n teleport floor is strictly
-        # positive, so the division is safe
-        return pa.table({"vid": t["vid"].combine_chunks(), "pr": p,
-                         "tr": r,
-                         "spam_mass": pc.divide(pc.subtract(p, r), p)})
-
-    return drop_empty_blocks(enforce_schema(
-        out.map_batches(_mass, batch_format="pyarrow"), _SCHEMA))
+    return out

@@ -89,50 +89,49 @@ def rank_delta(edges_a, edges_b, num_owners: int = 4, sweeps: int = 20,
     universe; ``rank_a`` is 0.0 for pages new in B (delta = rank_b), and
     ``delta = rank_b - rank_a`` is one exact float64 subtraction per row.
 
-    Scale shape: two mesh solves (the engine's core primitive) + ONE
-    vid-keyed hash join of two per-vertex rank tables.
+    Scale shape: two mesh solves (the engine's core primitive); both
+    meshes use the same ``vid % P`` partition map, so the per-vertex
+    combine is a per-owner slot-aligned zip (A's slice zero-padded past
+    n_A) — no join at all.
     """
+    import ray
+    import ray.data as _rd
     from ..graph.engine import ShardedGraph, pagerank
-    from .relational import left_join_coalesce
-    from .schema_util import drop_empty_blocks, enforce_schema
+
+    zip_delta = ray.remote(_zip_delta_fn)
 
     g_a = ShardedGraph.build(edges_a, num_owners=num_owners)
     try:
-        ranks_a, _ = pagerank(g_a, alpha=alpha, tol=0.0, max_iter=sweeps)
-        ranks_a = ranks_a.materialize()
+        pagerank(g_a, alpha=alpha, tol=0.0, max_iter=sweeps)
+        a_refs = [ray.put(t) for t in ray.get(
+            [ow.ranks_table.remote() for ow in g_a.owners])]
     finally:
         g_a.shutdown()
 
     g_b = ShardedGraph.build(edges_b, num_owners=num_owners)
     try:
-        ranks_b, _ = pagerank(g_b, alpha=alpha, tol=0.0, max_iter=sweeps,
-                              warm_start=ranks_a)
-        ranks_b = ranks_b.materialize()
+        pagerank(g_b, alpha=alpha, tol=0.0, max_iter=sweeps,
+                 warm_start=_rd.from_arrow_refs(a_refs))
+        refs = [zip_delta.remote(a_refs[j], ow.ranks_table.remote())
+                for j, ow in enumerate(g_b.owners)]
+        out = _rd.from_arrow_refs(refs).materialize()
     finally:
         g_b.shutdown()
+    return out
 
-    a2 = ranks_a.map_batches(
-        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
-                            "rank_a": t["rank"].combine_chunks()}),
-        batch_format="pyarrow")
-    b2 = ranks_b.map_batches(
-        lambda t: pa.table({"vid": t["vid"].combine_chunks(),
-                            "rank_b": t["rank"].combine_chunks()}),
-        batch_format="pyarrow")
-    out = left_join_coalesce(b2, a2, "vid", fill={"rank_a": 0.0},
-                             num_partitions=num_partitions)
 
-    def _delta_col(t: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-        ra = t["rank_a"].combine_chunks().cast(pa.float64())
-        rb = t["rank_b"].combine_chunks().cast(pa.float64())
-        return pa.table({"vid": t["vid"].combine_chunks(),
-                         "rank_a": ra, "rank_b": rb,
-                         "delta": pc.subtract(rb, ra)})
-
-    schema = pa.schema([pa.field("vid", pa.int64()),
-                        pa.field("rank_a", pa.float64()),
-                        pa.field("rank_b", pa.float64()),
-                        pa.field("delta", pa.float64())])
-    return drop_empty_blocks(enforce_schema(
-        out.map_batches(_delta_col, batch_format="pyarrow"), schema))
+def _zip_delta_fn(a_t: pa.Table, b_t: pa.Table) -> pa.Table:
+    """Slot-aligned zip of snapshot A's and B's per-owner rank tables
+    (same vid %% P map; A zero-padded past its universe, A's extra slots
+    are vanished pages and drop — the warm-start contract)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    rb = b_t["rank"].combine_chunks().cast(pa.float64())
+    a = a_t["rank"].to_numpy(zero_copy_only=False)
+    ra_np = np.zeros(len(rb))
+    m = min(len(a), len(rb))
+    ra_np[:m] = a[:m]
+    ra = pa.array(ra_np, pa.float64())
+    return pa.table({"vid": b_t["vid"].combine_chunks(),
+                     "rank_a": ra, "rank_b": rb,
+                     "delta": pc.subtract(rb, ra)})
