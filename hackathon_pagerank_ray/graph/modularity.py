@@ -23,7 +23,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def community_modularity(edges_ds, labels_ds, num_partitions: int = 8):
+def community_modularity(edges_ds, labels_ds, num_partitions: int = 8,
+                         broadcast_threshold: int = 4_000_000):
     """Per-community modularity terms.
 
     ``labels_ds`` has columns ``(vid, label)`` covering every vertex that
@@ -44,20 +45,54 @@ def community_modularity(edges_ds, labels_ds, num_partitions: int = 8):
     if m == 0:
         return ray.data.from_arrow(_SCHEMA.empty_table())
 
-    def _as(name):
-        # arrow-projection rename: robust to pandas-backed label blocks,
-        # and pins int64 dtypes before the joins
-        def _p(t: pa.Table) -> pa.Table:
-            return pa.table({
-                "vid": t["vid"].combine_chunks().cast(pa.int64()),
-                name: t["label"].combine_chunks().cast(pa.int64())})
-        return labels_ds.map_batches(_p, batch_format="pyarrow")
+    n_labels = labels_ds.count()
+    if n_labels <= broadcast_threshold:
+        # small-universe path (the adaptive pattern used repo-wide):
+        # densify the label table in ONE worker task, ray.put the array
+        # once, and index it inside map_batches over the edges — the two
+        # edge×label hash joins disappear entirely.
+        import ray
 
-    ej = inner_join(und, _as("lab_u"),
-                    "u", right_on="vid", num_partitions=num_partitions)
-    ej = inner_join(ej, _as("lab_v"),
-                    "v", right_on="vid", num_partitions=num_partitions)
-    ej = drop_empty_blocks(ej.select_columns(["lab_u", "lab_v"]))
+        @ray.remote
+        def _densify(*blocks):
+            import numpy as np
+            vids = np.concatenate([np.asarray(b["vid"], dtype=np.int64)
+                                   for b in blocks])
+            labs = np.concatenate([np.asarray(b["label"], dtype=np.int64)
+                                   for b in blocks])
+            arr = np.full(int(vids.max()) + 1 if len(vids) else 0, -1,
+                          dtype=np.int64)
+            arr[vids] = labs
+            return arr
+
+        lab_ref = _densify.remote(*labels_ds.materialize().to_arrow_refs())
+
+        def _lookup(t: pa.Table) -> pa.Table:
+            import numpy as np
+            arr = ray.get(lab_ref)   # zero-copy shared per node
+            u = np.asarray(t["u"], dtype=np.int64)
+            v = np.asarray(t["v"], dtype=np.int64)
+            return pa.table({"lab_u": pa.array(arr[u], pa.int64()),
+                             "lab_v": pa.array(arr[v], pa.int64())})
+
+        ej = und.map_batches(_lookup, batch_format="pyarrow")
+    else:
+        # at-scale path: two hash joins keyed on the engine's single
+        # partitioning key
+        def _as(name):
+            # arrow-projection rename: robust to pandas-backed label
+            # blocks, and pins int64 dtypes before the joins
+            def _p(t: pa.Table) -> pa.Table:
+                return pa.table({
+                    "vid": t["vid"].combine_chunks().cast(pa.int64()),
+                    name: t["label"].combine_chunks().cast(pa.int64())})
+            return labels_ds.map_batches(_p, batch_format="pyarrow")
+
+        ej = inner_join(und, _as("lab_u"),
+                        "u", right_on="vid", num_partitions=num_partitions)
+        ej = inner_join(ej, _as("lab_v"),
+                        "v", right_on="vid", num_partitions=num_partitions)
+        ej = drop_empty_blocks(ej.select_columns(["lab_u", "lab_v"]))
 
     inside = grouped_agg_int64(
         ej.map_batches(

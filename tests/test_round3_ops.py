@@ -509,3 +509,21 @@ def test_term_zipf_closed_form():
     out = term_zipf_alpha(docs, fmin=5).to_pandas()
     assert out["n_tail"].tolist() == [2]
     assert out["alpha"].iloc[0] == 1.0 + 2.0 / math.log(7.0 / 5.0)
+
+
+def test_modularity_join_path_matches_broadcast_path():
+    """Force the at-scale join plan (broadcast_threshold=0) — it must
+    produce exactly the broadcast plan's rows."""
+    from hackathon_pagerank_ray.graph.modularity import community_modularity
+    edges = gen_random_edges(50, 160, seed=3)
+    labels_np = oracle.label_propagation(edges, n=50)
+    labels = rd.from_pandas(pd.DataFrame(
+        {"vid": np.arange(50, dtype=np.int64), "label": labels_np}))
+    kw = dict(num_partitions=2)
+    a = (community_modularity(rd.from_arrow(edges_to_table(edges)), labels,
+                              **kw)
+         .to_pandas().sort_values("label").reset_index(drop=True))
+    b = (community_modularity(rd.from_arrow(edges_to_table(edges)), labels,
+                              broadcast_threshold=0, **kw)
+         .to_pandas().sort_values("label").reset_index(drop=True))
+    assert a.equals(b)
