@@ -1157,6 +1157,25 @@ def _q_rank_delta(sf_dir):
                       num_owners=4, sweeps=_PR_SWEEPS)
 
 
+def _q_rank_movers(sf_dir):
+    """Top-20 pages by absolute rank churn between the two snapshots
+    (ties broken by vid) — the crawl-ops report on top of rank_delta;
+    per-block partial top-k prefilter, then one tiny global sort."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import topk
+    from hackathon_pagerank_ray.stages.snapshots import rank_delta
+    rd_ = rank_delta(_edges_ds(sf_dir), _edges_b_ds(sf_dir),
+                     num_owners=4, sweeps=_PR_SWEEPS)
+
+    def _absd(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.append_column("abs_delta",
+                               pc.abs(t["delta"].combine_chunks()))
+    withabs = rd_.map_batches(_absd, batch_format="pyarrow")
+    return topk(withabs, ["abs_delta", "vid"], 20,
+                descending=[True, False])
+
+
 def _q_domain_graph(sf_dir):
     """Host-graph collapse: page edges → (src_dom, dst_dom, link count),
     intra-domain links dropped — one packed-key count shuffle with
@@ -1973,6 +1992,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "edge_churn": _q_edge_churn,
         "degree_delta": _q_degree_delta,
         "rank_delta": _q_rank_delta,
+        "rank_movers": _q_rank_movers,
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -2867,6 +2887,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
             "FROM s"),
         "rank_delta": _rank_delta_oracle_sql(),
+        "rank_movers": f"""
+WITH rdlt AS MATERIALIZED ({_rank_delta_oracle_sql()})
+SELECT vid, rank_a, rank_b, delta, ABS(delta) AS abs_delta
+FROM rdlt ORDER BY abs_delta DESC, vid LIMIT 20
+""",
         # spam mass: the two existing unrolled chains composed; one fixed
         # float expression per row
         "salsa": _salsa_oracle_sql(),
