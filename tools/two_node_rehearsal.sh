@@ -53,6 +53,23 @@ RAY_ADDRESS=127.0.0.1:6379 python tools/ray_job_pagerank.py \
   --edges "$EDGES" --out "$WORK/ranks_resumed" \
   --checkpoint-dir "$WORK/ckpt_resume" --resume --mesh 8 \
   | tee "$WORK/resumed.json"
+
+# graph-analytics ops across the raylet boundary: bow-tie (SCC + BFS +
+# CC + per-owner zip classify) and SALSA (cross-mesh scaled half-sweeps)
+# must produce the same answers on two raylets as on one
+python - "$EDGES" "$WORK/two_node" <<'EOF'
+import sys
+import ray
+ray.init(address="127.0.0.1:6379")
+import ray.data as rd
+from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+from hackathon_pagerank_ray.graph.engine import salsa
+edges = rd.read_parquet(sys.argv[1])
+bowtie_regions(edges, num_owners=8).write_parquet(sys.argv[2] + "_bowtie")
+out, _ = salsa(edges, num_owners=8, max_iter=5)
+out.write_parquet(sys.argv[2] + "_salsa")
+ray.shutdown()
+EOF
 cleanup
 
 # single-node reference run (full gather) on the same input
@@ -60,6 +77,20 @@ unset RAY_ADDRESS
 RAY_ADDRESS=local python tools/ray_job_pagerank.py \
   --edges "$EDGES" --out "$WORK/ranks_single" \
   --gather-mode full --mesh 8 | tee "$WORK/single.json"
+
+python - "$EDGES" "$WORK/single" <<'EOF'
+import sys
+import ray
+ray.init(address="local", num_cpus=16, include_dashboard=False)
+import ray.data as rd
+from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+from hackathon_pagerank_ray.graph.engine import salsa
+edges = rd.read_parquet(sys.argv[1])
+bowtie_regions(edges, num_owners=8).write_parquet(sys.argv[2] + "_bowtie")
+out, _ = salsa(edges, num_owners=8, max_iter=5)
+out.write_parquet(sys.argv[2] + "_salsa")
+ray.shutdown()
+EOF
 
 python - "$WORK" <<'EOF'
 import json, sys
@@ -81,5 +112,22 @@ c = pq.read_table(f"{w}/ranks_resumed").to_pandas().sort_values("vid")
 rdiff = np.abs(a["rank"].to_numpy() - c["rank"].to_numpy()).max()
 print(f"resumed-from-sweep-5 vs uninterrupted max |diff| = {rdiff:.3e}")
 assert rdiff < 1e-12, rdiff
-print("REHEARSAL OK: cross-raylet subscribe parity + mid-iteration resume")
+bt2 = (pq.read_table(f"{w}/two_node_bowtie").to_pandas()
+       .sort_values("region").reset_index(drop=True))
+bt1 = (pq.read_table(f"{w}/single_bowtie").to_pandas()
+       .sort_values("region").reset_index(drop=True))
+assert bt2.equals(bt1), (bt2, bt1)
+print(f"bow-tie two-node == single-node: {dict(zip(bt1['region'], bt1['n_vertices']))}")
+sa2 = (pq.read_table(f"{w}/two_node_salsa").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+sa1 = (pq.read_table(f"{w}/single_salsa").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+sdiff = max(np.abs(sa2["salsa_auth"].to_numpy()
+                   - sa1["salsa_auth"].to_numpy()).max(),
+            np.abs(sa2["salsa_hub"].to_numpy()
+                   - sa1["salsa_hub"].to_numpy()).max())
+print(f"SALSA two-node vs single-node max |diff| = {sdiff:.3e}")
+assert sdiff == 0.0, sdiff
+print("REHEARSAL OK: cross-raylet subscribe parity + mid-iteration resume"
+      " + bow-tie/SALSA topology parity")
 EOF
