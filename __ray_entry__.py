@@ -1157,6 +1157,29 @@ def _q_rank_delta(sf_dir):
                       num_owners=4, sweeps=_PR_SWEEPS)
 
 
+def _q_rank_concentration(sf_dir):
+    """Rank-mass concentration: share of total PageRank held by the
+    top-k pages (k = 1, 10, 100) — the crawl-health inequality signal
+    (a boilerplate-dominated or spam-farmed graph concentrates).  Only
+    the 100-row top-k ever reaches the driver; the share numerators
+    fold in (rank desc, vid) order exactly like the SQL list_sum."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.relational import topk
+    ranks = _q_pagerank(sf_dir)
+    total = float(ranks.sum("rank"))
+    top = topk(ranks, ["rank", "vid"], 100,
+               descending=[True, False]).take_all()
+    out_k, out_s = [], []
+    for k in (1, 10, 100):
+        s = 0.0
+        for row in top[:k]:
+            s = s + float(row["rank"])
+        out_k.append(k)
+        out_s.append(s / total)
+    return pa.table({"k": pa.array(out_k, pa.int64()),
+                     "share": pa.array(out_s, pa.float64())})
+
+
 def _q_rank_movers(sf_dir):
     """Top-20 pages by absolute rank churn between the two snapshots
     (ties broken by vid) — the crawl-ops report on top of rank_delta;
@@ -1993,6 +2016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_delta": _q_degree_delta,
         "rank_delta": _q_rank_delta,
         "rank_movers": _q_rank_movers,
+        "rank_concentration": _q_rank_concentration,
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "personalized_pagerank": _q_personalized_pagerank,
@@ -2887,6 +2911,16 @@ def oracle_sql() -> dict[str, str]:
             "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
             "FROM s"),
         "rank_delta": _rank_delta_oracle_sql(),
+        "rank_concentration": f"""
+WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),
+tot AS (SELECT SUM(rank) AS t FROM pr),
+top AS (SELECT rank, ROW_NUMBER() OVER (ORDER BY rank DESC, vid) AS i
+        FROM pr QUALIFY i <= 100)
+SELECT k,
+       (SELECT list_sum(list(rank ORDER BY i)) FROM top WHERE i <= k)
+         / (SELECT t FROM tot) AS share
+FROM (SELECT unnest([1, 10, 100]) AS k)
+""",
         "rank_movers": f"""
 WITH rdlt AS MATERIALIZED ({_rank_delta_oracle_sql()})
 SELECT vid, rank_a, rank_b, delta, ABS(delta) AS abs_delta
