@@ -1757,6 +1757,18 @@ def _q_component_sizes(sf_dir):
             .select_columns(["csize", "n_components"]))
 
 
+def _q_scc_sizes(sf_dir):
+    """Strongly-connected-component size histogram (csize →
+    n_components) — the bow-tie companion profile (Broder et al. report
+    a power-law SCC size distribution outside the giant core)."""
+    labels = _q_scc(sf_dir)
+    cs = (labels.groupby("label").count()
+          .rename_columns({"count()": "csize"}))
+    return (cs.groupby("csize").count()
+            .rename_columns({"count()": "n_components"})
+            .select_columns(["csize", "n_components"]))
+
+
 def _q_two_hop(sf_dir):
     """Distinct two-step reach per source (friends-of-friends size) —
     one mid-vertex self-join, all-integer, trivially hash-exact."""
@@ -2027,6 +2039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "connected_components": _q_connected_components,
         "strongly_connected_components": _q_scc,
         "bowtie": _q_bowtie,
+        "scc_sizes": _q_scc_sizes,
         "lp_modularity": _q_lp_modularity,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
@@ -2967,6 +2980,25 @@ FROM verts v LEFT JOIN
         "connected_components": _CC_ORACLE_SQL,
         # SCC: label(v) = MIN(u) with v→u and u→v, via the full recursive
         # reachability relation self-joined on the reversed pair
+        "scc_sizes": f"""
+WITH labels AS MATERIALIZED (
+WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
+p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),
+verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid FROM p),
+r(a, b) AS (
+  SELECT vid, vid FROM verts
+  UNION
+  SELECT r.a, e.dst FROM r JOIN edges e ON e.src = r.b
+)
+SELECT x.a AS vid, MIN(x.b) AS label
+FROM r x JOIN r y ON y.a = x.b AND y.b = x.a
+GROUP BY x.a
+)
+, cs AS (SELECT label, COUNT(*) AS csize FROM labels GROUP BY label)
+SELECT CAST(csize AS BIGINT) AS csize,
+       CAST(COUNT(*) AS BIGINT) AS n_components
+FROM cs GROUP BY csize
+""",
         "strongly_connected_components": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),
 p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n FROM edges),
