@@ -527,3 +527,16 @@ def test_modularity_join_path_matches_broadcast_path():
                               broadcast_threshold=0, **kw)
          .to_pandas().sort_values("label").reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_new_graph_ops_empty_graph():
+    """Empty edge tables short-circuit to typed empty outputs."""
+    from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+    from hackathon_pagerank_ray.graph.engine import salsa
+    from hackathon_pagerank_ray.graph.trustrank import spam_mass
+    empty = rd.from_arrow(pa.table({"src": pa.array([], pa.int64()),
+                                    "dst": pa.array([], pa.int64())}))
+    assert bowtie_regions(empty, num_owners=2).count() == 0
+    out, info = salsa(empty, num_owners=2, max_iter=3)
+    assert out.count() == 0 and info["n"] == 0
+    assert spam_mass(empty, num_owners=2, sweeps=3).count() == 0
