@@ -599,6 +599,18 @@ def _q_user_sessions(sf_dir):
     return sessionize(ev, gap_sec=1800.0)
 
 
+def _q_user_recency(sf_dir):
+    """Recency-weighted activity per user (sum of exact-dyadic 2^-age
+    terms, age in whole days from the global max ts, clamped at 40) —
+    bit-exact under any summation order inside the documented
+    envelope."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import recency_activity
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    return recency_activity(ev)
+
+
 def _q_event_sessions(sf_dir):
     """Composition showcase: sessionize the event stream, then range-join
     every event back to its containing session (point-in-interval join —
@@ -1944,6 +1956,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_band_counts": _q_price_band_counts,
         "order_price_ntile": _q_order_price_ntile,
         "user_sessions": _q_user_sessions,
+        "user_recency": _q_user_recency,
         "purchase_attribution": _q_purchase_attribution,
         "event_sessions": _q_event_sessions,
         "rolling_revenue": _q_rolling_revenue,
@@ -3112,6 +3125,17 @@ FROM sizes GROUP BY cluster_size
         "simhash_pairs": _SIMHASH_ORACLE_SQL,
         "embedding_near_dups": _EMB_ORACLE_SQL,
         "user_sessions": _SESSIONS_ORACLE_SQL,
+        # exact-dyadic decay: every term is 2^-k, so SUM order can't
+        # change the bits inside the documented envelope
+        "user_recency": """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events),
+t AS (SELECT user_id,
+             LEAST((((SELECT m FROM mx) - epoch_us(ts)) // 86400000000),
+                   40) AS age
+      FROM events)
+SELECT user_id, SUM(POWER(2.0, -age)) AS recency
+FROM t GROUP BY user_id
+""",
         "purchase_attribution": _ASOF_ORACLE_SQL,
         "event_sessions": _EVENT_SESSIONS_ORACLE_SQL,
         "rolling_revenue": _ROLLING_ORACLE_SQL,

@@ -669,3 +669,45 @@ def retention_cohorts(ds, user_col: str = "user_id", ts_col: str = "ts"):
                     ["n_users" if c == "count()" else c
                      for c in t.column_names]),
                 batch_format="pyarrow"))
+
+
+def recency_activity(events_ds, user_col: str = "user_id",
+                     ts_col: str = "ts", max_age_days: int = 40):
+    """Recency-weighted activity per user: ``Σ 2^(-age_days)`` over the
+    user's events, ``age_days = floor((t_max − ts)/86400 s)`` anchored at
+    the global max timestamp (deterministic — no wall clock) and clamped
+    at ``max_age_days``.
+
+    The base-2 decay is chosen for CROSS-ENGINE BIT-EXACTNESS: every
+    term is an exact dyadic double (2^-k), so any summation order gives
+    identical bits as long as the per-user sum's exponent span stays
+    within the 53-bit mantissa — with the 40-day clamp that holds up to
+    ~4096 events per user, documented here as the exactness envelope
+    (beyond it the result is still deterministic per engine, only the
+    last ulp may differ from the SQL twin).
+
+    Shape: one streaming max, one vectorized ``np.ldexp`` map, one
+    single-key grouped float sum.  Returns ``(user_id, recency)``.
+    """
+    import numpy as np
+
+    tmax = events_ds.max(ts_col)
+    tmax_us = int(pd.Timestamp(tmax).value // 1000) \
+        if not isinstance(tmax, (int, np.integer)) else int(tmax)
+
+    def _terms(t: pa.Table) -> pa.Table:
+        ts_us = t[ts_col].combine_chunks().cast(
+            pa.timestamp("us")).cast(pa.int64()).to_numpy(
+                zero_copy_only=False)
+        age = np.minimum((tmax_us - ts_us) // 86_400_000_000,
+                         max_age_days).astype(np.int64)
+        term = np.ldexp(1.0, -age)
+        return pa.table({user_col: t[user_col].combine_chunks()
+                         .cast(pa.int64()),
+                         "term": pa.array(term, pa.float64())})
+
+    from .relational import rename
+
+    out = (events_ds.map_batches(_terms, batch_format="pyarrow")
+           .groupby(user_col).sum("term"))
+    return rename(out, {"sum(term)": "recency"})

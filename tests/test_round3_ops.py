@@ -540,3 +540,21 @@ def test_new_graph_ops_empty_graph():
     out, info = salsa(empty, num_owners=2, max_iter=3)
     assert out.count() == 0 and info["n"] == 0
     assert spam_mass(empty, num_owners=2, sweeps=3).count() == 0
+
+
+def test_user_recency_exact_dyadics():
+    from hackathon_pagerank_ray.stages.events import recency_activity
+    base = pd.Timestamp("2026-01-31 12:00:00")
+    rows = [(1, base), (1, base - pd.Timedelta(days=3, hours=1)),
+            (2, base - pd.Timedelta(hours=23)),          # age 0
+            (2, base - pd.Timedelta(days=50)),           # clamped to 40
+            (3, base - pd.Timedelta(days=1))]
+    ev = rd.from_pandas(pd.DataFrame(
+        {"user_id": [u for u, _ in rows], "ts": [t for _, t in rows]}))
+    out = (recency_activity(ev).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    assert out["user_id"].tolist() == [1, 2, 3]
+    # exact dyadic arithmetic: bit-equal, not approx
+    assert out["recency"].tolist() == [1.0 + 2.0 ** -3,
+                                       1.0 + 2.0 ** -40,
+                                       2.0 ** -1]
