@@ -857,6 +857,15 @@ def _q_unigram_logprob(sf_dir):
     return unigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_bigram_logprob(sf_dir):
+    """Mean bigram log-probability per doc under the corpus's own
+    bigram LM (prefix-conditional, no smoothing needed) — the fluency
+    signal one step up from unigram_logprob."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.lm_score import bigram_logprob
+    return bigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -2001,6 +2010,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
         "unigram_logprob": _q_unigram_logprob,
+        "bigram_logprob": _q_bigram_logprob,
         "top_bigrams": _q_top_bigrams,
         "quality_resample": _q_quality_resample,
         "events_pivot": _q_events_pivot,
@@ -3575,6 +3585,27 @@ WHERE w >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
         # unigram LM score (functions/lm_score.unigram_logprob): the SQL
         # mirrors the engine's weighted form SUM(tf·ln p)/SUM(tf) so both
         # sides evaluate identical per-term doubles
+        "bigram_logprob": r"""
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS ts
+             FROM documents),
+big AS (SELECT doc_id,
+               unnest(list_transform(range(1, len(ts)),
+                      i -> ts[i] || chr(31) || ts[i + 1])) AS bg
+        FROM tok WHERE len(ts) >= 2),
+btf AS MATERIALIZED (SELECT doc_id, bg, COUNT(*) AS c
+                     FROM big GROUP BY 1, 2),
+nb AS MATERIALIZED (SELECT bg, CAST(SUM(c) AS DOUBLE) AS n
+                    FROM btf GROUP BY bg),
+pf AS MATERIALIZED (SELECT split_part(bg, chr(31), 1) AS w1,
+                           CAST(SUM(n) AS DOUBLE) AS np
+                    FROM nb GROUP BY 1)
+SELECT b.doc_id,
+       SUM(b.c * ln(nb.n / pf.np)) / SUM(b.c) AS bigram_lp
+FROM btf b
+JOIN nb USING (bg)
+JOIN pf ON pf.w1 = split_part(b.bg, chr(31), 1)
+GROUP BY b.doc_id
+""",
         "unigram_logprob": r"""
 WITH tok AS (SELECT doc_id,
         unnest(regexp_extract_all(lower(text), '\w+')) AS term

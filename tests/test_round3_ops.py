@@ -558,3 +558,18 @@ def test_user_recency_exact_dyadics():
     assert out["recency"].tolist() == [1.0 + 2.0 ** -3,
                                        1.0 + 2.0 ** -40,
                                        2.0 ** -1]
+
+
+def test_bigram_logprob_closed_form():
+    import math
+    from hackathon_pagerank_ray.functions.lm_score import bigram_logprob
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["a b c", "a b b", "x"]}))   # doc 2: <2 tokens, no row
+    out = (bigram_logprob(docs).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    # nb: ab=2 bc=1 bb=1; prefixes: a=2 b=2
+    # doc0 = (ln(2/2) + ln(1/2))/2, doc1 identical
+    want = (0.0 + math.log(1.0 / 2.0)) / 2.0
+    assert out["doc_id"].tolist() == [0, 1]
+    assert out["bigram_lp"].tolist() == [want, want]
