@@ -1010,6 +1010,15 @@ def _q_powerlaw_alpha(sf_dir):
     return powerlaw_alpha(_edges_ds(sf_dir))
 
 
+def _q_edge_support(sf_dir):
+    """Per-edge triangle support (embeddedness) — common-neighbor count
+    per undirected edge; the k-truss peel's per-round input exposed as
+    a first-class tie-strength table."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.truss import edge_support
+    return edge_support(_edges_ds(sf_dir), num_partitions=8)
+
+
 def _q_link_prediction(sf_dir):
     """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
     the per-center cap is the documented scale knob)."""
@@ -2003,6 +2012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "effective_diameter": _q_effective_diameter,
         "harmonic_centrality": _q_harmonic_centrality,
         "truss_edges": _q_truss_edges,
+        "edge_support": _q_edge_support,
         "price_quantiles_exact": _q_price_quantiles_exact,
         "acctbal_zscore": _q_acctbal_zscore,
         "qty_discount_corr": _q_qty_discount_corr,
@@ -2925,6 +2935,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT t.n_edges, m.n_mutual, "
             "CAST(m.n_mutual AS DOUBLE) / t.n_edges AS reciprocity "
             "FROM t, m"),
+        "edge_support": f"""
+WITH e2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst),
+und AS MATERIALIZED (SELECT u AS a, v AS b FROM e2
+                     UNION ALL SELECT v, u FROM e2),
+sup AS (SELECT x.a AS u, y.a AS v, COUNT(*) AS c
+        FROM und x JOIN und y ON x.b = y.b AND x.a < y.a
+        GROUP BY x.a, y.a)
+SELECT e2.u, e2.v, CAST(COALESCE(s.c, 0) AS BIGINT) AS support
+FROM e2 LEFT JOIN sup s ON s.u = e2.u AND s.v = e2.v
+""",
         "edge_churn": (
             f"WITH a AS MATERIALIZED (SELECT DISTINCT src, dst FROM "
             f"({_EDGE_SQL})), "

@@ -291,3 +291,24 @@ def ktruss_edges(edges_ds, k: int, num_partitions: int = 16,
         lambda t: pa.table({"u": pa.compute.cast(t["u"], pa.int64()),
                             "v": pa.compute.cast(t["v"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def edge_support(edges_ds, num_partitions: int = 16):
+    """Per-edge triangle support (embeddedness) over the undirected
+    simple graph: ``(u, v, support)`` where support = number of common
+    neighbors of u and v — the tie-strength signal (Granovetter: low
+    embeddedness = bridge-like weak tie; also the per-edge input the
+    k-truss peel consumes).  One oriented wedge join, the same plan a
+    single truss round runs; full edge coverage via the fill-0 join."""
+    from ..stages.relational import left_join_coalesce
+    from ..stages.schema_util import enforce_schema
+    from .triangles import canonical_undirected
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    sup = _support_ds(und, num_partitions)
+    out = left_join_coalesce(und, sup, on=("u", "v"),
+                             fill={"support": 0},
+                             num_partitions=num_partitions)
+    return drop_empty_blocks(enforce_schema(out, pa.schema(
+        [("u", pa.int64()), ("v", pa.int64()),
+         ("support", pa.int64())])))

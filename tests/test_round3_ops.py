@@ -573,3 +573,14 @@ def test_bigram_logprob_closed_form():
     want = (0.0 + math.log(1.0 / 2.0)) / 2.0
     assert out["doc_id"].tolist() == [0, 1]
     assert out["bigram_lp"].tolist() == [want, want]
+
+
+def test_edge_support_handmade():
+    from hackathon_pagerank_ray.graph.truss import edge_support
+    # triangle {0,1,2} + pendant 2-3: triangle edges support 1, bridge 0
+    edges = np.array([[0, 1], [1, 2], [0, 2], [2, 3]])
+    out = (edge_support(rd.from_arrow(edges_to_table(edges)),
+                        num_partitions=2)
+           .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
+    assert out.values.tolist() == [[0, 1, 1], [0, 2, 1], [1, 2, 1],
+                                   [2, 3, 0]]
