@@ -1002,6 +1002,15 @@ def _q_degree_histogram(sf_dir):
     return degree_histogram(_edges_ds(sf_dir))
 
 
+def _q_avg_neighbor_degree(sf_dir):
+    """Per-vertex mean neighbor degree over the undirected simple graph
+    (knn(v), the degree-correlation function) — int64 sums, one float
+    division per vertex."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import avg_neighbor_degree
+    return avg_neighbor_degree(_edges_ds(sf_dir))
+
+
 def _q_powerlaw_alpha(sf_dir):
     """Hill estimator of the out-degree power-law exponent over the
     degree tail (degree ≥ 5) — one row (n_tail, alpha)."""
@@ -2064,6 +2073,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rank_concentration": _q_rank_concentration,
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
+        "avg_neighbor_degree": _q_avg_neighbor_degree,
         "personalized_pagerank": _q_personalized_pagerank,
         "spam_mass": _q_spam_mass,
         "salsa": _q_salsa,
@@ -2967,6 +2977,18 @@ FROM e2 LEFT JOIN sup s ON s.u = e2.u AND s.v = e2.v
             "SUM(c * ln(CAST(degree AS DOUBLE) / 5.0)) AS sl FROM tail) "
             "SELECT CAST(n AS BIGINT) AS n_tail, 1.0 + n / sl AS alpha "
             "FROM s"),
+        "avg_neighbor_degree": f"""
+WITH e2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst),
+sym AS MATERIALIZED (SELECT u AS vid, v AS nbr FROM e2
+                     UNION ALL SELECT v, u FROM e2),
+deg AS MATERIALIZED (SELECT vid, COUNT(*) AS d FROM sym GROUP BY vid)
+SELECT s.vid,
+       CAST(SUM(nd.d) AS DOUBLE) / CAST(dg.d AS DOUBLE) AS avg_nbr_deg
+FROM sym s JOIN deg nd ON nd.vid = s.nbr
+           JOIN deg dg ON dg.vid = s.vid
+GROUP BY s.vid, dg.d
+""",
         "rank_delta": _rank_delta_oracle_sql(),
         "rank_concentration": f"""
 WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),

@@ -153,3 +153,57 @@ def powerlaw_alpha(edges_ds, src_col: str = "src", dmin: int = 5):
     return rd.from_arrow(pa.table({
         "n_tail": pa.array([n], pa.int64()),
         "alpha": pa.array([alpha], pa.float64())}))
+
+
+def avg_neighbor_degree(edges_ds, num_partitions: int = 8):
+    """(vid, avg_nbr_deg) over the undirected simple graph — the
+    per-vertex degree-correlation function knn(v) (Pastor-Satorras et
+    al.): mean degree of v's neighbors.  Rich-club/assortativity
+    companion at vertex granularity.
+
+    Exact: neighbor-degree SUM and COUNT are int64 (one undirected-edge
+    explode + one single-key shuffle each via the task shuffle), the
+    mean is ONE float division per vertex — no float summation.
+    """
+    import pyarrow as pa
+
+    from ..graph.triangles import canonical_undirected, undirected_degrees
+    from .relational import inner_join, rename
+    from .schema_util import drop_empty_blocks, enforce_schema
+    from .taskshuffle import grouped_agg_int64
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    deg = undirected_degrees(und).materialize()
+
+    # explode to directed (vid, nbr) then attach nbr's degree
+    def _sym(t: pa.Table) -> pa.Table:
+        import numpy as np
+        u = np.asarray(t["u"], dtype=np.int64)
+        v = np.asarray(t["v"], dtype=np.int64)
+        return pa.table({"vid": pa.array(np.concatenate([u, v]), pa.int64()),
+                         "nbr": pa.array(np.concatenate([v, u]), pa.int64())})
+
+    sym = und.map_batches(_sym, batch_format="pyarrow")
+    withdeg = inner_join(sym, rename(deg, {"vid": "nbr", "deg": "nbr_deg"}),
+                         on="nbr", num_partitions=num_partitions)
+    withdeg = drop_empty_blocks(enforce_schema(withdeg, pa.schema(
+        [("vid", pa.int64()), ("nbr", pa.int64()),
+         ("nbr_deg", pa.int64())])))
+    sums = grouped_agg_int64(withdeg, "vid", "nbr_deg", op="sum",
+                             out_val="s")
+
+    # join back the vertex's own degree as the divisor (count of nbrs)
+    out = inner_join(drop_empty_blocks(enforce_schema(sums, pa.schema(
+        [("vid", pa.int64()), ("s", pa.int64())]))), deg,
+        on="vid", num_partitions=num_partitions)
+
+    def _div(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = t["s"].combine_chunks().cast(pa.float64())
+        d = t["deg"].combine_chunks().cast(pa.float64())
+        return pa.table({"vid": t["vid"].combine_chunks(),
+                         "avg_nbr_deg": pc.divide(s, d)})
+
+    return drop_empty_blocks(enforce_schema(
+        out.map_batches(_div, batch_format="pyarrow"),
+        pa.schema([("vid", pa.int64()), ("avg_nbr_deg", pa.float64())])))

@@ -584,3 +584,13 @@ def test_edge_support_handmade():
            .to_pandas().sort_values(["u", "v"]).reset_index(drop=True))
     assert out.values.tolist() == [[0, 1, 1], [0, 2, 1], [1, 2, 1],
                                    [2, 3, 0]]
+
+
+def test_avg_neighbor_degree_handmade():
+    from hackathon_pagerank_ray.stages.degrees import avg_neighbor_degree
+    # path 0-1-2 plus 2-3: degs 1,2,2,1
+    edges = np.array([[0, 1], [1, 2], [2, 3]])
+    out = (avg_neighbor_degree(rd.from_arrow(edges_to_table(edges)))
+           .to_pandas().sort_values("vid").reset_index(drop=True))
+    assert out["vid"].tolist() == [0, 1, 2, 3]
+    assert out["avg_nbr_deg"].tolist() == [2.0, 1.5, 1.5, 2.0]
