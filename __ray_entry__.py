@@ -866,6 +866,16 @@ def _q_bigram_logprob(sf_dir):
     return bigram_logprob(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_user_gap_quantiles(sf_dir):
+    """Per-user quantile_cont of inter-arrival gaps — LAG diff and the
+    bit-exact interpolator in ONE map_groups pass (one shuffle)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import gap_quantiles
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_id", "ts"])
+    return gap_quantiles(ev)
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -2028,6 +2038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repeat_buyers": _q_repeat_buyers,
         "degree_histogram": _q_degree_histogram,
         "event_gaps": _q_event_gaps,
+        "user_gap_quantiles": _q_user_gap_quantiles,
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "top_bigrams": _q_top_bigrams,
@@ -3665,6 +3676,17 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
         # LAG window analogue (stages/events.lag_gaps): gap to previous
         # event per user in epoch microseconds, NULL for each user's
         # first event; order within ties broken by event_id
+        "user_gap_quantiles": """
+WITH g AS (SELECT user_id,
+                  CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id)
+                       AS DOUBLE) AS gap
+           FROM events),
+agg AS (SELECT user_id, quantile_cont(gap, [0.25, 0.5, 0.9]) AS vs
+        FROM g WHERE gap IS NOT NULL GROUP BY user_id)
+SELECT user_id, ([0.25, 0.5, 0.9])[ix.i] AS q, vs[ix.i] AS value
+FROM agg, (SELECT unnest([1, 2, 3]) AS i) ix
+""",
         "event_gaps":
             "SELECT event_id, CAST(epoch_us(ts) - LAG(epoch_us(ts)) "
             "OVER (PARTITION BY user_id ORDER BY ts, event_id) "

@@ -711,3 +711,51 @@ def recency_activity(events_ds, user_col: str = "user_id",
     out = (events_ds.map_batches(_terms, batch_format="pyarrow")
            .groupby(user_col).sum("term"))
     return rename(out, {"sum(term)": "recency"})
+
+
+def gap_quantiles(events_ds, by: str = "user_id", on: str = "ts",
+                  id_col: str = "event_id", qs=(0.25, 0.5, 0.9)):
+    """Per-key ``quantile_cont`` of inter-arrival gaps (µs) — the
+    rhythm-of-activity profile (bot detection, engagement tiers).
+
+    ONE hash exchange: the LAG diff AND the DuckDB interpolator run
+    inside the same ``map_groups`` pass (first event per key contributes
+    no gap; keys with a single event emit no row).  Interpolator form is
+    the repo's bit-exact ``quantile_cont`` twin (stats.group_quantiles).
+    Partitioning assumption: one key's rows fit a worker task (same as
+    sessionize / lag_gaps).  Returns ``(by, q, value)``.
+    """
+    qs = tuple(float(q) for q in qs)
+
+    def _to_us(t: pa.Table) -> pa.Table:
+        micros = pc.cast(t[on], pa.int64())
+        if isinstance(micros, pa.ChunkedArray):
+            micros = micros.combine_chunks()
+        return pa.Table.from_arrays(
+            [t[by].combine_chunks(), t[id_col].combine_chunks(), micros],
+            names=[by, id_col, "t_us"])
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({by: pd.Series(dtype="int64"),
+                              "q": pd.Series(dtype="float64"),
+                              "value": pd.Series(dtype="float64")})
+        if len(g) < 2:
+            return empty
+        order = np.lexsort((g[id_col].to_numpy(), g["t_us"].to_numpy()))
+        t = g["t_us"].to_numpy(dtype=np.int64)[order]
+        x = np.sort((t[1:] - t[:-1]).astype(np.float64))
+        n = len(x)
+        vals = []
+        for q in qs:
+            h = (n - 1) * q
+            f = int(np.floor(h))
+            c = min(f + 1, n - 1)
+            vals.append(x[f] if c == f else x[f] * (c - h) + x[c] * (h - f))
+        return pd.DataFrame({by: np.full(len(qs), g[by].iloc[0]),
+                             "q": np.asarray(qs, dtype=np.float64),
+                             "value": np.asarray(vals, dtype=np.float64)})
+
+    return (events_ds
+            .map_batches(_to_us, batch_format="pyarrow")
+            .groupby(by)
+            .map_groups(_q, batch_format="pandas"))

@@ -594,3 +594,18 @@ def test_avg_neighbor_degree_handmade():
            .to_pandas().sort_values("vid").reset_index(drop=True))
     assert out["vid"].tolist() == [0, 1, 2, 3]
     assert out["avg_nbr_deg"].tolist() == [2.0, 1.5, 1.5, 2.0]
+
+
+def test_gap_quantiles_handmade():
+    from hackathon_pagerank_ray.stages.events import gap_quantiles
+    ts = pd.to_datetime(["2026-01-01 00:00:00", "2026-01-01 00:00:10",
+                         "2026-01-01 00:00:40", "2026-01-01 00:02:40",
+                         "2026-01-02 00:00:00"])   # user 2: single event
+    ev = rd.from_pandas(pd.DataFrame(
+        {"user_id": [1, 1, 1, 1, 2], "event_id": [1, 2, 3, 4, 5],
+         "ts": ts}))
+    out = (gap_quantiles(ev, qs=(0.5,)).to_pandas()
+           .sort_values("user_id").reset_index(drop=True))
+    # user 1 gaps: 10s, 30s, 120s -> median 30s; user 2 emits nothing
+    assert out["user_id"].tolist() == [1]
+    assert out["value"].tolist() == [30_000_000.0]
