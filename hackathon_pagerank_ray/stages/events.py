@@ -374,7 +374,9 @@ def lag_gaps(events_ds, by: str = "user_id", on: str = "ts",
     sessionize / grouped_topk)."""
 
     def _to_us(t: pa.Table) -> pa.Table:
-        micros = pc.cast(t[on], pa.int64())
+        # cast through timestamp[us] so the unit is microseconds no
+        # matter the input resolution (pandas-sourced blocks carry ns)
+        micros = pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64())
         if isinstance(micros, pa.ChunkedArray):
             micros = micros.combine_chunks()
         return pa.Table.from_arrays(
@@ -728,7 +730,9 @@ def gap_quantiles(events_ds, by: str = "user_id", on: str = "ts",
     qs = tuple(float(q) for q in qs)
 
     def _to_us(t: pa.Table) -> pa.Table:
-        micros = pc.cast(t[on], pa.int64())
+        # cast through timestamp[us] so the unit is microseconds no
+        # matter the input resolution (pandas-sourced blocks carry ns)
+        micros = pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64())
         if isinstance(micros, pa.ChunkedArray):
             micros = micros.combine_chunks()
         return pa.Table.from_arrays(
