@@ -1038,6 +1038,15 @@ def _q_edge_support(sf_dir):
     return edge_support(_edges_ds(sf_dir), num_partitions=8)
 
 
+def _q_cocitation(sf_dir):
+    """Top-50 page pairs by co-citation count (shared in-neighbors) —
+    segmented pair expansion per citing page, packed-pair task-shuffle
+    count, deterministic top-k."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.linkpred import cocitation_topk
+    return cocitation_topk(_edges_ds(sf_dir), k=50, num_partitions=8)
+
+
 def _q_link_prediction(sf_dir):
     """Top-50 non-adjacent pairs by common-neighbor count (exact mode;
     the per-center cap is the documented scale knob)."""
@@ -2027,6 +2036,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bucketed_topk": _q_bucketed_topk,
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
+        "cocitation": _q_cocitation,
         "adamic_adar": _q_adamic_adar,
         "effective_diameter": _q_effective_diameter,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -3702,6 +3712,14 @@ FROM agg, (SELECT unnest([1, 2, 3]) AS i) ix
         # common-neighbor link prediction (graph/linkpred.py): wedge
         # expansion per center, pair-count reduce, existing edges
         # anti-joined out, deterministic (count desc, u, v) top-50
+        "cocitation": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+cc AS (SELECT n1.dst AS u, n2.dst AS v, COUNT(*) AS c
+       FROM e n1 JOIN e n2 ON n1.src = n2.src AND n1.dst < n2.dst
+       GROUP BY 1, 2)
+SELECT u, v, CAST(c AS BIGINT) AS cocitations
+FROM cc ORDER BY cocitations DESC, u, v LIMIT 50
+""",
         "link_prediction":
             f"{E}, e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
             "AS u, GREATEST(src, dst) AS v FROM edges WHERE src <> dst), "

@@ -441,3 +441,58 @@ def jaccard_topk(edges_ds, k: int = 50, num_partitions: int = 16,
     scored = drop_empty_blocks(j.map_batches(_jac, batch_format="pyarrow"))
     return topk(scored, ["jaccard", "u", "v"], k,
                 descending=[True, False, False])
+
+
+def cocitation_topk(edges_ds, k: int = 50, num_partitions: int = 16,
+                    max_center_degree: int | None = None):
+    """Top-k page pairs by co-citation count (Small 1973): pairs
+    ``(u < v, cocitations)`` where cocitations = number of pages linking
+    to BOTH — the directed sibling of common-neighbor link prediction
+    (bibliographic coupling = the same op on the reversed edge table).
+
+    Plan: distinct directed edges → group by the citing page → segmented
+    within-group target-pair expansion (no Python pair loops) → packed
+    int64 pair codes through ONE task-shuffle count → top-k.  Wedge
+    volume is Σ indeg(citing)²; ``max_center_degree`` caps hub citers
+    (boilerplate nav pages carry little co-citation signal) — the same
+    documented skew knob as the link-prediction ops.  Requires vids
+    < 2^31 (the packed-pair bound, asserted).
+    """
+    from ..stages.relational import distinct, topk
+    from ..stages.schema_util import drop_empty_blocks, enforce_schema
+    from ..stages.taskshuffle import grouped_agg_int64
+    from .triangles import segment_pairs
+
+    dist = distinct(edges_ds, ["src", "dst"], num_partitions)
+
+    def _pair_codes(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(np.unique(g["dst"].to_numpy(dtype=np.int64)))
+        if max_center_degree is not None and len(t) > max_center_degree:
+            t = t[:max_center_degree]
+        if len(t) < 2:
+            return pd.DataFrame({"code": pd.Series(dtype="int64")})
+        assert t[-1] < 2 ** 31, "cocitation packed-pair bound: vid >= 2^31"
+        li, ri, _ = segment_pairs(np.array([len(t)], dtype=np.int64))
+        code = (t[li] << np.int64(32)) | t[ri]
+        return pd.DataFrame({"code": pd.Series(code, dtype="int64")})
+
+    codes = drop_empty_blocks(enforce_schema(
+        dist.groupby("src").map_groups(_pair_codes, batch_format="pandas"),
+        pa.schema([("code", pa.int64())])))
+    counts = grouped_agg_int64(codes, "code", None, op="sum",
+                               out_val="cocitations")
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        c = np.asarray(t["code"], dtype=np.int64)
+        return pa.table({
+            "u": pa.array(c >> np.int64(32), pa.int64()),
+            "v": pa.array(c & np.int64(0xFFFFFFFF), pa.int64()),
+            "cocitations": t["cocitations"].combine_chunks()
+            .cast(pa.int64())})
+
+    pairs = drop_empty_blocks(enforce_schema(
+        counts.map_batches(_unpack, batch_format="pyarrow"),
+        pa.schema([("u", pa.int64()), ("v", pa.int64()),
+                   ("cocitations", pa.int64())])))
+    return topk(pairs, ["cocitations", "u", "v"], k,
+                descending=[True, False, False])

@@ -609,3 +609,12 @@ def test_gap_quantiles_handmade():
     # user 1 gaps: 10s, 30s, 120s -> median 30s; user 2 emits nothing
     assert out["user_id"].tolist() == [1]
     assert out["value"].tolist() == [30_000_000.0]
+
+
+def test_cocitation_handmade():
+    from hackathon_pagerank_ray.graph.linkpred import cocitation_topk
+    # 0->{2,3}, 1->{2,3}, 4->{2}: pair (2,3) cocited twice
+    edges = np.array([[0, 2], [0, 3], [1, 2], [1, 3], [4, 2]])
+    out = (cocitation_topk(rd.from_arrow(edges_to_table(edges)), k=5,
+                           num_partitions=2).to_pandas())
+    assert out.values.tolist() == [[2, 3, 2]]
