@@ -405,7 +405,9 @@ def test_lag_gaps_matches_pandas():
     out = (lag_gaps(rd.from_pandas(df).repartition(4))
            .to_pandas().sort_values("event_id").reset_index(drop=True))
     exp = df.sort_values(["user_id", "ts", "event_id"]).copy()
-    t_us = exp["ts"].astype("int64")
+    # documented unit is MICROseconds (pandas ns -> us; round-3 fix
+    # pinned the engine to us regardless of input resolution)
+    t_us = exp["ts"].astype("int64") // 1000
     exp["gap_us"] = t_us.groupby(exp["user_id"]).diff().astype("float64")
     exp = exp.sort_values("event_id").reset_index(drop=True)
     pd.testing.assert_series_equal(out["gap_us"], exp["gap_us"],
