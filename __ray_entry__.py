@@ -571,6 +571,31 @@ def _q_term_zipf(sf_dir):
     return term_zipf_alpha(docs, fmin=5)
 
 
+def _q_vocab_stats(sf_dir):
+    """One-row corpus vocabulary profile: (vocab_size, total_tokens,
+    hapax_count, hapax_share) — hapax legomena share is the classic
+    OCR-noise / contamination tripwire (natural corpora sit near 0.4-0.6
+    of vocabulary; machine-generated or deduplicated text drifts).
+    Exact int counts + ONE float division."""
+    _quiet()
+    import pyarrow as _pa
+    from hackathon_pagerank_ray.functions.tfidf import term_freq_table
+    from hackathon_pagerank_ray.stages.relational import rename
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    tf = term_freq_table(docs)
+    totals = rename(tf.groupby("term").sum("tf"), {"sum(tf)": "n"})
+    totals = totals.materialize()
+    vocab = totals.count()
+    total_tokens = int(totals.sum("n"))
+    hapax = totals.filter(expr="n == 1.0").count()
+    return _pa.table({
+        "vocab_size": _pa.array([vocab], _pa.int64()),
+        "total_tokens": _pa.array([total_tokens], _pa.int64()),
+        "hapax_count": _pa.array([hapax], _pa.int64()),
+        "hapax_share": _pa.array([float(hapax) / float(vocab)
+                                  if vocab else 0.0], _pa.float64())})
+
+
 def _q_stopword_ratio(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.text_ops import add_quality_scores
@@ -1045,6 +1070,26 @@ def _q_cocitation(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.graph.linkpred import cocitation_topk
     return cocitation_topk(_edges_ds(sf_dir), k=50, num_partitions=8)
+
+
+def _q_bib_coupling(sf_dir):
+    """Top-50 page pairs by bibliographic coupling (shared OUT-neighbor
+    count, Kessler 1963) — co-citation on the reversed edge table."""
+    _quiet()
+    import pyarrow as _pa
+    from hackathon_pagerank_ray.graph.linkpred import cocitation_topk
+    rev = _edges_ds(sf_dir).map_batches(
+        lambda t: _pa.Table.from_arrays(
+            [t["dst"].combine_chunks(), t["src"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    out = cocitation_topk(rev, k=50, num_partitions=8)
+    return out.map_batches(
+        lambda t: _pa.table({"u": t["u"].combine_chunks(),
+                             "v": t["v"].combine_chunks(),
+                             "couplings": t["cocitations"]
+                             .combine_chunks()}),
+        batch_format="pyarrow")
 
 
 def _q_link_prediction(sf_dir):
@@ -2026,6 +2071,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "term_df": _q_term_df,
         "term_zipf": _q_term_zipf,
+        "vocab_stats": _q_vocab_stats,
         "stopword_ratio": _q_stopword_ratio,
         "exact_text_dedup": _q_exact_text_dedup,
         "setsim_pairs": _q_setsim_pairs,
@@ -2037,6 +2083,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangle_counts": _q_triangle_counts,
         "link_prediction": _q_link_prediction,
         "cocitation": _q_cocitation,
+        "bib_coupling": _q_bib_coupling,
         "adamic_adar": _q_adamic_adar,
         "effective_diameter": _q_effective_diameter,
         "harmonic_centrality": _q_harmonic_centrality,
@@ -3496,6 +3543,16 @@ SELECT d.doc_id,
        COALESCE(h.n_hits, 0) > 0 AS contaminated
 FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
 """,
+        "vocab_stats": (
+            r"WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
+            r"'\w+')) AS term FROM documents), "
+            r"tc AS (SELECT term, COUNT(*) AS f FROM tok GROUP BY term) "
+            r"SELECT CAST(COUNT(*) AS BIGINT) AS vocab_size, "
+            r"CAST(SUM(f) AS BIGINT) AS total_tokens, "
+            r"CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            r"AS hapax_count, "
+            r"CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS DOUBLE) "
+            r"/ COUNT(*) AS hapax_share FROM tc"),
         "term_zipf": (
             r"WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), "
             r"'\w+')) AS term FROM documents), "
@@ -3719,6 +3776,14 @@ cc AS (SELECT n1.dst AS u, n2.dst AS v, COUNT(*) AS c
        GROUP BY 1, 2)
 SELECT u, v, CAST(c AS BIGINT) AS cocitations
 FROM cc ORDER BY cocitations DESC, u, v LIMIT 50
+""",
+        "bib_coupling": f"""
+WITH e AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+cc AS (SELECT n1.src AS u, n2.src AS v, COUNT(*) AS c
+       FROM e n1 JOIN e n2 ON n1.dst = n2.dst AND n1.src < n2.src
+       GROUP BY 1, 2)
+SELECT u, v, CAST(c AS BIGINT) AS couplings
+FROM cc ORDER BY couplings DESC, u, v LIMIT 50
 """,
         "link_prediction":
             f"{E}, e AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) "
