@@ -901,6 +901,45 @@ def _q_user_gap_quantiles(sf_dir):
     return gap_quantiles(ev)
 
 
+def _q_event_type_affinity(sf_dir):
+    """Event-type co-occurrence at user granularity: for each unordered
+    type pair, how many users performed BOTH — the association-mining
+    rollup (market-basket over the event log).  Distinct (user, type)
+    rows -> per-user pair explode (bounded by #types^2) -> one
+    single-string-key count shuffle; output <= #types^2 rows."""
+    _quiet()
+    import pandas as _pd
+    from hackathon_pagerank_ray.stages.relational import distinct, rename
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "event_type"])
+    ut = distinct(ev, ["user_id", "event_type"], 8)
+
+    def _pairs(g: _pd.DataFrame) -> _pd.DataFrame:
+        ts = sorted(set(g["event_type"]))
+        keys = [a + "|" + b for i, a in enumerate(ts)
+                for b in ts[i + 1:]]
+        return _pd.DataFrame({"pair": _pd.Series(keys, dtype="object")})
+
+    pairs = ut.groupby("user_id").map_groups(_pairs,
+                                             batch_format="pandas")
+    counts = rename(pairs.groupby("pair").count(), {"count()": "n_users"})
+
+    def _split(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        parts = pc.split_pattern(t["pair"].combine_chunks(), "|")
+        return pa.table({"type_a": pc.list_element(parts, 0),
+                         "type_b": pc.list_element(parts, 1),
+                         "n_users": t["n_users"].combine_chunks()
+                         .cast(pa.int64())})
+
+    from hackathon_pagerank_ray.stages.schema_util import (drop_empty_blocks,
+                                                           enforce_schema)
+    return drop_empty_blocks(enforce_schema(
+        counts.map_batches(_split, batch_format="pyarrow"),
+        pa.schema([("type_a", pa.string()), ("type_b", pa.string()),
+                   ("n_users", pa.int64())])))
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -2054,6 +2093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "doc_quality": _q_doc_quality,
         "event_type_counts": _q_event_type_counts,
+        "event_type_affinity": _q_event_type_affinity,
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
         "pricing_summary": _q_pricing_summary,
@@ -3743,6 +3783,14 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
         # LAG window analogue (stages/events.lag_gaps): gap to previous
         # event per user in epoch microseconds, NULL for each user's
         # first event; order within ties broken by event_id
+        "event_type_affinity": """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ut a JOIN ut b ON a.user_id = b.user_id
+                   AND a.event_type < b.event_type
+GROUP BY 1, 2
+""",
         "user_gap_quantiles": """
 WITH g AS (SELECT user_id,
                   CAST(epoch_us(ts) - LAG(epoch_us(ts)) OVER (
