@@ -1085,6 +1085,15 @@ def _q_avg_neighbor_degree(sf_dir):
     return avg_neighbor_degree(_edges_ds(sf_dir))
 
 
+def _q_rich_club(sf_dir):
+    """Rich-club coefficient phi(k) at k = 5/10/20 over the undirected
+    simple graph — hub-interconnection density; exact int counts + one
+    float division per k."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.degrees import rich_club
+    return rich_club(_edges_ds(sf_dir), ks=(5, 10, 20))
+
+
 def _q_powerlaw_alpha(sf_dir):
     """Hill estimator of the out-degree power-law exponent over the
     degree tail (degree ≥ 5) — one row (n_tail, alpha)."""
@@ -2182,6 +2191,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_rank_mass": _q_domain_rank_mass,
         "powerlaw_alpha": _q_powerlaw_alpha,
         "avg_neighbor_degree": _q_avg_neighbor_degree,
+        "rich_club": _q_rich_club,
         "personalized_pagerank": _q_personalized_pagerank,
         "spam_mass": _q_spam_mass,
         "salsa": _q_salsa,
@@ -3096,6 +3106,28 @@ SELECT s.vid,
 FROM sym s JOIN deg nd ON nd.vid = s.nbr
            JOIN deg dg ON dg.vid = s.vid
 GROUP BY s.vid, dg.d
+""",
+        "rich_club": f"""
+WITH e2 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u,
+    GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst),
+sym AS MATERIALIZED (SELECT u AS a, v AS b FROM e2
+                     UNION ALL SELECT v, u FROM e2),
+deg AS MATERIALIZED (SELECT a AS vid, COUNT(*) AS d FROM sym GROUP BY a),
+ks AS (SELECT unnest([5, 10, 20]) AS k),
+nk AS (SELECT ks.k, COUNT(*) AS n_nodes FROM ks
+       JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+ek AS (SELECT ks.k, COUNT(*) AS n_edges FROM ks
+       JOIN e2 ON TRUE
+       JOIN deg du ON du.vid = e2.u
+       JOIN deg dv ON dv.vid = e2.v
+       WHERE du.d > ks.k AND dv.d > ks.k GROUP BY ks.k)
+SELECT ks.k, CAST(COALESCE(nk.n_nodes, 0) AS BIGINT) AS n_nodes,
+       CAST(COALESCE(ek.n_edges, 0) AS BIGINT) AS n_edges,
+       CASE WHEN COALESCE(nk.n_nodes, 0) > 1
+            THEN 2.0 * COALESCE(ek.n_edges, 0)
+                 / (nk.n_nodes * (nk.n_nodes - 1))
+            ELSE 0.0 END AS phi
+FROM ks LEFT JOIN nk ON nk.k = ks.k LEFT JOIN ek ON ek.k = ks.k
 """,
         "rank_delta": _rank_delta_oracle_sql(),
         "rank_concentration": f"""

@@ -207,3 +207,79 @@ def avg_neighbor_degree(edges_ds, num_partitions: int = 8):
     return drop_empty_blocks(enforce_schema(
         out.map_batches(_div, batch_format="pyarrow"),
         pa.schema([("vid", pa.int64()), ("avg_nbr_deg", pa.float64())])))
+
+
+def rich_club(edges_ds, ks=(5, 10, 20), num_partitions: int = 8,
+              broadcast_threshold: int = 50_000_000):
+    """Rich-club coefficient φ(k) over the undirected simple graph
+    (Colizza et al. 2006): among vertices with degree > k, the realized
+    fraction of possible edges — ``φ = 2·E_k / (N_k·(N_k−1))``.  The
+    hub-interconnection health check (web graphs: rising φ(k) = a
+    tightly-knit core of hubs).
+
+    Exact int64 counts + ONE float division per k.  The degree table is
+    densified in a worker task and broadcast under ``broadcast_threshold``
+    vertices (8 bytes each), so counting E_k is one streaming pass over
+    the edges per call — no shuffle beyond the degree count itself; the
+    output is ``len(ks)`` rows regardless of graph size.
+    """
+    import ray
+    import pyarrow as pa
+
+    from ..graph.triangles import canonical_undirected, undirected_degrees
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    deg = undirected_degrees(und).materialize()
+    if deg.count() > broadcast_threshold:
+        raise NotImplementedError(
+            "rich_club: degree table exceeds the broadcast bound; the "
+            "at-scale path is a per-k degree semi-join on both endpoints "
+            "— add it when a graph this large actually needs φ(k)")
+
+    @ray.remote
+    def _dense(*blocks):
+        import numpy as np
+        vids = np.concatenate([np.asarray(b["vid"], dtype=np.int64)
+                               for b in blocks])
+        ds_ = np.concatenate([np.asarray(b["deg"], dtype=np.int64)
+                              for b in blocks])
+        arr = np.zeros(int(vids.max()) + 1 if len(vids) else 0,
+                       dtype=np.int64)
+        arr[vids] = ds_
+        return arr
+
+    dref = _dense.remote(*deg.to_arrow_refs())
+    ks = tuple(int(k) for k in ks)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import numpy as np
+        arr = ray.get(dref)
+        u = np.asarray(t["u"], dtype=np.int64)
+        v = np.asarray(t["v"], dtype=np.int64)
+        du, dv = arr[u], arr[v]
+        return pa.table({"k": pa.array(ks, pa.int64()),
+                         "e_k": pa.array(
+                             [int(((du > k) & (dv > k)).sum())
+                              for k in ks], pa.int64())})
+
+    ek = (und.map_batches(_partial, batch_format="pyarrow")
+          .groupby("k").sum("e_k"))
+    ek_map = {int(r["k"]): int(r["sum(e_k)"]) for r in ek.take_all()}
+    # N_k counted in a worker task — the dense array never reaches the
+    # driver (only len(ks) ints do)
+    nk_list = ray.get(ray.remote(
+        lambda arr, _ks=ks: [int((arr > k).sum()) for k in _ks]
+    ).remote(dref))
+    rows_k, rows_n, rows_e, rows_phi = [], [], [], []
+    for k, n_k in zip(ks, nk_list):
+        e_k = ek_map.get(k, 0)
+        rows_k.append(k)
+        rows_n.append(n_k)
+        rows_e.append(e_k)
+        rows_phi.append(2.0 * e_k / (n_k * (n_k - 1)) if n_k > 1 else 0.0)
+    import ray.data as rd
+    return rd.from_arrow(pa.table({
+        "k": pa.array(rows_k, pa.int64()),
+        "n_nodes": pa.array(rows_n, pa.int64()),
+        "n_edges": pa.array(rows_e, pa.int64()),
+        "phi": pa.array(rows_phi, pa.float64())}))

@@ -618,3 +618,18 @@ def test_cocitation_handmade():
     out = (cocitation_topk(rd.from_arrow(edges_to_table(edges)), k=5,
                            num_partitions=2).to_pandas())
     assert out.values.tolist() == [[2, 3, 2]]
+
+
+def test_rich_club_handmade():
+    from hackathon_pagerank_ray.stages.degrees import rich_club
+    # K4 core {0,1,2,3} + pendants to push core degrees above 3
+    core = [[a, b] for a in range(4) for b in range(a + 1, 4)]
+    pend = [[i, 10 + 4 * i + j] for i in range(4) for j in range(2)]
+    edges = np.array(core + pend)
+    out = (rich_club(rd.from_arrow(edges_to_table(edges)), ks=(3, 4))
+           .to_pandas().sort_values("k").reset_index(drop=True))
+    # degrees: core vertices 3+2=5, pendants 1 -> k=3: N=4, E=6, phi=1.0
+    # k=4: N=4 (deg 5 > 4), phi=1.0
+    assert out["n_nodes"].tolist() == [4, 4]
+    assert out["n_edges"].tolist() == [6, 6]
+    assert out["phi"].tolist() == [1.0, 1.0]
