@@ -940,6 +940,18 @@ def _q_event_type_affinity(sf_dir):
                    ("n_users", pa.int64())])))
 
 
+def _q_rfm(sf_dir):
+    """RFM customer segmentation: exact per-customer aggregates (int64
+    cents), then NTILE(5) scores over (metric, custkey) with the
+    DuckDB/ANSI bucket rule."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import rfm_segments
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+    return rfm_segments(orders)
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -2103,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "event_type_counts": _q_event_type_counts,
         "event_type_affinity": _q_event_type_affinity,
+        "rfm_segments": _q_rfm,
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
         "pricing_summary": _q_pricing_summary,
@@ -3815,6 +3828,21 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
         # LAG window analogue (stages/events.lag_gaps): gap to previous
         # event per user in epoch microseconds, NULL for each user's
         # first event; order within ties broken by event_id
+        "rfm_segments": """
+WITH agg AS (SELECT o_custkey AS custkey,
+                    MAX(epoch_us(o_orderdate)) AS last_us,
+                    COUNT(*) AS f,
+                    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS m_cents
+             FROM orders GROUP BY 1)
+SELECT custkey, last_us, CAST(f AS BIGINT) AS f, m_cents,
+       CAST(NTILE(5) OVER (ORDER BY last_us, custkey) AS BIGINT)
+         AS rscore,
+       CAST(NTILE(5) OVER (ORDER BY f, custkey) AS BIGINT) AS fscore,
+       CAST(NTILE(5) OVER (ORDER BY m_cents, custkey) AS BIGINT)
+         AS mscore
+FROM agg
+""",
         "event_type_affinity": """
 WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
 SELECT a.event_type AS type_a, b.event_type AS type_b,

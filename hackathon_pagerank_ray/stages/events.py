@@ -763,3 +763,67 @@ def gap_quantiles(events_ds, by: str = "user_id", on: str = "ts",
             .map_batches(_to_us, batch_format="pyarrow")
             .groupby(by)
             .map_groups(_q, batch_format="pandas"))
+
+
+def rfm_segments(orders_ds, cust_col: str = "o_custkey",
+                 date_col: str = "o_orderdate",
+                 price_col: str = "o_totalprice", n_tiles: int = 5):
+    """Classic RFM customer segmentation: per customer the recency
+    anchor (last order, epoch µs), order count, and exact monetary cents,
+    each scored 1..n by global ``NTILE`` over ``(metric, custkey)``
+    (DuckDB/ANSI bucket rule: the first ``count % n`` buckets one row
+    larger; tile n = most recent / most frequent / highest spend).
+
+    Shape: ONE per-customer map_groups aggregate (exact int64 cents —
+    float money never sums), then the three tile assignments in one
+    task over the customer summary table.  Scale note: the global NTILE
+    step holds ONE ROW PER CUSTOMER (not per order); past ~10^8
+    customers swap it for exact quantile boundaries
+    (stats.exact_quantiles) and CASE buckets, trading ANSI tie handling
+    for a fully distributed plan.
+    """
+    def _agg(g: pd.DataFrame) -> pd.DataFrame:
+        us = g["_us"].to_numpy(dtype=np.int64)
+        cents = g["_cents"].to_numpy(dtype=np.int64)
+        return pd.DataFrame({
+            "custkey": [int(g[cust_col].iloc[0])],
+            "last_us": [int(us.max())],
+            "f": [len(g)],
+            "m_cents": [int(cents.sum())]})
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(pc.cast(t[date_col], pa.timestamp("us")), pa.int64())
+        cents = pc.cast(pc.round(pc.multiply(
+            t[price_col].combine_chunks().cast(pa.float64()),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({cust_col: t[cust_col].combine_chunks(),
+                         "_us": us.combine_chunks()
+                         if isinstance(us, pa.ChunkedArray) else us,
+                         "_cents": cents})
+
+    summary = (orders_ds.map_batches(_prep, batch_format="pyarrow")
+               .groupby(cust_col).map_groups(_agg, batch_format="pandas"))
+
+    def _tiles(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values("custkey").reset_index(drop=True)
+        n = len(df)
+
+        def _ntile(metric):
+            order = np.lexsort((df["custkey"].to_numpy(),
+                                df[metric].to_numpy()))
+            base, extra = n // n_tiles, n % n_tiles
+            sizes = np.full(n_tiles, base, dtype=np.int64)
+            sizes[:extra] += 1
+            tiles = np.repeat(np.arange(1, n_tiles + 1, dtype=np.int64),
+                              sizes)[:n]
+            out = np.empty(n, dtype=np.int64)
+            out[order] = tiles
+            return out
+
+        df["rscore"] = _ntile("last_us")
+        df["fscore"] = _ntile("f")
+        df["mscore"] = _ntile("m_cents")
+        return df
+
+    return (summary.repartition(1)
+            .map_batches(_tiles, batch_format="pandas", batch_size=None))
