@@ -952,6 +952,44 @@ def _q_rfm(sf_dir):
     return rfm_segments(orders)
 
 
+def _q_session_stats(sf_dir):
+    """Session-size histogram (n_events -> n_sessions) plus duration
+    sum per size — the engagement-depth profile on top of sessionize;
+    two bounded count shuffles after the session pass."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import sessionize
+    from hackathon_pagerank_ray.stages.schema_util import (
+        drop_empty_blocks, enforce_schema)
+    from hackathon_pagerank_ray.stages.taskshuffle import grouped_agg_int64
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet",
+                            columns=["user_id", "ts"])
+    sess = drop_empty_blocks(sessionize(ev, gap_sec=1800.0))
+
+    def _shape(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "n_events": t["n_events"].combine_chunks().cast(pa.int64()),
+            "dur_us": pc.subtract(t["end_us"].combine_chunks(),
+                                  t["start_us"].combine_chunks())
+            .cast(pa.int64())})
+
+    sized = sess.map_batches(_shape, batch_format="pyarrow").materialize()
+    hist = grouped_agg_int64(sized, "n_events", None, op="sum",
+                             out_val="n_sessions")
+    dur = grouped_agg_int64(sized, "n_events", "dur_us", op="sum",
+                            out_val="total_dur_us")
+    from hackathon_pagerank_ray.stages.relational import inner_join
+    out = inner_join(
+        drop_empty_blocks(enforce_schema(hist, pa.schema(
+            [("n_events", pa.int64()), ("n_sessions", pa.int64())]))),
+        drop_empty_blocks(enforce_schema(dur, pa.schema(
+            [("n_events", pa.int64()), ("total_dur_us", pa.int64())]))),
+        on="n_events", num_partitions=4)
+    return enforce_schema(out, pa.schema(
+        [("n_events", pa.int64()), ("n_sessions", pa.int64()),
+         ("total_dur_us", pa.int64())]))
+
+
 def _q_event_gaps(sf_dir):
     """Per-event inter-arrival gap (LAG window analogue): one hash
     exchange on user_id, in-task lexsort + diff per group."""
@@ -2023,6 +2061,31 @@ def _q_price_qty_slope(sf_dir):
                          "l_extendedprice")
 
 
+def _q_embedding_norms(sf_dir):
+    """Per-vector L2 norm of the embedding column — the embedding-table
+    health check (zero/degenerate vectors, normalization drift).  The
+    per-row squared sum folds SEQUENTIALLY (np.cumsum last element ==
+    DuckDB list_sum's left fold; np.sum would pairwise-split above 128
+    elements and diverge in the last ulp)."""
+    _quiet()
+    import numpy as np
+
+    def _norms(t: pa.Table) -> pa.Table:
+        emb = t["embedding"].combine_chunks()
+        x = np.asarray(emb.to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "l2norm": pa.array([], pa.float64())})
+        sq = np.cumsum(x * x, axis=1)[:, -1]
+        return pa.table({"vec_id": t["vec_id"].combine_chunks()
+                         .cast(pa.int64()),
+                         "l2norm": pa.array(np.sqrt(sq), pa.float64())})
+
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+    return emb.map_batches(_norms, batch_format="pyarrow")
+
+
 def _q_kmeans(sf_dir):
     """Distributed Lloyd's k-means assignments (k=8, 3 iterations,
     deterministic smallest-id init) — per-batch partial sums, vectors
@@ -2116,6 +2179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_counts": _q_event_type_counts,
         "event_type_affinity": _q_event_type_affinity,
         "rfm_segments": _q_rfm,
+        "session_stats": _q_session_stats,
         "region_customer_counts": _q_region_customer_counts,
         "part_filter": _q_part_filter,
         "pricing_summary": _q_pricing_summary,
@@ -2175,6 +2239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "random_walks": _q_random_walks,
         "betweenness": _q_betweenness,
         "kmeans": _q_kmeans,
+        "embedding_norms": _q_embedding_norms,
         "mktsegment_mode": _q_mktsegment_mode,
         "corpus_shuffle": _q_corpus_shuffle,
         "acctbal_winsorized": _q_acctbal_winsorized,
@@ -3828,6 +3893,13 @@ FROM tf JOIN freq USING (term), tot GROUP BY tf.doc_id
         # LAG window analogue (stages/events.lag_gaps): gap to previous
         # event per user in epoch microseconds, NULL for each user's
         # first event; order within ties broken by event_id
+        "session_stats": f"""
+WITH sess AS ({_SESSIONS_ORACLE_SQL})
+SELECT CAST(n_events AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(end_us - start_us) AS BIGINT) AS total_dur_us
+FROM sess GROUP BY n_events
+""",
         "rfm_segments": """
 WITH agg AS (SELECT o_custkey AS custkey,
                     MAX(epoch_us(o_orderdate)) AS last_us,
@@ -4159,6 +4231,11 @@ FROM walk
         # distributed Lloyd's k-means (stages/kmeans.kmeans_assign):
         # unrolled per-iteration CTEs, see _kmeans_sql
         "kmeans": _kmeans_sql(k=8, iters=3, dim=64),
+        # list_sum is a sequential left fold == np.cumsum(...)[-1]
+        "embedding_norms": (
+            "SELECT vec_id, sqrt(list_sum(list_transform(embedding, "
+            "x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2norm "
+            "FROM embeddings"),
         # cohort retention triangle (stages/events.retention_cohorts)
         "retention": """
 WITH f AS (SELECT user_id, MIN(epoch_us(ts) // 3600000000) AS cohort_hour
