@@ -357,6 +357,65 @@ def _q_event_type_counts(sf_dir):
         {"count()": "n"})
 
 
+def _q_supplier_nation_stats(sf_dir):
+    """Per-nation supplier rollup joined with the nation name: count +
+    exact-cents balance total + mean (one float division per row) —
+    the only table no other query touched."""
+    _quiet()
+    import pyarrow.compute as pc
+    from hackathon_pagerank_ray.stages.relational import inner_join
+    from hackathon_pagerank_ray.stages.schema_util import (
+        drop_empty_blocks, enforce_schema)
+    from hackathon_pagerank_ray.stages.taskshuffle import grouped_agg_int64
+    sup = _rd().read_parquet(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey",
+                                      "s_acctbal"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(
+            t["s_acctbal"].combine_chunks().cast(pa.float64()),
+            pa.scalar(100.0))), pa.int64())
+        return pa.table({"nationkey": t["s_nationkey"].combine_chunks()
+                         .cast(pa.int64()), "cents": cents})
+
+    prepped = sup.map_batches(_prep, batch_format="pyarrow").materialize()
+    cnt = grouped_agg_int64(prepped, "nationkey", None, op="sum",
+                            out_val="n_suppliers")
+    tot = grouped_agg_int64(prepped, "nationkey", "cents", op="sum",
+                            out_val="total_cents")
+    j = inner_join(
+        drop_empty_blocks(enforce_schema(cnt, pa.schema(
+            [("nationkey", pa.int64()), ("n_suppliers", pa.int64())]))),
+        drop_empty_blocks(enforce_schema(tot, pa.schema(
+            [("nationkey", pa.int64()), ("total_cents", pa.int64())]))),
+        on="nationkey", num_partitions=4)
+    nat = _rd().read_parquet(f"{sf_dir}/nation.parquet",
+                             columns=["n_nationkey", "n_name"])
+    nat = nat.map_batches(
+        lambda t: pa.table({"nationkey": t["n_nationkey"].combine_chunks()
+                            .cast(pa.int64()),
+                            "n_name": t["n_name"].combine_chunks()}),
+        batch_format="pyarrow")
+    j = inner_join(j, nat, on="nationkey", num_partitions=4)
+
+    def _mean(t: pa.Table) -> pa.Table:
+        tc = t["total_cents"].combine_chunks().cast(pa.float64())
+        n = t["n_suppliers"].combine_chunks().cast(pa.float64())
+        return pa.table({
+            "nationkey": t["nationkey"].combine_chunks(),
+            "n_name": t["n_name"].combine_chunks(),
+            "n_suppliers": t["n_suppliers"].combine_chunks(),
+            "total_cents": t["total_cents"].combine_chunks(),
+            "mean_bal": pc.divide(pc.divide(tc, pa.scalar(100.0)), n)})
+
+    return enforce_schema(
+        j.map_batches(_mean, batch_format="pyarrow"),
+        pa.schema([("nationkey", pa.int64()), ("n_name", pa.string()),
+                   ("n_suppliers", pa.int64()),
+                   ("total_cents", pa.int64()),
+                   ("mean_bal", pa.float64())]))
+
+
 def _q_region_customer_counts(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.relational import inner_join
@@ -2181,6 +2240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": _q_rfm,
         "session_stats": _q_session_stats,
         "region_customer_counts": _q_region_customer_counts,
+        "supplier_nation_stats": _q_supplier_nation_stats,
         "part_filter": _q_part_filter,
         "pricing_summary": _q_pricing_summary,
         "token_counts": _q_token_counts,
@@ -3479,6 +3539,15 @@ GROUP BY 1
             "CAST(NTILE(4) OVER (PARTITION BY o_custkey "
             "ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS tile "
             "FROM orders",
+        "supplier_nation_stats": (
+            "SELECT CAST(s_nationkey AS BIGINT) AS nationkey, n_name, "
+            "CAST(COUNT(*) AS BIGINT) AS n_suppliers, "
+            "CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT) "
+            "AS total_cents, "
+            "CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS DOUBLE) "
+            "/ 100.0 / COUNT(*) AS mean_bal "
+            "FROM supplier JOIN nation ON n_nationkey = s_nationkey "
+            "GROUP BY 1, 2"),
         "region_customer_counts":
             "SELECT r_name, COUNT(*) AS n_customers FROM customer "
             "JOIN nation ON c_nationkey = n_nationkey "
