@@ -1668,6 +1668,40 @@ def _q_bfs_distances(sf_dir):
         g.shutdown()
 
 
+_SSSP_LEVELS = 20
+
+
+def _q_sssp(sf_dir):
+    """Weighted single-source shortest paths from vid=1 over the
+    weighted edge table (distributed Bellman-Ford; candidates are exact
+    path-weight sums so the unrolled twin is bit-equal); the oracle
+    unrolls 20 relax rounds, valid because the engine's round count is
+    asserted below it."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     sssp_distances)
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _mk3(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(),
+             pa.array(ok % 997, pa.int64()),
+             pa.array(1.0 + ok % 5, pa.float64())],
+            names=["src", "dst", "w"])
+
+    g = ShardedGraph.build(orders.map_batches(_mk3, batch_format="pyarrow"),
+                           num_owners=4, weight_col="w")
+    try:
+        out, info = sssp_distances(g, _BFS_SOURCE)
+        assert info["sweeps"] <= _SSSP_LEVELS, info
+        return out.materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_cms_users(sf_dir):
     """Count-min register table for per-user event frequencies — integer
     registers, merged via one bounded groupby; bit-exact vs the SQL twin
@@ -2343,6 +2377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
+        "sssp_distances": _q_sssp,
         "hll_users": _q_hll_users,
         "hourly_hll_users": _q_hourly_hll_users,
         "cms_event_users": _q_cms_users,
@@ -2501,6 +2536,29 @@ def _salsa_oracle_sql(sweeps: int = _PR_SWEEPS) -> str:
     return ("WITH " + ", ".join(parts) +
             f" SELECT a.vid, a.r AS salsa_auth, h.r AS salsa_hub "
             f"FROM a{sweeps} a JOIN h{sweeps} h ON h.vid = a.vid")
+
+
+def _sssp_oracle_sql(source: int, levels: int) -> str:
+    """Unrolled Bellman-Ford twin of graph/engine.sssp_distances: per
+    round d_k = MIN over (d_{k-1} rows UNION relax candidates) — the
+    same recursion, so every float candidate is reproduced bit-exactly
+    (left-fold path sums; min never invents new floats)."""
+    parts = [f"e AS MATERIALIZED (SELECT src, dst, w FROM ({_WEDGE_SQL}))",
+             "p AS MATERIALIZED (SELECT MAX(GREATEST(src, dst)) + 1 AS n "
+             "FROM e)",
+             "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
+             "FROM p)",
+             f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, "
+             "0.0 AS d)"]
+    for k in range(1, levels + 1):
+        parts.append(
+            f"d{k} AS MATERIALIZED (SELECT vid, MIN(d) AS d FROM ("
+            f"SELECT vid, d FROM d{k - 1} UNION ALL "
+            f"SELECT e.dst AS vid, dk.d + e.w AS d FROM e "
+            f"JOIN d{k - 1} dk ON dk.vid = e.src) GROUP BY vid)")
+    return ("WITH " + ", ".join(parts) +
+            f" SELECT v.vid, COALESCE(dd.d, -1.0) AS dist "
+            f"FROM verts v LEFT JOIN d{levels} dd ON dd.vid = v.vid")
 
 
 def _ppr_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -3286,6 +3344,7 @@ FROM rdlt ORDER BY abs_delta DESC, vid LIMIT 20
         # spam mass: the two existing unrolled chains composed; one fixed
         # float expression per row
         "salsa": _salsa_oracle_sql(),
+        "sssp_distances": _sssp_oracle_sql(1, 20),
         "spam_mass": f"""
 WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),
 tr AS MATERIALIZED ({_ppr_oracle_sql()})

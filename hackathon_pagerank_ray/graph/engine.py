@@ -954,6 +954,56 @@ def bfs_distances(graph: ShardedGraph, source: int, max_iter: int = 10_000):
     return out, {"sweeps": it + 1}
 
 
+def sssp_distances(graph: ShardedGraph, source: int,
+                   max_iter: int = 10_000):
+    """Weighted single-source shortest paths by distributed Bellman-Ford:
+    per round relax ``d(v) = min(d(v), min over in-edges (d(u) + w))``
+    over the mesh (rounds ≤ the hop count of the longest shortest path;
+    requires non-negative weights — build the mesh with ``weight_col``,
+    else every edge costs 1.0 and this degrades to float hop distances).
+
+    Float exactness: every candidate distance is a specific left-fold sum
+    of edge weights along one path, reproduced identically by the
+    unrolled SQL twin's recursion, so min-fixpoint equality is exact.
+    Unreached vertices report -1.0.  Returns ``(dataset, info)`` with
+    columns ``(vid, dist)``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    if not (0 <= source < max(graph.n, 1)):
+        raise ValueError(f"source {source} outside [0, n)")
+    owners = graph.owners
+    ray.get([ow.init_sssp.remote(source) for ow in owners])
+    if graph.n == 0:
+        return graph.labels_dataset(), {"sweeps": 0}
+    it = -1
+    for it in range(max_iter):
+        ray.get([ow.start_value_sweep.remote() for ow in owners])
+        partials = graph._partial_refs("minplus_partials")
+        changed = sum(ray.get([
+            ow.apply_minplus_update.remote(
+                *[partials[e][j] for e in range(graph.E)])
+            for j, ow in enumerate(owners)
+        ]))
+        if changed == 0:
+            break
+
+    def _shape(t: pa.Table) -> pa.Table:
+        d = t["rank"].combine_chunks()
+        dist = pc.if_else(pc.equal(d, pa.scalar(float("inf"),
+                                                pa.float64())),
+                          pa.scalar(-1.0, pa.float64()), d)
+        return pa.Table.from_arrays(
+            [t["vid"].combine_chunks(), dist.combine_chunks()
+             if isinstance(dist, pa.ChunkedArray) else dist],
+            names=["vid", "dist"])
+
+    out = ray.data.from_arrow_refs(
+        [ow.ranks_table.remote() for ow in owners]).map_batches(
+        _shape, batch_format="pyarrow")
+    return out, {"sweeps": it + 1}
+
+
 def label_propagation(graph: ShardedGraph, max_iter: int = 10):
     """Synchronous LP with the deterministic min-label tie-break — the exact
     contract of ``oracle.label_propagation``; build with ``undirected=True``

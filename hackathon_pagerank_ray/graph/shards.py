@@ -393,6 +393,30 @@ class RankOwner:
              pa.array(self.scc_label, pa.int64())],
             names=["vid", "label"])
 
+    def init_sssp(self, source: int) -> None:
+        """Weighted SSSP state: +inf everywhere except the source (float64
+        in the rank buffer; start_value_sweep ships it)."""
+        self.r = np.full(self.n_local, np.inf)
+        if source % self.P == self.j and source // self.P < self.n_local:
+            self.r[source // self.P] = 0.0
+
+    def apply_minplus_update(self, *partials) -> int:
+        """Bellman-Ford relax: ``d = min(d, incoming min(d_u + w))``.
+        Candidates are exact path-weight sums reproduced identically by
+        the unrolled SQL twin, so the fixpoint equality test is exact
+        (min never invents new floats).  Returns #improved."""
+        new = self.r.copy()
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                idx = self.dst_maps[e_id]
+                new[idx] = np.minimum(new[idx], part)
+        changed = int((new != self.r).sum())
+        self.r = new
+        return changed
+
     def init_distances(self, source: int) -> None:
         """BFS state: int64-max sentinel everywhere except the source."""
         self.labels = np.full(self.n_local, np.iinfo(np.int64).max,
@@ -846,6 +870,27 @@ class EdgeShard:
                 out.append(np.full(0, np.iinfo(np.int64).max))
                 continue
             mins = np.full(size, np.iinfo(np.int64).max)
+            np.minimum.at(mins, self.dst_compact[seg], vals[seg])
+            out.append(mins)
+        return tuple(out) if self.P > 1 else out[0]
+
+    def minplus_partials(self, *dist_slices: np.ndarray):
+        """per-dst minimum of (source distance + edge weight), per
+        destination owner — the weighted-SSSP relax partial.  Weight
+        defaults to 1.0 per edge when the mesh was built without a
+        weight column (hop distances in float)."""
+        d = self._gathered(dist_slices)
+        vals = d[self.src_pos_scattered]
+        vals = vals + (self.w_scattered if self.w_scattered is not None
+                       else 1.0)
+        out = []
+        for j in range(self.P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            size = len(self.uniq_dst_local[j])
+            if self.soffs[j + 1] == self.soffs[j]:
+                out.append(np.full(0, np.inf))
+                continue
+            mins = np.full(size, np.inf)
             np.minimum.at(mins, self.dst_compact[seg], vals[seg])
             out.append(mins)
         return tuple(out) if self.P > 1 else out[0]

@@ -633,3 +633,58 @@ def test_rich_club_handmade():
     assert out["n_nodes"].tolist() == [4, 4]
     assert out["n_edges"].tolist() == [6, 6]
     assert out["phi"].tolist() == [1.0, 1.0]
+
+
+def test_sssp_matches_dijkstra():
+    import heapq
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, \
+        sssp_distances
+    rng = np.random.RandomState(13)
+    n, m = 60, 240
+    src = rng.randint(0, n, m)
+    dst = rng.randint(0, n, m)
+    w = (1.0 + rng.randint(0, 5, m)).astype(np.float64)
+    t = pa.table({"src": pa.array(src, pa.int64()),
+                  "dst": pa.array(dst, pa.int64()),
+                  "w": pa.array(w, pa.float64())})
+    g = ShardedGraph.build(rd.from_arrow(t), n=n, num_owners=2,
+                           weight_col="w")
+    try:
+        out, _ = sssp_distances(g, 0)
+        got = (out.to_pandas().sort_values("vid")["dist"].to_numpy())
+    finally:
+        g.shutdown()
+    adj = [[] for _ in range(n)]
+    for s, d, ww in zip(src, dst, w):
+        adj[int(s)].append((int(d), float(ww)))
+    dist = np.full(n, np.inf)
+    dist[0] = 0.0
+    pq_ = [(0.0, 0)]
+    while pq_:
+        dd, u = heapq.heappop(pq_)
+        if dd > dist[u]:
+            continue
+        for v, ww in adj[u]:
+            nd = dd + ww
+            if nd < dist[v]:
+                dist[v] = nd
+                heapq.heappush(pq_, (nd, v))
+    want = np.where(np.isinf(dist), -1.0, dist)
+    assert np.array_equal(got, want)
+
+
+def test_sssp_unweighted_defaults_to_hops():
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     bfs_distances,
+                                                     sssp_distances)
+    edges = gen_random_edges(50, 150, seed=21)
+    g = ShardedGraph.build(rd.from_arrow(edges_to_table(edges)),
+                           num_owners=2)
+    try:
+        s_out, _ = sssp_distances(g, 0)
+        s = s_out.to_pandas().sort_values("vid")["dist"].to_numpy()
+        b_out, _ = bfs_distances(g, 0)
+        b = b_out.to_pandas().sort_values("vid")["dist"].to_numpy()
+    finally:
+        g.shutdown()
+    assert np.array_equal(s, b.astype(np.float64))
