@@ -1702,6 +1702,36 @@ def _q_sssp(sf_dir):
         g.shutdown()
 
 
+def _q_seed_distance(sf_dir):
+    """Distance to the NEAREST trusted seed (vid %% 10 == 0) over the
+    weighted edge table — multi-source Bellman-Ford (the TrustRank
+    seed set's reachability radius)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     sssp_distances)
+    rd = _rd()
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                             columns=["o_orderkey", "o_custkey"])
+
+    def _mk3(t: pa.Table) -> pa.Table:
+        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
+        return pa.Table.from_arrays(
+            [t["o_custkey"].combine_chunks(),
+             pa.array(ok % 997, pa.int64()),
+             pa.array(1.0 + ok % 5, pa.float64())],
+            names=["src", "dst", "w"])
+
+    g = ShardedGraph.build(orders.map_batches(_mk3, batch_format="pyarrow"),
+                           num_owners=4, weight_col="w")
+    try:
+        seeds = np.arange(0, g.n, 10, dtype=np.int64)
+        out, info = sssp_distances(g, seeds)
+        assert info["sweeps"] <= _SSSP_LEVELS, info
+        return out.materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_cms_users(sf_dir):
     """Count-min register table for per-user event frequencies — integer
     registers, merged via one bounded groupby; bit-exact vs the SQL twin
@@ -2378,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": _q_kcore,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
+        "seed_distance": _q_seed_distance,
         "hll_users": _q_hll_users,
         "hourly_hll_users": _q_hourly_hll_users,
         "cms_event_users": _q_cms_users,
@@ -2538,7 +2569,7 @@ def _salsa_oracle_sql(sweeps: int = _PR_SWEEPS) -> str:
             f"FROM a{sweeps} a JOIN h{sweeps} h ON h.vid = a.vid")
 
 
-def _sssp_oracle_sql(source: int, levels: int) -> str:
+def _sssp_oracle_sql(source, levels: int) -> str:
     """Unrolled Bellman-Ford twin of graph/engine.sssp_distances: per
     round d_k = MIN over (d_{k-1} rows UNION relax candidates) — the
     same recursion, so every float candidate is reproduced bit-exactly
@@ -2548,8 +2579,10 @@ def _sssp_oracle_sql(source: int, levels: int) -> str:
              "FROM e)",
              "verts AS MATERIALIZED (SELECT unnest(range(0, n)) AS vid "
              "FROM p)",
-             f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) AS vid, "
-             "0.0 AS d)"]
+             (f"d0 AS MATERIALIZED (SELECT vid, 0.0 AS d FROM verts "
+              f"WHERE {source})" if isinstance(source, str) else
+              f"d0 AS MATERIALIZED (SELECT CAST({source} AS BIGINT) "
+              "AS vid, 0.0 AS d)")]
     for k in range(1, levels + 1):
         parts.append(
             f"d{k} AS MATERIALIZED (SELECT vid, MIN(d) AS d FROM ("
@@ -3345,6 +3378,7 @@ FROM rdlt ORDER BY abs_delta DESC, vid LIMIT 20
         # float expression per row
         "salsa": _salsa_oracle_sql(),
         "sssp_distances": _sssp_oracle_sql(1, 20),
+        "seed_distance": _sssp_oracle_sql("vid % 10 = 0", 20),
         "spam_mass": f"""
 WITH pr AS MATERIALIZED ({_pagerank_oracle_sql()}),
 tr AS MATERIALIZED ({_ppr_oracle_sql()})

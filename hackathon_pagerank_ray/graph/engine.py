@@ -954,9 +954,10 @@ def bfs_distances(graph: ShardedGraph, source: int, max_iter: int = 10_000):
     return out, {"sweeps": it + 1}
 
 
-def sssp_distances(graph: ShardedGraph, source: int,
+def sssp_distances(graph: ShardedGraph, source,
                    max_iter: int = 10_000):
-    """Weighted single-source shortest paths by distributed Bellman-Ford:
+    """Weighted single-source (or multi-source: pass an array — distance
+    to the NEAREST seed) shortest paths by distributed Bellman-Ford:
     per round relax ``d(v) = min(d(v), min over in-edges (d(u) + w))``
     over the mesh (rounds ≤ the hop count of the longest shortest path;
     requires non-negative weights — build the mesh with ``weight_col``,
@@ -970,10 +971,11 @@ def sssp_distances(graph: ShardedGraph, source: int,
     """
     import pyarrow as pa
     import pyarrow.compute as pc
-    if not (0 <= source < max(graph.n, 1)):
-        raise ValueError(f"source {source} outside [0, n)")
+    srcs = np.atleast_1d(np.asarray(source, dtype=np.int64))
+    if len(srcs) == 0 or srcs.min() < 0 or srcs.max() >= max(graph.n, 1):
+        raise ValueError(f"source(s) {source} outside [0, n)")
     owners = graph.owners
-    ray.get([ow.init_sssp.remote(source) for ow in owners])
+    ray.get([ow.init_sssp.remote(srcs) for ow in owners])
     if graph.n == 0:
         return graph.labels_dataset(), {"sweeps": 0}
     it = -1

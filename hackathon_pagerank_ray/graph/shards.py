@@ -393,12 +393,17 @@ class RankOwner:
              pa.array(self.scc_label, pa.int64())],
             names=["vid", "label"])
 
-    def init_sssp(self, source: int) -> None:
-        """Weighted SSSP state: +inf everywhere except the source (float64
-        in the rank buffer; start_value_sweep ships it)."""
+    def init_sssp(self, source) -> None:
+        """Weighted SSSP state: +inf everywhere except the source(s)
+        (float64 in the rank buffer; start_value_sweep ships it).
+        ``source`` may be one vid or an array — multi-source init gives
+        distance-to-nearest-seed semantics."""
         self.r = np.full(self.n_local, np.inf)
-        if source % self.P == self.j and source // self.P < self.n_local:
-            self.r[source // self.P] = 0.0
+        srcs = np.atleast_1d(np.asarray(source, dtype=np.int64))
+        mine = srcs[(srcs % self.P == self.j)
+                    & (srcs // self.P < self.n_local)]
+        if len(mine):
+            self.r[mine // self.P] = 0.0
 
     def apply_minplus_update(self, *partials) -> int:
         """Bellman-Ford relax: ``d = min(d, incoming min(d_u + w))``.

@@ -688,3 +688,20 @@ def test_sssp_unweighted_defaults_to_hops():
     finally:
         g.shutdown()
     assert np.array_equal(s, b.astype(np.float64))
+
+
+def test_sssp_multi_source_nearest_seed():
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, \
+        sssp_distances
+    # chain 0->1->2->3->4 (w=1 each); seeds {0, 4}: dist = [0,1,2,1,0]?
+    # directed! 4 has no out-edges: dist(3) from seed 0 = 3.
+    t = pa.table({"src": pa.array([0, 1, 2, 3], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 4], pa.int64()),
+                  "w": pa.array([1.0] * 4, pa.float64())})
+    g = ShardedGraph.build(rd.from_arrow(t), num_owners=2, weight_col="w")
+    try:
+        out, _ = sssp_distances(g, np.array([0, 4]))
+        d = out.to_pandas().sort_values("vid")["dist"].tolist()
+    finally:
+        g.shutdown()
+    assert d == [0.0, 1.0, 2.0, 3.0, 0.0]
