@@ -163,7 +163,7 @@ def run_queries(sf_dir: str) -> dict:
              "domain_graph", "domain_pagerank", "reciprocity",
              "edge_churn", "degree_delta", "anchor_text",
              "eigenvector", "domain_rank_mass",
-             "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa"]
+             "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa", "sssp_distances"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

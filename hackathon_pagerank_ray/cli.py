@@ -12,7 +12,7 @@ Subcommands::
               [--weight-col w] [--seeds 1,2,3]
     graph     <edges.(txt|parquet dir)> --out DIR
               --op cc|scc|lp|kcore|hits|bfs|truss|diameter|harmonic|
-                   bowtie|modularity|salsa [--k 3] [--source 0]
+                   bowtie|modularity|salsa|sssp [--k 3] [--source 0]
     gen-corpus <out_dir> --pages N [--seed 42]
 
 Owns the Ray session (guarded init; the library itself never inits).
@@ -79,7 +79,7 @@ def main(argv=None):
     gr.add_argument("--op", required=True,
                     choices=["cc", "scc", "lp", "kcore", "hits", "bfs",
                              "truss", "diameter", "harmonic", "bowtie",
-                             "modularity", "salsa"])
+                             "modularity", "salsa", "sssp"])
     gr.add_argument("--k", type=int, default=3,
                     help="kcore/truss threshold")
     gr.add_argument("--source", type=int, default=0, help="bfs source vid")
@@ -142,6 +142,12 @@ def main(argv=None):
                 out = harmonic_centrality(
                     edges, num_partitions=args.owners).materialize()
                 info = {"vertices": out.count()}
+            elif args.op == "sssp":
+                from .graph.engine import sssp_distances
+                graph = ShardedGraph.build(edges, num_owners=args.owners)
+                out, info = sssp_distances(graph, args.source, **kw)
+                out = out.materialize()
+                graph.shutdown()
             elif args.op == "salsa":
                 from .graph.engine import salsa as _salsa
                 out, info = _salsa(edges, num_owners=args.owners, **kw)
