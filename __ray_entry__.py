@@ -1343,11 +1343,11 @@ def _q_spam_mass(sf_dir):
     return spam_mass(_edges_ds(sf_dir), num_owners=4, sweeps=_PR_SWEEPS)
 
 
-def _q_weighted_pagerank(sf_dir):
-    """Weighted PageRank (per-edge weight column; contrib = r·w/Σ_out w),
-    fixed sweeps so the oracle unrolls identically."""
-    _quiet()
-    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+def _wedges_ds(sf_dir: str):
+    """Weighted edge table — the _WEDGE_SQL twin (src=o_custkey,
+    dst=o_orderkey%997, w=1+o_orderkey%5), vectorized.  ONE definition:
+    the weight formula must stay bit-identical to _WEDGE_SQL for every
+    consumer (weighted_pagerank, sssp_distances, seed_distance)."""
     rd = _rd()
     orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
                              columns=["o_orderkey", "o_custkey"])
@@ -1360,8 +1360,15 @@ def _q_weighted_pagerank(sf_dir):
              pa.array(1.0 + ok % 5, pa.float64())],
             names=["src", "dst", "w"])
 
-    edges = orders.map_batches(_mk3, batch_format="pyarrow")
-    g = ShardedGraph.build(edges, num_owners=4, weight_col="w")
+    return orders.map_batches(_mk3, batch_format="pyarrow")
+
+
+def _q_weighted_pagerank(sf_dir):
+    """Weighted PageRank (per-edge weight column; contrib = r·w/Σ_out w),
+    fixed sweeps so the oracle unrolls identically."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    g = ShardedGraph.build(_wedges_ds(sf_dir), num_owners=4, weight_col="w")
     try:
         ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
         return ranks.materialize()
@@ -1680,19 +1687,7 @@ def _q_sssp(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
                                                      sssp_distances)
-    rd = _rd()
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
-
-    def _mk3(t: pa.Table) -> pa.Table:
-        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [t["o_custkey"].combine_chunks(),
-             pa.array(ok % 997, pa.int64()),
-             pa.array(1.0 + ok % 5, pa.float64())],
-            names=["src", "dst", "w"])
-
-    g = ShardedGraph.build(orders.map_batches(_mk3, batch_format="pyarrow"),
+    g = ShardedGraph.build(_wedges_ds(sf_dir),
                            num_owners=4, weight_col="w")
     try:
         out, info = sssp_distances(g, _BFS_SOURCE)
@@ -1709,19 +1704,7 @@ def _q_seed_distance(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
                                                      sssp_distances)
-    rd = _rd()
-    orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
-                             columns=["o_orderkey", "o_custkey"])
-
-    def _mk3(t: pa.Table) -> pa.Table:
-        ok = t["o_orderkey"].combine_chunks().to_numpy(zero_copy_only=False)
-        return pa.Table.from_arrays(
-            [t["o_custkey"].combine_chunks(),
-             pa.array(ok % 997, pa.int64()),
-             pa.array(1.0 + ok % 5, pa.float64())],
-            names=["src", "dst", "w"])
-
-    g = ShardedGraph.build(orders.map_batches(_mk3, batch_format="pyarrow"),
+    g = ShardedGraph.build(_wedges_ds(sf_dir),
                            num_owners=4, weight_col="w")
     try:
         seeds = np.arange(0, g.n, 10, dtype=np.int64)

@@ -83,6 +83,9 @@ def main(argv=None):
     gr.add_argument("--k", type=int, default=3,
                     help="kcore/truss threshold")
     gr.add_argument("--source", type=int, default=0, help="bfs source vid")
+    gr.add_argument("--weight-col", default=None,
+                    help="per-edge weight column for --op sssp (parquet "
+                         "input only; omitted = hop distances)")
     gr.add_argument("--max-iter", type=int, default=None)
     gr.add_argument("--owners", type=int, default=8)
     gr.add_argument("--num-cpus", type=int, default=None)
@@ -120,9 +123,12 @@ def main(argv=None):
             if args.edges.endswith(".txt"):
                 from .sources.readers import read_edge_txt
                 edges = read_edge_txt(args.edges)
+                if args.weight_col:
+                    raise SystemExit("--weight-col needs parquet edges")
             else:
                 from .sources.readers import read_edges_parquet
-                edges = read_edges_parquet(args.edges)
+                edges = read_edges_parquet(args.edges,
+                                           weight_col=args.weight_col)
             os.makedirs(args.out, exist_ok=True)
             kw = {} if args.max_iter is None else {"max_iter": args.max_iter}
             if args.op == "truss":
@@ -144,7 +150,8 @@ def main(argv=None):
                 info = {"vertices": out.count()}
             elif args.op == "sssp":
                 from .graph.engine import sssp_distances
-                graph = ShardedGraph.build(edges, num_owners=args.owners)
+                graph = ShardedGraph.build(edges, num_owners=args.owners,
+                                           weight_col=args.weight_col)
                 out, info = sssp_distances(graph, args.source, **kw)
                 out = out.materialize()
                 graph.shutdown()
@@ -205,9 +212,12 @@ def main(argv=None):
             if args.edges.endswith(".txt"):
                 from .sources.readers import read_edge_txt
                 edges = read_edge_txt(args.edges)
+                if args.weight_col:
+                    raise SystemExit("--weight-col needs parquet edges")
             else:
                 from .sources.readers import read_edges_parquet
-                edges = read_edges_parquet(args.edges)
+                edges = read_edges_parquet(args.edges,
+                                           weight_col=args.weight_col)
             graph = ShardedGraph.build(edges, num_owners=args.owners,
                                        weight_col=args.weight_col)
             personalization = None

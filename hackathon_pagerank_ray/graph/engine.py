@@ -975,9 +975,12 @@ def sssp_distances(graph: ShardedGraph, source,
     if len(srcs) == 0 or srcs.min() < 0 or srcs.max() >= max(graph.n, 1):
         raise ValueError(f"source(s) {source} outside [0, n)")
     owners = graph.owners
-    ray.get([ow.init_sssp.remote(srcs) for ow in owners])
     if graph.n == 0:
-        return graph.labels_dataset(), {"sweeps": 0}
+        empty = ray.data.from_arrow(pa.table(
+            {"vid": pa.array([], pa.int64()),
+             "dist": pa.array([], pa.float64())}))
+        return empty, {"sweeps": 0}
+    ray.get([ow.init_sssp.remote(srcs) for ow in owners])
     it = -1
     for it in range(max_iter):
         ray.get([ow.start_value_sweep.remote() for ow in owners])

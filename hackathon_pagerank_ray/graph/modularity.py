@@ -94,6 +94,9 @@ def community_modularity(edges_ds, labels_ds, num_partitions: int = 8,
                         "v", right_on="vid", num_partitions=num_partitions)
         ej = drop_empty_blocks(ej.select_columns(["lab_u", "lab_v"]))
 
+    # two consumers (inside + volume): pin ej once, or the whole
+    # join/lookup pipeline executes twice
+    ej = ej.materialize()
     inside = grouped_agg_int64(
         ej.map_batches(
             lambda t: pa.table({"label": t.filter(

@@ -20,8 +20,9 @@ def read_pages(path, columns: list[str] | None = None, **kw):
     return rd.read_parquet(path, columns=columns or PAGE_COLUMNS, **kw)
 
 
-def read_edges_parquet(path, **kw):
-    return rd.read_parquet(path, columns=["src", "dst"], **kw)
+def read_edges_parquet(path, weight_col: str | None = None, **kw):
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    return rd.read_parquet(path, columns=cols, **kw)
 
 
 def read_edge_txt(path):

@@ -18,6 +18,18 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _ts_us_i64(col) -> "pa.Array":
+    """Epoch microseconds (int64) from a timestamp column of ANY
+    resolution: sub-microsecond components TRUNCATE — matching the SQL
+    twins' epoch_us — instead of raising ArrowInvalid the way a plain
+    cast from ns does."""
+    opts = pc.CastOptions(target_type=pa.timestamp("us"),
+                          allow_time_truncate=True)
+    us = pc.cast(col, options=opts)
+    out = pc.cast(us, pa.int64())
+    return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+
 def _pad(n: int, typ: pa.DataType) -> pa.Array:
     """Type-preserving filler for the never-read side of a tag-union block.
 
@@ -374,13 +386,9 @@ def lag_gaps(events_ds, by: str = "user_id", on: str = "ts",
     sessionize / grouped_topk)."""
 
     def _to_us(t: pa.Table) -> pa.Table:
-        # cast through timestamp[us] so the unit is microseconds no
-        # matter the input resolution (pandas-sourced blocks carry ns)
-        micros = pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64())
-        if isinstance(micros, pa.ChunkedArray):
-            micros = micros.combine_chunks()
         return pa.Table.from_arrays(
-            [t[by].combine_chunks(), t[id_col].combine_chunks(), micros],
+            [t[by].combine_chunks(), t[id_col].combine_chunks(),
+             _ts_us_i64(t[on])],
             names=[by, id_col, "t_us"])
 
     def _gap(df: pd.DataFrame) -> pd.DataFrame:
@@ -698,9 +706,7 @@ def recency_activity(events_ds, user_col: str = "user_id",
         if not isinstance(tmax, (int, np.integer)) else int(tmax)
 
     def _terms(t: pa.Table) -> pa.Table:
-        ts_us = t[ts_col].combine_chunks().cast(
-            pa.timestamp("us")).cast(pa.int64()).to_numpy(
-                zero_copy_only=False)
+        ts_us = _ts_us_i64(t[ts_col]).to_numpy(zero_copy_only=False)
         age = np.minimum((tmax_us - ts_us) // 86_400_000_000,
                          max_age_days).astype(np.int64)
         term = np.ldexp(1.0, -age)
@@ -730,13 +736,9 @@ def gap_quantiles(events_ds, by: str = "user_id", on: str = "ts",
     qs = tuple(float(q) for q in qs)
 
     def _to_us(t: pa.Table) -> pa.Table:
-        # cast through timestamp[us] so the unit is microseconds no
-        # matter the input resolution (pandas-sourced blocks carry ns)
-        micros = pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64())
-        if isinstance(micros, pa.ChunkedArray):
-            micros = micros.combine_chunks()
         return pa.Table.from_arrays(
-            [t[by].combine_chunks(), t[id_col].combine_chunks(), micros],
+            [t[by].combine_chunks(), t[id_col].combine_chunks(),
+             _ts_us_i64(t[on])],
             names=[by, id_col, "t_us"])
 
     def _q(g: pd.DataFrame) -> pd.DataFrame:
@@ -792,13 +794,11 @@ def rfm_segments(orders_ds, cust_col: str = "o_custkey",
             "m_cents": [int(cents.sum())]})
 
     def _prep(t: pa.Table) -> pa.Table:
-        us = pc.cast(pc.cast(t[date_col], pa.timestamp("us")), pa.int64())
         cents = pc.cast(pc.round(pc.multiply(
             t[price_col].combine_chunks().cast(pa.float64()),
             pa.scalar(100.0))), pa.int64())
         return pa.table({cust_col: t[cust_col].combine_chunks(),
-                         "_us": us.combine_chunks()
-                         if isinstance(us, pa.ChunkedArray) else us,
+                         "_us": _ts_us_i64(t[date_col]),
                          "_cents": cents})
 
     summary = (orders_ds.map_batches(_prep, batch_format="pyarrow")
