@@ -747,16 +747,11 @@ def gap_quantiles(events_ds, by: str = "user_id", on: str = "ts",
                               "value": pd.Series(dtype="float64")})
         if len(g) < 2:
             return empty
+        from .stats import interp_quantiles
         order = np.lexsort((g[id_col].to_numpy(), g["t_us"].to_numpy()))
         t = g["t_us"].to_numpy(dtype=np.int64)[order]
         x = np.sort((t[1:] - t[:-1]).astype(np.float64))
-        n = len(x)
-        vals = []
-        for q in qs:
-            h = (n - 1) * q
-            f = int(np.floor(h))
-            c = min(f + 1, n - 1)
-            vals.append(x[f] if c == f else x[f] * (c - h) + x[c] * (h - f))
+        vals = interp_quantiles(x, qs)
         return pd.DataFrame({by: np.full(len(qs), g[by].iloc[0]),
                              "q": np.asarray(qs, dtype=np.float64),
                              "value": np.asarray(vals, dtype=np.float64)})

@@ -462,6 +462,23 @@ def exact_quantiles(ds, col: str, qs=(0.25, 0.5, 0.9, 0.99),
     return rd.from_pandas(pd.DataFrame(rows))
 
 
+def interp_quantiles(x: "np.ndarray", qs) -> list[float]:
+    """DuckDB ``quantile_cont`` interpolator over a SORTED float64 array:
+    ``h = (n-1)·q``, ``v = x_f·(c-h) + x_c·(h-f)`` — the exact two-product
+    form, bit-equal to the SQL function (NOT numpy.quantile's
+    ``x_f + (h-f)·(x_c-x_f)`` rearrangement, which differs in the last
+    ulp).  The ONE definition every grouped/exact quantile op shares."""
+    n = len(x)
+    vals = []
+    for q in qs:
+        h = (n - 1) * q
+        f = int(np.floor(h))
+        c = min(f + 1, n - 1)
+        vals.append(float(x[f]) if c == f
+                    else float(x[f] * (c - h) + x[c] * (h - f)))
+    return vals
+
+
 def group_quantiles(ds, by: str, col: str, qs=(0.25, 0.5, 0.9)):
     """Per-group exact linear-interpolated quantiles (same
     ``quantile_cont`` rule as :func:`exact_quantiles`: ``h = (n-1)·q``,
@@ -485,14 +502,7 @@ def group_quantiles(ds, by: str, col: str, qs=(0.25, 0.5, 0.9)):
                               "value": pd.Series(dtype="float64")})
         if n == 0:
             return empty
-        vals = []
-        for q in qs:
-            h = (n - 1) * q
-            f = int(np.floor(h))
-            c = min(f + 1, n - 1)
-            # DuckDB interpolator form (see exact_quantiles): bit-exact
-            # vs quantile_cont, not just allclose
-            vals.append(x[f] if c == f else x[f] * (c - h) + x[c] * (h - f))
+        vals = interp_quantiles(x, qs)
         return pd.DataFrame({by: np.full(len(qs), g[by].iloc[0]),
                              "q": np.asarray(qs, dtype=np.float64),
                              "value": np.asarray(vals, dtype=np.float64)})
