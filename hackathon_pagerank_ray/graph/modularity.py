@@ -52,20 +52,9 @@ def community_modularity(edges_ds, labels_ds, num_partitions: int = 8,
         # once, and index it inside map_batches over the edges — the two
         # edge×label hash joins disappear entirely.
         import ray
+        from ..stages.taskshuffle import densify_ref
 
-        @ray.remote
-        def _densify(*blocks):
-            import numpy as np
-            vids = np.concatenate([np.asarray(b["vid"], dtype=np.int64)
-                                   for b in blocks])
-            labs = np.concatenate([np.asarray(b["label"], dtype=np.int64)
-                                   for b in blocks])
-            arr = np.full(int(vids.max()) + 1 if len(vids) else 0, -1,
-                          dtype=np.int64)
-            arr[vids] = labs
-            return arr
-
-        lab_ref = _densify.remote(*labels_ds.materialize().to_arrow_refs())
+        lab_ref = densify_ref(labels_ds, "vid", "label", fill=-1)
 
         def _lookup(t: pa.Table) -> pa.Table:
             import numpy as np

@@ -236,19 +236,9 @@ def rich_club(edges_ds, ks=(5, 10, 20), num_partitions: int = 8,
             "at-scale path is a per-k degree semi-join on both endpoints "
             "— add it when a graph this large actually needs φ(k)")
 
-    @ray.remote
-    def _dense(*blocks):
-        import numpy as np
-        vids = np.concatenate([np.asarray(b["vid"], dtype=np.int64)
-                               for b in blocks])
-        ds_ = np.concatenate([np.asarray(b["deg"], dtype=np.int64)
-                              for b in blocks])
-        arr = np.zeros(int(vids.max()) + 1 if len(vids) else 0,
-                       dtype=np.int64)
-        arr[vids] = ds_
-        return arr
+    from .taskshuffle import densify_ref
 
-    dref = _dense.remote(*deg.to_arrow_refs())
+    dref = densify_ref(deg, "vid", "deg", fill=0)
     ks = tuple(int(k) for k in ks)
 
     def _partial(t: pa.Table) -> pa.Table:

@@ -204,3 +204,26 @@ def two_way_count_int64(ds_a, ds_b, key_col: str,
     else:
         red = [_reduce.remote(*[s[r] for s in splits]) for r in range(R)]
     return ray.data.from_arrow_refs(red)
+
+
+def densify_ref(ds, key_col: str, val_col: str, fill: int = 0):
+    """Build a dense int64 array ``arr[key] = val`` from a (key, val)
+    Dataset in ONE worker task and return the ObjectRef — the broadcast
+    small-side pattern (callers ``ray.get`` it inside map_batches for a
+    zero-copy per-node read; the array never touches the driver).
+    Caller is responsible for gating on a size threshold."""
+    import ray
+
+    @ray.remote
+    def _dense(*blocks):
+        import numpy as np
+        ks = np.concatenate([np.asarray(b[key_col], dtype=np.int64)
+                             for b in blocks])
+        vs = np.concatenate([np.asarray(b[val_col], dtype=np.int64)
+                             for b in blocks])
+        arr = np.full(int(ks.max()) + 1 if len(ks) else 0, fill,
+                      dtype=np.int64)
+        arr[ks] = vs
+        return arr
+
+    return _dense.remote(*ds.materialize().to_arrow_refs())
