@@ -63,11 +63,16 @@ import ray
 ray.init(address="127.0.0.1:6379")
 import ray.data as rd
 from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
-from hackathon_pagerank_ray.graph.engine import salsa
+from hackathon_pagerank_ray.graph.engine import ShardedGraph, salsa, \
+    sssp_distances
 edges = rd.read_parquet(sys.argv[1])
 bowtie_regions(edges, num_owners=8).write_parquet(sys.argv[2] + "_bowtie")
 out, _ = salsa(edges, num_owners=8, max_iter=5)
 out.write_parquet(sys.argv[2] + "_salsa")
+g = ShardedGraph.build(edges, num_owners=8)
+out, _ = sssp_distances(g, 0)
+out.materialize().write_parquet(sys.argv[2] + "_sssp")
+g.shutdown()
 ray.shutdown()
 EOF
 cleanup
@@ -84,11 +89,16 @@ import ray
 ray.init(address="local", num_cpus=16, include_dashboard=False)
 import ray.data as rd
 from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
-from hackathon_pagerank_ray.graph.engine import salsa
+from hackathon_pagerank_ray.graph.engine import ShardedGraph, salsa, \
+    sssp_distances
 edges = rd.read_parquet(sys.argv[1])
 bowtie_regions(edges, num_owners=8).write_parquet(sys.argv[2] + "_bowtie")
 out, _ = salsa(edges, num_owners=8, max_iter=5)
 out.write_parquet(sys.argv[2] + "_salsa")
+g = ShardedGraph.build(edges, num_owners=8)
+out, _ = sssp_distances(g, 0)
+out.materialize().write_parquet(sys.argv[2] + "_sssp")
+g.shutdown()
 ray.shutdown()
 EOF
 
@@ -128,6 +138,12 @@ sdiff = max(np.abs(sa2["salsa_auth"].to_numpy()
                    - sa1["salsa_hub"].to_numpy()).max())
 print(f"SALSA two-node vs single-node max |diff| = {sdiff:.3e}")
 assert sdiff == 0.0, sdiff
+sp2 = (pq.read_table(f"{w}/two_node_sssp").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+sp1 = (pq.read_table(f"{w}/single_sssp").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+assert sp2.equals(sp1), "SSSP topology mismatch"
+print("SSSP two-node == single-node (bit-exact)")
 print("REHEARSAL OK: cross-raylet subscribe parity + mid-iteration resume"
-      " + bow-tie/SALSA topology parity")
+      " + bow-tie/SALSA/SSSP topology parity")
 EOF
