@@ -1945,6 +1945,16 @@ def _q_tfidf_search(sf_dir):
     return out
 
 
+def _q_bm25_search(sf_dir):
+    """Okapi BM25 top-10 for the same 4-term query as tfidf_search —
+    query-term-pruned explode, broadcast idf, one score shuffle."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.tfidf import bm25_search
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return bm25_search(docs, "data table query fast", top_k=10,
+                       num_partitions=8)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2404,6 +2414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_corpus": _q_flagship_corpus,
         "anchor_text": _q_anchor_text,
         "tfidf_search": _q_tfidf_search,
+        "bm25_search": _q_bm25_search,
     }
 
 
@@ -3509,6 +3520,34 @@ FROM vol v LEFT JOIN inside i ON i.label = v.label
         "language_id": _LANG_ORACLE_SQL,
         "fingerprints": _FP_ORACLE_SQL,
         "tfidf_search": _TFIDF_ORACLE_SQL,
+        # Okapi BM25 (functions/tfidf.bm25_search): Lucene idf, every
+        # float expression parenthesized exactly as the numpy kernel;
+        # N/avgdl are exact integer token counts in both engines
+        "bm25_search": r"""
+WITH tok AS (SELECT doc_id, unnest(list_transform(
+    regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
+  FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+av AS (SELECT CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+              n FROM stats),
+qterms AS (SELECT unnest(['data', 'fast', 'query', 'table']) AS term),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN qterms USING (term) GROUP BY term),
+idf AS (SELECT term,
+    ln(1.0 + ((SELECT n FROM av) - df + 0.5) / (df + 0.5)) AS idf
+  FROM df),
+sc AS (SELECT tf.doc_id,
+    idf.idf * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (SELECT avgdl FROM av))) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+SELECT doc_id, SUM(s) AS bm25_score FROM sc GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id LIMIT 10
+""",
         "minhash_pairs": _MINHASH_ORACLE_SQL,
         # near-dup cluster sizes: CC over the verified MinHash pair graph
         # (tiny by construction), then two GROUP BY counts

@@ -170,6 +170,95 @@ def blended_search(postings_ds, norms_ds, df_ds, N, pagerank_norm_ds,
                 ["combined_score", id_col], top_k, descending=[True, False])
 
 
+def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
+                b: float = 0.75, id_col="doc_id", text_col="text",
+                num_partitions: int = 8):
+    """Okapi BM25 ranking (Lucene idf variant) — the probabilistic
+    counterpart to :func:`search`'s cosine TF-IDF, over the SAME
+    tokenizer (``stages/text_ops.tokenize``; reference scope note: the
+    reference exposes only cosine TF-IDF, api/tfidf_index.py:95-132 —
+    BM25 extends the search family for corpus-quality ranking work).
+
+    ``score(d) = Σ_{t∈q∩d} idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))``
+    with ``idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))`` — every float op
+    mirrors the SQL twin's parenthesization so per-row terms are
+    bit-equal (the per-doc Σ over ≤|q| terms is the only fold).
+
+    Physical plan: one token explode (shared
+    :func:`term_freq_table`) → per-doc length via ``groupby(doc)`` →
+    df for ONLY the query's terms (the explode is filtered before the
+    count shuffle — the full vocabulary is never aggregated) → broadcast
+    the tiny idf map → join doc lengths → per-batch vectorized score →
+    one ``groupby(doc).sum`` → top-k.  N and avgdl are exact integer
+    aggregates (token counts), so they are summation-order independent.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray
+
+    from ..stages.relational import inner_join, rename, topk
+
+    tf = drop_empty_blocks(term_freq_table(docs_ds, id_col, text_col))
+    # doc length = Σ tf (exact small ints carried as float64)
+    dl = rename(tf.groupby(id_col).sum("tf"),
+                {"sum(tf)": "dl"}).materialize()
+
+    # N (docs with ≥1 token — term_freq_table emits nothing for empty
+    # docs, matching build_tfidf_tables) and total tokens: both exact
+    # integers, folded dataset-side
+    totals = dl.map_batches(
+        lambda t: pa.table({
+            "n": pa.array([t.num_rows], pa.int64()),
+            "tot": pa.array(
+                [int(round(float(pc.sum(t["dl"]).as_py() or 0.0)))],
+                pa.int64())}),
+        batch_format="pyarrow").sum(["n", "tot"])
+    # zero blocks / all-empty corpus: sum() yields None per column
+    if totals is None or totals.get("sum(n)") is None:
+        return None
+    N, tot = int(totals["sum(n)"]), int(totals["sum(tot)"])
+    if N == 0:
+        return None
+    avgdl = float(tot) / float(N)
+
+    q_terms = sorted(set(tokenize(query)))
+    if not q_terms:
+        return None
+    qset = set(q_terms)
+
+    # prune the explode to the query's terms BEFORE any shuffle
+    qtf = drop_empty_blocks(tf.map_batches(
+        lambda bt, _t=qset: bt[bt["term"].isin(_t)],
+        batch_format="pandas")).materialize()
+
+    # df over the pruned explode: ≤|q| rows ever reach the driver
+    df_map = {r["term"]: float(r["count()"])
+              for r in qtf.groupby("term").count().take_all()}
+    idf = {t: math.log(1.0 + (N - df + 0.5) / (df + 0.5))
+           for t, df in df_map.items()}
+    if not idf:
+        return None
+    iref = ray.put(idf)
+
+    scored = inner_join(qtf, dl, on=id_col, num_partitions=num_partitions)
+
+    def _score(batch: pd.DataFrame) -> pd.DataFrame:
+        w = ray.get(iref)
+        tfv = batch["tf"].to_numpy(dtype=np.float64)
+        dlv = batch["dl"].to_numpy(dtype=np.float64)
+        iv = batch["term"].map(w).to_numpy(dtype=np.float64)
+        # parenthesization mirrors the SQL twin exactly
+        s = iv * (tfv * (k1 + 1.0)) / (tfv + k1 * (1.0 - b
+                                                   + b * dlv / avgdl))
+        return pd.DataFrame({id_col: batch[id_col], "s": s})
+
+    out = drop_empty_blocks(rename(
+        scored.map_batches(_score, batch_format="pandas")
+        .groupby(id_col).sum("s"), {"sum(s)": "bm25_score"}))
+    return topk(out, ["bm25_score", id_col], top_k,
+                descending=[True, False])
+
+
 def make_snippet(text: str, query: str, max_len: int = 220) -> str:
     """Reference snippet window (api/main.py:332-362), byte-compatible."""
     if not text:

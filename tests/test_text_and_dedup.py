@@ -130,6 +130,45 @@ def test_tfidf_search_matches_oracle_scores():
         assert abs(s - expected[d]) < 1e-12
 
 
+def test_bm25_search_matches_python_oracle():
+    query = "quick fox engines"
+    res = T.bm25_search(_docs_ds(), query, top_k=5,
+                        num_partitions=2).to_pandas()
+    # pure-python BM25 oracle (Lucene idf; k1=1.2, b=0.75)
+    k1, b = 1.2, 0.75
+    toks = {d: TX.tokenize(t) for d, t in DOCS if TX.tokenize(t)}
+    N = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / N
+    q_terms = set(TX.tokenize(query))
+    df = {t: sum(1 for v in toks.values() if t in Counter(v))
+          for t in q_terms}
+    expected = defaultdict(float)
+    for d, v in toks.items():
+        c = Counter(v)
+        for t in q_terms:
+            if c[t] == 0 or df[t] == 0:
+                continue
+            idf = math.log(1.0 + (N - df[t] + 0.5) / (df[t] + 0.5))
+            tf = float(c[t])
+            expected[d] += idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * (1.0 - b + b * len(v) / avgdl))
+    got = dict(zip(res["doc_id"], res["bm25_score"]))
+    order = sorted(expected, key=lambda d: (-expected[d], d))[:5]
+    assert set(got) == set(order)
+    for d, s in got.items():
+        assert abs(s - expected[d]) < 1e-12
+    # rarer term ("engines", df=1) outweighs the common "quick"/"fox"
+    assert res.iloc[0]["doc_id"] == 2
+
+
+def test_bm25_empty_query_and_corpus():
+    assert T.bm25_search(_docs_ds(), "zzzz qqqq", top_k=5) is None
+    empty = rd.from_arrow(pa.Table.from_pydict(
+        {"doc_id": pa.array([], pa.int64()),
+         "text": pa.array([], pa.string())}))
+    assert T.bm25_search(empty, "quick", top_k=5) is None
+
+
 def test_snippet_reference_semantics():
     text = "alpha " * 50 + "needle in the middle " + "omega " * 50
     s = T.make_snippet(text, "needle")
