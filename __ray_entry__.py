@@ -1945,6 +1945,15 @@ def _q_tfidf_search(sf_dir):
     return out
 
 
+def _q_title_edit_pairs(sf_dir):
+    """Edit-distance ≤1 title near-dup pairs: FastSS deletion-variant
+    blocking + exact verify, equal to the levenshtein(a,b)<=1 self-join."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import title_edit_pairs
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return title_edit_pairs(docs, prefix_len=32, num_partitions=8)
+
+
 def _q_bm25_search(sf_dir):
     """Okapi BM25 top-10 for the same 4-term query as tfidf_search —
     query-term-pruned explode, broadcast idf, one score shuffle."""
@@ -2415,6 +2424,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": _q_anchor_text,
         "tfidf_search": _q_tfidf_search,
         "bm25_search": _q_bm25_search,
+        "title_edit_pairs": _q_title_edit_pairs,
     }
 
 
@@ -3547,6 +3557,16 @@ sc AS (SELECT tf.doc_id,
   FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
 SELECT doc_id, SUM(s) AS bm25_score FROM sc GROUP BY doc_id
 ORDER BY bm25_score DESC, doc_id LIMIT 10
+""",
+        # FastSS edit-distance≤1 title pairs (dedup_near.title_edit_pairs):
+        # the oracle is the brute-force levenshtein self-join the blocking
+        # provably equals (length prefilter is implied by ED<=1)
+        "title_edit_pairs": """
+WITH t AS (SELECT doc_id, substr(text, 1, 32) AS title FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM t a JOIN t b ON a.doc_id < b.doc_id
+  AND abs(length(a.title) - length(b.title)) <= 1
+  AND levenshtein(a.title, b.title) <= 1
 """,
         "minhash_pairs": _MINHASH_ORACLE_SQL,
         # near-dup cluster sizes: CC over the verified MinHash pair graph

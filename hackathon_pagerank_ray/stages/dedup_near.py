@@ -1204,3 +1204,109 @@ def setsim_pairs(docs_ds, tau_num: int = 4, tau_den: int = 5,
                              "inter": inter[keep], "uni": uni[keep]})
 
     return joined.map_batches(_verify, batch_format="pandas")
+
+
+def _ed_le1(a: str, b: str) -> bool:
+    """Exact Levenshtein-distance ≤ 1 check in O(len)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la == lb:                         # one substitution?
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return False
+                seen = True
+        return True
+    if la > lb:                          # make a the shorter
+        a, b, la = b, a, lb
+    i = 0                                # one deletion from b?
+    while i < la and a[i] == b[i]:
+        i += 1
+    return a[i:] == b[i + 1:]
+
+
+def title_edit_pairs(docs_ds, id_col: str = "doc_id",
+                     text_col: str = "text", prefix_len: int = 32,
+                     num_partitions: int = 8):
+    """Typo-level near-duplicate pairs: ``(doc_a, doc_b)`` with doc_a <
+    doc_b whose first ``prefix_len`` characters (the "title" — on a real
+    crawl this runs over the url or title column) are within Levenshtein
+    distance 1.  Equal to the brute-force ``levenshtein(a, b) <= 1``
+    self-join, computed without the quadratic join: FastSS
+    deletion-variant blocking (Bocek et al., 2007) with exact
+    verification.
+
+    Candidate soundness (why no pair is missed): ED(u, v) ≤ 1 implies u
+    and v share a key in ``{u} ∪ del1(u)`` — equal strings share u;
+    for an insertion/deletion the shorter string IS a deletion variant
+    of the longer; for a substitution at position i, ``del_i(u) ==
+    del_i(v)``.  Sharing a key only bounds ED ≤ 2, so every candidate
+    is verified with the exact O(prefix_len) ≤1 check before emission.
+
+    Scale shape: each doc emits ``prefix_len + 1`` (variant, id, title)
+    rows — O(prefix_len²) bytes per doc — into ONE ``groupby(variant)``
+    shuffle; pairs are generated and verified inside each group, then
+    deduped by one distinct exchange (the same pair is found under every
+    shared variant).  Skew note: an m-doc identical-title cluster meets
+    in every variant bucket and IS m·(m−1)/2 result rows — inherent to
+    exactness; at corpus scale collapse exact duplicates first
+    (:func:`exact_text_dedup`) and feed representatives.
+
+    Reference scope note: the reference has no near-dup surface at all
+    (SURVEY.md §2 addenda — training-data dedup family); this adds the
+    edit-distance member alongside MinHash/SimHash/set-similarity.
+    """
+    from .relational import distinct
+    from .schema_util import drop_empty_blocks, enforce_schema
+
+    def _variants(batch: pd.DataFrame) -> pd.DataFrame:
+        keys, ids, titles = [], [], []
+        for doc_id, text in zip(batch[id_col], batch[text_col]):
+            t = (text or "")[:prefix_len]
+            seen = {t}
+            keys.append(t)
+            ids.append(doc_id)
+            titles.append(t)
+            for i in range(len(t)):
+                v = t[:i] + t[i + 1:]
+                if v in seen:            # deleting equal adjacent chars
+                    continue             # yields the same variant
+                seen.add(v)
+                keys.append(v)
+                ids.append(doc_id)
+                titles.append(t)
+        return pd.DataFrame({"variant": pd.Series(keys, dtype="object"),
+                             id_col: pd.Series(ids, dtype="int64"),
+                             "title": pd.Series(titles, dtype="object")})
+
+    rows = docs_ds.select_columns([id_col, text_col]).map_batches(
+        _variants, batch_format="pandas")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop_duplicates(subset=[id_col])
+        if len(g) < 2:
+            e64 = pd.Series(dtype="int64")
+            return pd.DataFrame({"doc_a": e64, "doc_b": e64})
+        order = np.argsort(g[id_col].to_numpy(), kind="stable")
+        ids = g[id_col].to_numpy()[order]
+        titles = g["title"].to_numpy()[order]
+        out_a, out_b = [], []
+        for i in range(len(ids)):
+            ti = titles[i]
+            for j in range(i + 1, len(ids)):
+                if _ed_le1(ti, titles[j]):
+                    out_a.append(ids[i])
+                    out_b.append(ids[j])
+        return pd.DataFrame({"doc_a": pd.Series(out_a, dtype="int64"),
+                             "doc_b": pd.Series(out_b, dtype="int64")})
+
+    pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+    verified = enforce_schema(
+        rows.groupby("variant").map_groups(_pairs, batch_format="pandas"),
+        pair_schema)
+    return drop_empty_blocks(
+        distinct(verified, ["doc_a", "doc_b"], num_partitions))

@@ -179,6 +179,54 @@ def test_snippet_reference_semantics():
 
 # -- dedup ------------------------------------------------------------------
 
+def test_ed_le1_exact_semantics():
+    f = DN._ed_le1
+    assert f("abc", "abc")              # equal
+    assert f("abc", "abx")              # substitution
+    assert f("abc", "ab")               # deletion
+    assert f("ab", "abc")               # insertion
+    assert f("abc", "xabc")             # front insertion
+    assert not f("abc", "axx")          # two substitutions
+    assert not f("abcd", "ab")          # two deletions
+    assert not f("ab", "ba")            # transposition is ED 2
+    assert f("", "a") and f("", "") and not f("", "ab")
+    assert f("naïve", "naive")          # unicode substitution
+
+
+def test_title_edit_pairs_matches_bruteforce():
+    titles = [
+        (0, "the quick brown fox"),
+        (1, "the quick brown fox"),      # equal → pair (0,1)
+        (2, "the quick brown foxx"),     # insertion → pairs with 0,1
+        (3, "the quick brawn fox"),      # substitution → pairs with 0,1
+        (4, "completely different text"),
+        (5, "the quick brown f"),        # ED 2+ from the others
+        (6, ""),                         # empty title
+        (7, "x"),                        # ED 1 from empty → pair (6,7)
+    ]
+    ds = rd.from_arrow(pa.Table.from_pydict({
+        "doc_id": [t[0] for t in titles],
+        "text": [t[1] for t in titles]}))
+    out = DN.title_edit_pairs(ds, prefix_len=32, num_partitions=2) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    # brute force over every pair
+    def ed(a, b):
+        import numpy as _np
+        d = _np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1,
+                                       prev + (ca != cb))
+        return d[-1]
+    want = sorted((a, b) for i, (a, ta) in enumerate(titles)
+                  for b, tb in titles[i + 1:]
+                  if ed(ta[:32], tb[:32]) <= 1)
+    got = list(zip(out["doc_a"], out["doc_b"]))
+    assert got == want
+    assert (0, 1) in got and (6, 7) in got and (2, 3) not in got
+
+
 def test_exact_text_dedup():
     out = DN.exact_text_dedup(_docs_ds()).to_pandas()
     by_keep = out.set_index("keep_id")
