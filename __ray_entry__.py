@@ -906,6 +906,18 @@ def _q_revenue_rollup(sf_dir):
                          "o_totalprice")
 
 
+def _q_revenue_cube(sf_dir):
+    """GROUP BY CUBE (status, priority): exact scaled-cent totals at all
+    4 grouping sets; every set folds from the finest aggregate."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import cube_counts
+    orders = _rd().read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderstatus", "o_orderpriority", "o_totalprice"])
+    return cube_counts(orders, ["o_orderstatus", "o_orderpriority"],
+                       "o_totalprice")
+
+
 def _q_top_bigrams(sf_dir):
     """Global top-100 word bigrams by corpus count — per-block Counter
     partials, one groupby exchange, deterministic (n desc, ngram)."""
@@ -2354,6 +2366,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_resample": _q_quality_resample,
         "events_pivot": _q_events_pivot,
         "revenue_rollup": _q_revenue_rollup,
+        "revenue_cube": _q_revenue_cube,
         "stratified_events": _q_stratified_events,
         "clustering_coeff": _q_clustering_coeff,
         "domain_stats": _q_domain_stats,
@@ -4057,6 +4070,14 @@ WHERE w >= 1.0 OR substr(md5('42:' || CAST(doc_id AS VARCHAR)), 1, 8)
             "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 "
             "AS total, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
             "GROUP BY ROLLUP(o_orderstatus, o_orderpriority)",
+        # GROUP BY CUBE (stages/aggregates.cube_counts): the full 2^k
+        # grouping-set lattice, same scaled-cent exact convention
+        "revenue_cube":
+            "SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus, "
+            "COALESCE(o_orderpriority, 'ALL') AS o_orderpriority, "
+            "SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) / 100.0 "
+            "AS total, CAST(COUNT(*) AS BIGINT) AS n FROM orders "
+            "GROUP BY CUBE(o_orderstatus, o_orderpriority)",
         # unigram LM score (functions/lm_score.unigram_logprob): the SQL
         # mirrors the engine's weighted form SUM(tf·ln p)/SUM(tf) so both
         # sides evaluate identical per-term doubles

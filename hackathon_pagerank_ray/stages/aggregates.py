@@ -195,6 +195,86 @@ def rollup_counts(ds, keys: list[str], agg_col: str,
     return out.map_batches(_final, batch_format="pyarrow")
 
 
+def cube_counts(ds, keys: list[str], agg_col: str,
+                total_label: str = "ALL"):
+    """GROUP BY CUBE over ``keys``: sums of ``agg_col`` (scaled-cent
+    exact) at EVERY subset of the keys (2^k grouping sets), subtotal
+    rows carrying ``total_label`` in the rolled-up key columns (string
+    keys only) — the lattice completion of :func:`rollup_counts`, which
+    only emits prefix levels.
+
+    Same one-pass shape: the finest level is computed with per-block
+    combiner partials; every other grouping set folds from the finest
+    aggregate, so the input is read once and each exchange above the
+    first moves only group-cardinality rows.  Exact scaled-int sums make
+    every fold summation-order independent."""
+    from itertools import combinations
+
+    def _partial(t: pa.Table) -> pa.Table:
+        prep = pa.table(
+            {k: t[k] for k in keys}
+            | {"v100": _scaled_int(t[agg_col], 100)})
+        part = prep.group_by(keys).aggregate(
+            [("v100", "sum"), ("v100", "count")])
+        return part.rename_columns(keys + ["v100", "n"])
+
+    finest = (ds.map_batches(_partial, batch_format="pyarrow")
+              .groupby(keys).sum(["v100", "n"])
+              .rename_columns({"sum(v100)": "v100", "sum(n)": "n"})
+              .materialize())
+
+    def _label(t: pa.Table, kept: tuple) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {k: (t[k] if k in kept
+                 else pa.array([total_label] * n, pa.string()))
+             for k in keys}
+            | {"v100": t["v100"], "n": t["n"]})
+
+    levels = [finest]
+    for r in range(len(keys) - 1, -1, -1):
+        for kept in combinations(keys, r):
+            if kept:
+                lvl = (finest.groupby(list(kept)).sum(["v100", "n"])
+                       .rename_columns({"sum(v100)": "v100",
+                                        "sum(n)": "n"}))
+            else:
+                # grand total: fold the tiny finest table per block,
+                # then one groupby over a constant key
+                def _grand(t: pa.Table) -> pa.Table:
+                    if t.num_rows == 0:
+                        return pa.table({"_g": pa.array([], pa.int64()),
+                                         "v100": pa.array([], pa.int64()),
+                                         "n": pa.array([], pa.int64())})
+                    return pa.table({
+                        "_g": pa.array([0], pa.int64()),
+                        "v100": pa.array([pc.sum(t["v100"]).as_py()],
+                                         pa.int64()),
+                        "n": pa.array([pc.sum(t["n"]).as_py()],
+                                      pa.int64())})
+
+                lvl = (finest.map_batches(_grand, batch_format="pyarrow")
+                       .groupby("_g").sum(["v100", "n"])
+                       .rename_columns({"sum(v100)": "v100", "sum(n)": "n"})
+                       .drop_columns(["_g"]))
+            levels.append(lvl.map_batches(
+                lambda t, kept=kept: _label(t, kept),
+                batch_format="pyarrow"))
+
+    out = levels[0]
+    for lvl in levels[1:]:
+        out = out.union(lvl)
+
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {k: t[k] for k in keys}
+            | {"total": pc.divide(pc.cast(t["v100"], pa.float64()),
+                                  pa.scalar(100.0)),
+               "n": pc.cast(t["n"], pa.int64())})
+
+    return out.map_batches(_final, batch_format="pyarrow")
+
+
 def group_zscore(ds, key: str, col: str, out_col: str = "z",
                  broadcast_groups_max: int = 100_000):
     """Per-group z-score — the ``(x - AVG(x) OVER (PARTITION BY key)) /

@@ -705,3 +705,34 @@ def test_sssp_multi_source_nearest_seed():
     finally:
         g.shutdown()
     assert d == [0.0, 1.0, 2.0, 3.0, 0.0]
+
+
+def test_cube_counts_all_grouping_sets():
+    from hackathon_pagerank_ray.stages.aggregates import cube_counts
+    rng = np.random.RandomState(23)
+    df = pd.DataFrame({
+        "t": rng.choice(list("xyz"), 300),
+        "u": rng.choice(list("ab"), 300),
+        "amt": np.round(rng.uniform(1, 500, 300), 2),
+    })
+    out = cube_counts(rd.from_pandas(df).repartition(4), ["t", "u"],
+                      "amt").to_pandas()
+    cents = (df["amt"] * 100).round().astype(np.int64)
+    # 2^2 grouping sets: finest, t-only, u-only, grand total
+    fine = out[(out["t"] != "ALL") & (out["u"] != "ALL")]
+    exp = df.assign(c=cents).groupby(["t", "u"])["c"].agg(["sum", "size"])
+    assert len(fine) == len(exp)
+    for (t, u), row in exp.iterrows():
+        m = fine[(fine["t"] == t) & (fine["u"] == u)]
+        assert int(m["n"].iloc[0]) == row["size"]
+        assert abs(m["total"].iloc[0] - row["sum"] / 100.0) < 1e-9
+    by_u = out[(out["t"] == "ALL") & (out["u"] != "ALL")]
+    exp_u = df.assign(c=cents).groupby("u")["c"].agg(["sum", "size"])
+    assert len(by_u) == len(exp_u)          # the set ROLLUP can't emit
+    for u, row in exp_u.iterrows():
+        m = by_u[by_u["u"] == u]
+        assert int(m["n"].iloc[0]) == row["size"]
+        assert abs(m["total"].iloc[0] - row["sum"] / 100.0) < 1e-9
+    g = out[(out["t"] == "ALL") & (out["u"] == "ALL")]
+    assert len(g) == 1 and int(g["n"].iloc[0]) == 300
+    assert abs(g["total"].iloc[0] - cents.sum() / 100.0) < 1e-9
