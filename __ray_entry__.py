@@ -1749,6 +1749,19 @@ def _q_cms_users(sf_dir):
 _KCORE_K = 3
 
 
+def _q_mis(sf_dir):
+    """Deterministic Luby maximal independent set (static md5
+    priorities == greedy sequential MIS for that order).  max_rounds
+    matches the SQL twin's unroll depth, so the engines either agree or
+    the engine raises — it cannot silently diverge."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.mis import maximal_independent_set
+    out, info = maximal_independent_set(_edges_ds(sf_dir), seed=7,
+                                        max_rounds=8)
+    assert info["rounds"] <= 8, info
+    return out.materialize()
+
+
 def _q_kcore(sf_dir):
     """3-core membership by iterative peeling to fixpoint on the sharded
     engine (the SQL oracle unrolls more rounds than the fixpoint needs —
@@ -2421,6 +2434,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lp_modularity": _q_lp_modularity,
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
+        "maximal_independent_set": _q_mis,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2439,6 +2453,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "title_edit_pairs": _q_title_edit_pairs,
     }
+
+
+def _mis_oracle_sql(rounds: int = 8, seed: int = 7) -> str:
+    """Unrolled Luby local-min MIS (graph/mis.maximal_independent_set):
+    per round, an active vertex whose packed md5 priority beats every
+    active neighbor's joins; joiners + their neighbors deactivate.  The
+    priority expression is the corpus_shuffle skey (31-bit md5 prefix
+    << 32 | vid).  ``AS MATERIALIZED`` everywhere — each round references
+    the previous one several times."""
+    p_expr = (
+        "(list_sum(list_transform(range(1, 9), i -> "
+        "CAST((strpos('0123456789abcdef', "
+        f"substr(md5('{seed}:' || CAST(vid AS VARCHAR)), i, 1)) "
+        "- 1) AS BIGINT) * CAST(POWER(16, 8 - i) AS BIGINT))) "
+        "% 2147483648) * 4294967296 + vid")
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        f"GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        "d AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v AS u, u AS v FROM e0)",
+        "vt AS MATERIALIZED (SELECT DISTINCT u AS vid FROM d)",
+        f"pr AS MATERIALIZED (SELECT vid, {p_expr} AS p FROM vt)",
+        "a0 AS MATERIALIZED (SELECT vid FROM vt)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"m{r} AS MATERIALIZED (SELECT d.u AS vid, MIN(ps.p) AS mn "
+            f"FROM d JOIN a{r} s ON s.vid = d.v "
+            f"JOIN a{r} t ON t.vid = d.u "
+            f"JOIN pr ps ON ps.vid = d.v GROUP BY d.u)")
+        parts.append(
+            f"j{r} AS MATERIALIZED (SELECT a.vid FROM a{r} a "
+            f"JOIN pr pp ON pp.vid = a.vid "
+            f"LEFT JOIN m{r} m ON m.vid = a.vid "
+            f"WHERE m.mn IS NULL OR pp.p < m.mn)")
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT vid FROM a{r} "
+            f"WHERE vid NOT IN (SELECT vid FROM j{r}) "
+            f"AND vid NOT IN (SELECT d.u FROM d "
+            f"JOIN j{r} jj ON jj.vid = d.v))")
+    union = " UNION ".join(f"SELECT vid FROM j{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(parts) + f",\nmis AS ({union})\n"
+        "SELECT vt.vid, CAST(CASE WHEN mis.vid IS NOT NULL THEN 1 ELSE 0 "
+        "END AS BIGINT) AS in_mis "
+        "FROM vt LEFT JOIN mis ON mis.vid = vt.vid")
 
 
 def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -3416,6 +3476,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "hits_scores": _hits_oracle_sql(),
         "eigenvector": _eig_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
+        "maximal_independent_set": _mis_oracle_sql(),
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -1,0 +1,189 @@
+"""Deterministic maximal independent set over the undirected edge table.
+
+Luby-style local-min rounds with STATIC per-vertex priorities: each round,
+every active vertex whose priority is strictly smaller than every active
+neighbor's joins the set; joiners and their neighbors deactivate.  With
+static priorities this computes exactly the GREEDY sequential MIS for the
+priority order (Blelloch, Fineman & Shun, SPAA'12: the parallel local-min
+schedule and the sequential greedy resolve identically), so the result is
+unique, deterministic, and SQL-replayable round by round.
+
+Priorities reuse the repo's md5 key rule (``stages/sampling._bucket32``,
+the same ``substr(md5('{seed}:{vid}'),1,8)`` a DuckDB oracle computes):
+``p(v) = (h32 & 0x7FFFFFFF) << 32 | vid`` — unique per vertex (total
+order, no ties), requiring ``0 <= vid < 2**32`` like
+``deterministic_shuffle`` (enforced; violation would silently corrupt the
+order).  Random priorities give O(log n) rounds w.h.p.
+
+Scale shape: priorities are a PURE FUNCTION of vid, so the sender's
+priority is computed per edge batch — no priority join ever happens.
+Each round is one ``groupby(receiver).min`` over the still-active edge
+table plus semi/anti joins keyed on vid, and the active edge table
+shrinks monotonically (on web graphs most vertices settle in the first
+two rounds).  Nothing reaches the driver but per-round counts.
+
+Reference scope note: the reference engine has no MIS surface
+(SURVEY.md §2 addenda — graph-analytics extension); MIS is the standard
+primitive for parallel graph coloring / scheduling passes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..stages.sampling import _bucket32
+
+_P31 = np.int64(0x7FFFFFFF)
+
+
+def _priorities(vids: np.ndarray, seed) -> np.ndarray:
+    """p(v) = (md5-prefix31) << 32 | vid — int64, unique, SQL-twin-exact."""
+    v = np.asarray(vids, dtype=np.int64)
+    if len(v) and (v.min() < 0 or v.max() >= (1 << 32)):
+        raise ValueError("maximal_independent_set: vid must be in "
+                         "[0, 2**32) for the packed priority key")
+    h = _bucket32(seed, v) & _P31
+    return (h << np.int64(32)) | v
+
+
+def maximal_independent_set(edges_ds, seed=7, max_rounds: int = 64,
+                            num_partitions: int = 8):
+    """(vid, in_mis) for every vertex of the undirected simple graph on
+    the edge table (self-loops dropped).  Raises if the fixpoint needs
+    more than ``max_rounds`` rounds (keep equal to the SQL twin's
+    unroll depth so the engines cannot silently diverge).
+
+    Returns ``(dataset, info)`` with ``info = {"rounds": r}``.
+    """
+    import ray.data  # noqa: F401
+
+    from ..stages.relational import (anti_join, distinct,
+                                     left_join_coalesce, semi_join)
+    from ..stages.schema_util import drop_empty_blocks, enforce_schema
+
+    def _canon(t: pa.Table) -> pa.Table:
+        s = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        d = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        keep = s != d
+        s, d = s[keep], d[keep]
+        return pa.table({"u": pa.array(np.minimum(s, d), pa.int64()),
+                         "v": pa.array(np.maximum(s, d), pa.int64())})
+
+    und = distinct(edges_ds.map_batches(_canon, batch_format="pyarrow"),
+                   ["u", "v"], num_partitions)
+
+    def _both(t: pa.Table) -> pa.Table:
+        u = t["u"].combine_chunks()
+        v = t["v"].combine_chunks()
+        return pa.table({"u": pa.concat_arrays([u, v]),
+                         "v": pa.concat_arrays([v, u])})
+
+    # directed both-ways: u = receiver, v = sender
+    act_edges = und.map_batches(_both, batch_format="pyarrow").materialize()
+    verts = distinct(act_edges.select_columns(["u"]),
+                     ["u"], num_partitions).map_batches(
+        lambda t: pa.table({"vid": t["u"]}), batch_format="pyarrow") \
+        .materialize()
+
+    vid_schema = pa.schema([("vid", pa.int64())])
+    if verts.count() == 0:               # no simple edges at all
+        return ray.data.from_arrow(pa.schema(
+            [("vid", pa.int64()),
+             ("in_mis", pa.int64())]).empty_table()), {"rounds": 0}
+    active = verts
+    mis_parts = []
+    rounds = 0
+    while True:
+        if active.count() == 0:
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"maximal_independent_set: no fixpoint in {max_rounds} "
+                "rounds — raise max_rounds (and the SQL twin's unroll)")
+
+        if act_edges.count() == 0:
+            # every survivor is isolated: all join, done
+            mis_parts.append(active)
+            break
+
+        # min active-neighbor priority per receiver; the sender's
+        # priority is a pure function of its vid (no join)
+        def _with_p(t: pa.Table) -> pa.Table:
+            v = t["v"].combine_chunks().to_numpy(zero_copy_only=False)
+            return pa.table({"vid": t["u"],
+                             "pv": pa.array(_priorities(v, seed),
+                                            pa.int64())})
+
+        mn = (act_edges.map_batches(_with_p, batch_format="pyarrow")
+              .groupby("vid").min("pv"))
+        # groupby/join shuffles emit schema-less empty blocks for empty
+        # partitions; strip them before anything feeds another join
+        # (see stages/schema_util.drop_empty_blocks)
+        mn = drop_empty_blocks(mn.map_batches(
+            lambda t: pa.table({"vid": t["vid"], "mn": t["min(pv)"]}),
+            batch_format="pyarrow"))
+
+        sent = np.iinfo(np.int64).max
+        cand = left_join_coalesce(active, mn, on="vid", fill={"mn": sent},
+                                  num_partitions=num_partitions)
+
+        def _join_test(t: pa.Table) -> pa.Table:
+            v = t["vid"].combine_chunks().to_numpy(zero_copy_only=False)
+            m = t["mn"].combine_chunks().to_numpy(zero_copy_only=False)
+            keep = _priorities(v, seed) < m.astype(np.int64)
+            return pa.table({"vid": pa.array(v[keep], pa.int64())})
+
+        joiners = drop_empty_blocks(enforce_schema(
+            cand.map_batches(_join_test, batch_format="pyarrow"),
+            vid_schema))
+        mis_parts.append(joiners)
+
+        # neighbors of joiners: receivers of edges whose sender joined
+        nbrs = distinct(
+            semi_join(act_edges, joiners, on="v", right_on="vid",
+                      num_partitions=num_partitions)
+            .map_batches(lambda t: pa.table({"vid": t["u"]}),
+                         batch_format="pyarrow"),
+            ["vid"], num_partitions)
+
+        removed = drop_empty_blocks(joiners.union(nbrs))
+        active = drop_empty_blocks(anti_join(
+            active, removed, on="vid", num_partitions=num_partitions))
+        if active.count() == 0:
+            break
+        # two semi joins, cleansed between them — the first one's empty
+        # partitions would otherwise poison the second's schema broadcast
+        act_edges = drop_empty_blocks(semi_join(
+            act_edges, active, on="u", right_on="vid",
+            num_partitions=num_partitions))
+        if act_edges.count() == 0:
+            act_edges = ray.data.from_arrow(
+                pa.schema([("u", pa.int64()),
+                           ("v", pa.int64())]).empty_table())
+            continue
+        act_edges = drop_empty_blocks(semi_join(
+            act_edges, active, on="v", right_on="vid",
+            num_partitions=num_partitions))
+        if act_edges.count() == 0:
+            act_edges = ray.data.from_arrow(
+                pa.schema([("u", pa.int64()),
+                           ("v", pa.int64())]).empty_table())
+
+    mis = verts.map_batches(                    # empty-graph fallback
+        lambda t: pa.table({"vid": pa.array([], pa.int64())}),
+        batch_format="pyarrow")
+    for p in mis_parts:
+        mis = mis.union(p)
+    mis = drop_empty_blocks(mis.map_batches(
+        lambda t: pa.table({"vid": t["vid"],
+                            "one": pa.array([1] * t.num_rows, pa.int64())}),
+        batch_format="pyarrow"))
+
+    out = left_join_coalesce(verts, mis, on="vid", fill={"one": 0},
+                             num_partitions=num_partitions)
+    out = out.map_batches(
+        lambda t: pa.table({"vid": t["vid"], "in_mis": t["one"]}),
+        batch_format="pyarrow")
+    return out, {"rounds": rounds}
