@@ -48,14 +48,24 @@ def _priorities(vids: np.ndarray, seed) -> np.ndarray:
 
 
 def maximal_independent_set(edges_ds, seed=7, max_rounds: int = 64,
-                            num_partitions: int = 8):
+                            num_partitions: int = 8,
+                            small_threshold: int = 2_000_000):
     """(vid, in_mis) for every vertex of the undirected simple graph on
     the edge table (self-loops dropped).  Raises if the fixpoint needs
     more than ``max_rounds`` rounds (keep equal to the SQL twin's
     unroll depth so the engines cannot silently diverge).
 
-    Returns ``(dataset, info)`` with ``info = {"rounds": r}``.
+    Adaptive dual (the repo-wide pattern): at ≤ ``small_threshold``
+    vertices the whole edge set fits one worker, so a single remote
+    task runs the O(n + m) sequential greedy over a CSR — the identical
+    result, none of the per-round exchange floor (the greedy/parallel
+    equivalence above is exactly what licenses this fast path).  Above
+    the threshold, the distributed local-min rounds run.  Set
+    ``small_threshold=0`` to force the distributed path.
+
+    Returns ``(dataset, info)`` with ``info = {"rounds": r, "path": p}``.
     """
+    import ray
     import ray.data  # noqa: F401
 
     from ..stages.relational import (anti_join, distinct,
@@ -87,10 +97,53 @@ def maximal_independent_set(edges_ds, seed=7, max_rounds: int = 64,
         .materialize()
 
     vid_schema = pa.schema([("vid", pa.int64())])
-    if verts.count() == 0:               # no simple edges at all
+    n_verts = verts.count()
+    if n_verts == 0:                     # no simple edges at all
         return ray.data.from_arrow(pa.schema(
             [("vid", pa.int64()),
-             ("in_mis", pa.int64())]).empty_table()), {"rounds": 0}
+             ("in_mis", pa.int64())]).empty_table()), {"rounds": 0,
+                                                       "path": "empty"}
+
+    if n_verts <= small_threshold:
+        # one worker task, never the driver; result identical by the
+        # greedy/parallel equivalence in the module docstring
+        @ray.remote
+        def _greedy(*blocks):
+            us = np.concatenate([
+                b["u"].combine_chunks().to_numpy(zero_copy_only=False)
+                for b in blocks])
+            vs = np.concatenate([
+                b["v"].combine_chunks().to_numpy(zero_copy_only=False)
+                for b in blocks])
+            vids = np.unique(np.concatenate([us, vs]))
+            ui = np.searchsorted(vids, us)
+            vi = np.searchsorted(vids, vs)
+            n = len(vids)
+            # CSR over both directions, built by one stable argsort
+            src_all = np.concatenate([ui, vi])
+            dst_all = np.concatenate([vi, ui])
+            nbr = dst_all[np.argsort(src_all, kind="stable")]
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(src_all, minlength=n), out=off[1:])
+            # sequential greedy in priority order (the only scalar loop:
+            # O(n + m) total neighbor-blocking work)
+            order = np.argsort(_priorities(vids, seed), kind="stable")
+            in_mis = np.zeros(n, dtype=bool)
+            blocked = np.zeros(n, dtype=bool)
+            for i in order:
+                if blocked[i]:
+                    continue
+                in_mis[i] = True
+                blocked[nbr[off[i]:off[i + 1]]] = True
+            return pa.table({"vid": pa.array(vids, pa.int64()),
+                             "in_mis": pa.array(in_mis.astype(np.int64),
+                                                pa.int64())})
+
+        und_mat = und.materialize()
+        out = ray.data.from_arrow_refs(
+            [_greedy.remote(*und_mat.to_arrow_refs())])
+        return out, {"rounds": 0, "path": "greedy-task"}
+
     active = verts
     mis_parts = []
     rounds = 0
@@ -186,4 +239,4 @@ def maximal_independent_set(edges_ds, seed=7, max_rounds: int = 64,
     out = out.map_batches(
         lambda t: pa.table({"vid": t["vid"], "in_mis": t["one"]}),
         batch_format="pyarrow")
-    return out, {"rounds": rounds}
+    return out, {"rounds": rounds, "path": "distributed"}

@@ -763,12 +763,19 @@ def test_mis_matches_sequential_greedy():
     src = rng.randint(0, 400, 1500).astype(np.int64)
     dst = rng.randint(0, 400, 1500).astype(np.int64)
     ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(4)
-    out, info = maximal_independent_set(ds, seed=7)
+    # distributed local-min rounds
+    out, info = maximal_independent_set(ds, seed=7, small_threshold=0)
     df = out.to_pandas()
     mis, verts = _greedy_mis_oracle(src, dst)
     assert set(df["vid"]) == set(verts)
     assert set(df[df["in_mis"] == 1]["vid"]) == mis
-    assert info["rounds"] >= 1
+    assert info["rounds"] >= 1 and info["path"] != "greedy-task"
+    # adaptive small path (single worker-task greedy): identical rows
+    out2, info2 = maximal_independent_set(ds, seed=7)
+    assert info2["path"] == "greedy-task"
+    df2 = out2.to_pandas()
+    assert set(df2[df2["in_mis"] == 1]["vid"]) == mis
+    assert set(df2["vid"]) == set(verts)
     # independence + maximality re-checked structurally
     import collections
     adj = collections.defaultdict(set)
