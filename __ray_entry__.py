@@ -1762,6 +1762,16 @@ def _q_mis(sf_dir):
     return out.materialize()
 
 
+def _q_coloring(sf_dir):
+    """Greedy graph coloring by iterated deterministic MIS; max_colors
+    matches the SQL twin's unroll depth (raises past it)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.mis import greedy_coloring
+    out, info = greedy_coloring(_edges_ds(sf_dir), seed=7, max_colors=16)
+    assert info["colors"] <= 16, info
+    return out.materialize()
+
+
 def _q_kcore(sf_dir):
     """3-core membership by iterative peeling to fixpoint on the sharded
     engine (the SQL oracle unrolls more rounds than the fixpoint needs —
@@ -2435,6 +2445,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_propagation": _q_label_propagation,
         "kcore_membership": _q_kcore,
         "maximal_independent_set": _q_mis,
+        "greedy_coloring": _q_coloring,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2499,6 +2510,65 @@ def _mis_oracle_sql(rounds: int = 8, seed: int = 7) -> str:
         "SELECT vt.vid, CAST(CASE WHEN mis.vid IS NOT NULL THEN 1 ELSE 0 "
         "END AS BIGINT) AS in_mis "
         "FROM vt LEFT JOIN mis ON mis.vid = vt.vid")
+
+
+def _coloring_oracle_sql(colors: int = 16, rounds: int = 8,
+                         seed: int = 7) -> str:
+    """Unrolled iterated-MIS greedy coloring (graph/mis.greedy_coloring):
+    color c = the local-min MIS of the residual graph after colors
+    0..c-1; per color the MIS rounds unroll like _mis_oracle_sql.
+    Isolated-in-residual vertices have no mn row and join immediately —
+    the same semantics the engine implements.  Extra colors/rounds are
+    no-ops once everything is colored."""
+    p_expr = (
+        "(list_sum(list_transform(range(1, 9), i -> "
+        "CAST((strpos('0123456789abcdef', "
+        f"substr(md5('{seed}:' || CAST(vid AS VARCHAR)), i, 1)) "
+        "- 1) AS BIGINT) * CAST(POWER(16, 8 - i) AS BIGINT))) "
+        "% 2147483648) * 4294967296 + vid")
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        f"GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        "d AS MATERIALIZED (SELECT u, v FROM e0 "
+        "UNION ALL SELECT v AS u, u AS v FROM e0)",
+        "vt AS MATERIALIZED (SELECT DISTINCT u AS vid FROM d)",
+        f"pr AS MATERIALIZED (SELECT vid, {p_expr} AS p FROM vt)",
+        "u0 AS MATERIALIZED (SELECT vid FROM vt)",
+    ]
+    sel = []
+    for c in range(colors):
+        parts.append(
+            f"dc{c} AS MATERIALIZED (SELECT d.u, d.v FROM d "
+            f"JOIN u{c} a ON a.vid = d.u JOIN u{c} b ON b.vid = d.v)")
+        parts.append(f"ac{c}_0 AS MATERIALIZED (SELECT vid FROM u{c})")
+        for r in range(rounds):
+            parts.append(
+                f"m{c}_{r} AS MATERIALIZED (SELECT dc.u AS vid, "
+                f"MIN(ps.p) AS mn FROM dc{c} dc "
+                f"JOIN ac{c}_{r} s ON s.vid = dc.v "
+                f"JOIN ac{c}_{r} t ON t.vid = dc.u "
+                f"JOIN pr ps ON ps.vid = dc.v GROUP BY dc.u)")
+            parts.append(
+                f"j{c}_{r} AS MATERIALIZED (SELECT a.vid "
+                f"FROM ac{c}_{r} a JOIN pr pp ON pp.vid = a.vid "
+                f"LEFT JOIN m{c}_{r} m ON m.vid = a.vid "
+                f"WHERE m.mn IS NULL OR pp.p < m.mn)")
+            parts.append(
+                f"ac{c}_{r + 1} AS MATERIALIZED (SELECT vid "
+                f"FROM ac{c}_{r} "
+                f"WHERE vid NOT IN (SELECT vid FROM j{c}_{r}) "
+                f"AND vid NOT IN (SELECT dc.u FROM dc{c} dc "
+                f"JOIN j{c}_{r} jj ON jj.vid = dc.v))")
+        union = " UNION ".join(
+            f"SELECT vid FROM j{c}_{r}" for r in range(rounds))
+        parts.append(f"mis{c} AS MATERIALIZED ({union})")
+        parts.append(
+            f"u{c + 1} AS MATERIALIZED (SELECT vid FROM u{c} "
+            f"WHERE vid NOT IN (SELECT vid FROM mis{c}))")
+        sel.append(f"SELECT vid, {c} AS color FROM mis{c}")
+    return ("WITH " + ",\n".join(parts) + "\n"
+            + "SELECT vid, CAST(color AS BIGINT) AS color FROM ("
+            + " UNION ALL ".join(sel) + ")")
 
 
 def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -3477,6 +3547,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "eigenvector": _eig_oracle_sql(),
         "kcore_membership": _kcore_oracle_sql(),
         "maximal_independent_set": _mis_oracle_sql(),
+        "greedy_coloring": _coloring_oracle_sql(),
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -163,7 +163,9 @@ def run_queries(sf_dir: str) -> dict:
              "domain_graph", "domain_pagerank", "reciprocity",
              "edge_churn", "degree_delta", "anchor_text",
              "eigenvector", "domain_rank_mass",
-             "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa", "sssp_distances"]
+             "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa",
+             "sssp_distances", "bm25_search", "title_edit_pairs",
+             "revenue_cube", "maximal_independent_set", "greedy_coloring"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -240,3 +240,181 @@ def maximal_independent_set(edges_ds, seed=7, max_rounds: int = 64,
         lambda t: pa.table({"vid": t["vid"], "in_mis": t["one"]}),
         batch_format="pyarrow")
     return out, {"rounds": rounds, "path": "distributed"}
+
+
+def greedy_coloring(edges_ds, seed=7, max_colors: int = 16,
+                    max_rounds: int = 64, num_partitions: int = 8,
+                    small_threshold: int = 2_000_000):
+    """Graph coloring by iterated MIS: color ``c`` is the maximal
+    independent set of the residual graph after colors ``0..c-1`` are
+    removed (Jones & Plassmann-style, with the same static md5
+    priorities every iteration — fully deterministic and round-by-round
+    SQL-replayable).  Uses at most Δ+1 colors; each iteration reuses
+    :func:`maximal_independent_set` (including its adaptive
+    single-task small path), so the scale shape is MIS's.
+
+    Returns ``(dataset, info)``: ``(vid, color)`` int64 rows and
+    ``info = {"colors": k}``.  Raises past ``max_colors`` — keep it at
+    the SQL twin's unroll depth so the engines cannot silently diverge.
+    """
+    import ray
+    import ray.data  # noqa: F401
+
+    from ..stages.relational import anti_join, semi_join
+    from ..stages.schema_util import drop_empty_blocks
+
+    def _mis_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table(
+            {"vid": t.filter(pc.equal(t["in_mis"], 1))["vid"]})
+
+    # universe = endpoints of the ORIGINAL simple edge set; vertices that
+    # become isolated in the residual still need a color (see below)
+    from ..stages.relational import distinct
+
+    def _ends(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = t["src"].combine_chunks()
+        d = t["dst"].combine_chunks()
+        mask = pc.not_equal(s, d)
+        return pa.table({"vid": pa.concat_arrays(
+            [s.filter(mask), d.filter(mask)])})
+
+    universe = distinct(
+        edges_ds.map_batches(_ends, batch_format="pyarrow"),
+        ["vid"], num_partitions).materialize()
+    if universe.count() == 0:
+        return ray.data.from_arrow(pa.schema(
+            [("vid", pa.int64()),
+             ("color", pa.int64())]).empty_table()), {"colors": 0}
+
+    def _no_self(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return t.filter(pc.not_equal(t["src"], t["dst"]))
+
+    # self-loops can never be removed by coloring their (never-colored)
+    # vertex — strip them once so the residual drains to empty
+    residual = drop_empty_blocks(
+        edges_ds.map_batches(_no_self, batch_format="pyarrow"))
+
+    if universe.count() <= small_threshold:
+        # whole-coloring small path: one worker task runs the iterated
+        # greedy (== iterated parallel MIS) over a CSR — no per-color
+        # exchange floor.  Same justification as MIS's small path.
+        @ray.remote
+        def _color_task(*blocks):
+            us = np.concatenate([
+                b["src"].combine_chunks().to_numpy(zero_copy_only=False)
+                for b in blocks])
+            vs = np.concatenate([
+                b["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+                for b in blocks])
+            vids = np.unique(np.concatenate([us, vs]))
+            ui = np.searchsorted(vids, us)
+            vi = np.searchsorted(vids, vs)
+            n = len(vids)
+            src_all = np.concatenate([ui, vi])
+            dst_all = np.concatenate([vi, ui])
+            nbr = dst_all[np.argsort(src_all, kind="stable")]
+            off = np.zeros(n + 1, dtype=np.int64)
+            np.cumsum(np.bincount(src_all, minlength=n), out=off[1:])
+            order = np.argsort(_priorities(vids, seed), kind="stable")
+            color = np.full(n, -1, dtype=np.int64)
+            c = 0
+            remaining = n
+            while remaining:
+                if c >= max_colors:
+                    raise RuntimeError(
+                        f"greedy_coloring: more than {max_colors} colors"
+                        " — raise max_colors (and the SQL twin's unroll)")
+                blocked = np.zeros(n, dtype=bool)
+                for i in order:
+                    if color[i] >= 0 or blocked[i]:
+                        continue
+                    color[i] = c
+                    remaining -= 1
+                    # block only still-uncolored neighbors this round
+                    nb = nbr[off[i]:off[i + 1]]
+                    blocked[nb[color[nb] < 0]] = True
+                c += 1
+            return pa.table({"vid": pa.array(vids, pa.int64()),
+                             "color": pa.array(color, pa.int64())})
+
+        res_mat = residual.materialize()
+        if res_mat.count() == 0:
+            # simple-edge-free graph was handled by the universe guard;
+            # here universe > 0 means every edge was a self-loop dup —
+            # cannot happen (universe excludes self-loop-only vertices)
+            out = universe.map_batches(
+                lambda t: pa.table(
+                    {"vid": t["vid"],
+                     "color": pa.array([0] * t.num_rows, pa.int64())}),
+                batch_format="pyarrow")
+            return out, {"colors": 1}
+        out = ray.data.from_arrow_refs(
+            [_color_task.remote(*res_mat.to_arrow_refs())])
+        out = out.materialize()
+        k = 0
+        for ref in out.to_arrow_refs():
+            t = ray.get(ref)
+            if t.num_rows:
+                import pyarrow.compute as pc
+                k = max(k, int(pc.max(t["color"]).as_py()) + 1)
+        return out, {"colors": k}
+
+    uncolored = universe
+    parts = []
+    colors = 0
+    while uncolored.count() > 0:
+        if colors >= max_colors:
+            raise RuntimeError(
+                f"greedy_coloring: more than {max_colors} colors — raise "
+                "max_colors (and the SQL twin's unroll)")
+
+        if residual.count() == 0:
+            # no edges left among uncolored vertices: all of them are
+            # pairwise non-adjacent, so one final color covers them
+            mis = uncolored
+        else:
+            out, _info = maximal_independent_set(
+                residual, seed=seed, max_rounds=max_rounds,
+                num_partitions=num_partitions,
+                small_threshold=small_threshold)
+            mis = drop_empty_blocks(out.materialize().map_batches(
+                _mis_only, batch_format="pyarrow"))
+            # uncolored vertices ISOLATED in the residual have no active
+            # neighbor, so they join this iteration's MIS too
+            ends = drop_empty_blocks(distinct(residual.map_batches(
+                _ends, batch_format="pyarrow"), ["vid"], num_partitions))
+            isolated = drop_empty_blocks(anti_join(
+                uncolored, ends, on="vid",
+                num_partitions=num_partitions))
+            if isolated.count() > 0:
+                mis = mis.union(isolated)
+
+        part = mis.map_batches(
+            lambda t, c=colors: pa.table(
+                {"vid": t["vid"],
+                 "color": pa.array([c] * t.num_rows, pa.int64())}),
+            batch_format="pyarrow").materialize()
+        parts.append(part)
+        colors += 1
+
+        uncolored = drop_empty_blocks(anti_join(
+            uncolored, part, on="vid", num_partitions=num_partitions))
+        if uncolored.count() == 0:
+            break
+        # residual = edges among uncolored vertices; colored vertices
+        # leave with their incident edges, so this shrinks monotonically
+        residual = drop_empty_blocks(anti_join(
+            residual, part, on="src", right_on="vid",
+            num_partitions=num_partitions))
+        if residual.count() > 0:
+            residual = drop_empty_blocks(anti_join(
+                residual, part, on="dst", right_on="vid",
+                num_partitions=num_partitions))
+
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.union(p)
+    return out, {"colors": colors}

@@ -805,3 +805,64 @@ def test_mis_edge_cases():
                   "dst": pa.array([], pa.int64())})
     out2, info2 = maximal_independent_set(rd.from_arrow(e), seed=7)
     assert out2.count() == 0 and info2["rounds"] == 0
+
+
+def _oracle_coloring(src, dst, seed=7):
+    import collections
+    from hackathon_pagerank_ray.graph.mis import _priorities
+    adj = collections.defaultdict(set)
+    for s, d in zip(src, dst):
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    verts = sorted(adj)
+    p = dict(zip(verts, _priorities(np.array(verts), seed)))
+    color, uncolored, c = {}, set(verts), 0
+    while uncolored:
+        mis = set()
+        for v in sorted(uncolored, key=lambda x: p[x]):
+            if not ((adj[v] & uncolored) & mis):
+                mis.add(v)
+        for v in mis:
+            color[v] = c
+        uncolored -= mis
+        c += 1
+    return color, c
+
+
+def test_greedy_coloring_both_paths_match_oracle():
+    from hackathon_pagerank_ray.graph.mis import greedy_coloring
+    rng = np.random.RandomState(17)
+    src = rng.randint(0, 80, 400).astype(np.int64)
+    dst = rng.randint(0, 80, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    exp, k = _oracle_coloring(src, dst)
+    for thr in (2_000_000, 0):          # small path / distributed path
+        out, info = greedy_coloring(ds, seed=7, small_threshold=thr)
+        df = out.to_pandas()
+        assert dict(zip(df["vid"], df["color"])) == exp
+        assert info["colors"] == k
+    # proper coloring
+    got = exp
+    for s, d in zip(src, dst):
+        if s != d:
+            assert got[s] != got[d]
+
+
+def test_greedy_coloring_edge_cases():
+    from hackathon_pagerank_ray.graph.mis import greedy_coloring
+    # isolated-in-residual vertex must join the NEXT color, not a final
+    # lumped one: path a-b-c-d where priorities force sequencing
+    t = pa.table({"src": pa.array([0, 1, 2, 9], pa.int64()),
+                  "dst": pa.array([1, 2, 3, 9], pa.int64())})
+    out, info = greedy_coloring(rd.from_arrow(t), seed=7)
+    df = out.to_pandas().set_index("vid")["color"]
+    assert 9 not in df.index            # self-loop-only vertex dropped
+    for s, d in [(0, 1), (1, 2), (2, 3)]:
+        assert df.loc[s] != df.loc[d]
+    assert info["colors"] == df.max() + 1
+    # empty graph
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    out2, info2 = greedy_coloring(rd.from_arrow(e), seed=7)
+    assert out2.count() == 0 and info2["colors"] == 0
