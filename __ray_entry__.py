@@ -663,6 +663,15 @@ def _q_stopword_ratio(sf_dir):
         ["doc_id", "stopword_ratio"])
 
 
+def _q_readability(sf_dir):
+    """LIX readability (word/sentence counts + long-word ratio index)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_readability
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_readability(docs, concurrency=4).select_columns(
+        ["doc_id", "n_words", "n_sents", "lix"])
+
+
 def _q_doc_quality(sf_dir):
     """All six QualityScore heuristics per document (stages/text_ops.py)."""
     _quiet()
@@ -1503,6 +1512,23 @@ def _q_domain_pagerank(sf_dir):
         g.shutdown()
 
 
+def _q_crawl_budget(sf_dir):
+    """Largest-remainder apportionment of a 10k-page crawl budget over
+    the domain-PageRank distribution (integer output)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.stages.domains import (crawl_budget,
+                                                       domain_weighted_edges)
+    wedges = domain_weighted_edges(_edges_ds(sf_dir),
+                                   num_domains=_NUM_DOMAINS)
+    g = ShardedGraph.build(wedges, num_owners=4, weight_col="w")
+    try:
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
+        return crawl_budget(ranks.materialize(), budget=10_000)
+    finally:
+        g.shutdown()
+
+
 def _q_domain_rank_mass(sf_dir):
     """Domain-level PageRank mass: run page PageRank, roll ranks up by
     domain — the rollup a web pipeline keys per-host crawl budgets on.
@@ -2336,6 +2362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_revenue": _q_rolling_revenue,
         "top_orders_per_customer": _q_top_orders_per_customer,
         "doc_quality": _q_doc_quality,
+        "readability": _q_readability,
         "event_type_counts": _q_event_type_counts,
         "event_type_affinity": _q_event_type_affinity,
         "rfm_segments": _q_rfm,
@@ -2422,6 +2449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_pagerank": _q_weighted_pagerank,
         "domain_graph": _q_domain_graph,
         "domain_pagerank": _q_domain_pagerank,
+        "crawl_budget": _q_crawl_budget,
         "reciprocity": _q_reciprocity,
         "edge_churn": _q_edge_churn,
         "degree_delta": _q_degree_delta,
@@ -3425,6 +3453,20 @@ def oracle_sql() -> dict[str, str]:
             f"(o_orderkey % 997) % {_NUM_DOMAINS} AS d FROM orders) "
             f"WHERE s <> d GROUP BY s, d"),
         "domain_pagerank": _wpr_oracle_sql(edge_sql=_DOM_EDGE_SQL),
+        # crawl budget (stages/domains.crawl_budget): Hamilton rounding
+        # over the domain-PageRank doubles — all-integer output
+        "crawl_budget": f"""
+WITH dp AS MATERIALIZED (
+  SELECT * FROM ({_wpr_oracle_sql(edge_sql=_DOM_EDGE_SQL)})),
+base AS (SELECT vid, CAST(FLOOR(10000 * rank) AS BIGINT) AS b,
+                10000 * rank - FLOOR(10000 * rank) AS frac FROM dp),
+l AS (SELECT GREATEST(10000 - SUM(b), 0) AS l FROM base),
+rk AS (SELECT vid, b,
+       ROW_NUMBER() OVER (ORDER BY frac DESC, vid) AS rn FROM base)
+SELECT vid, CAST(b + CASE WHEN rn <= (SELECT l FROM l)
+                          THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk
+""",
         "domain_rank_mass": (
             f"SELECT vid % {_NUM_DOMAINS} AS dom, SUM(rank) AS mass, "
             f"COUNT(*) AS n_pages FROM ({_pagerank_oracle_sql()}) "
@@ -3752,6 +3794,22 @@ FROM t GROUP BY user_id
         "rolling_revenue": _ROLLING_ORACLE_SQL,
         "top_orders_per_customer": _GROUPED_TOPK_ORACLE_SQL,
         "doc_quality": _QUALITY_ORACLE_SQL,
+        # LIX readability (text_ops.Readability): \w+ token runs equal
+        # the engine's \b\w+\b matches; sentence runs are [.!?]+ groups;
+        # float expression parenthesized exactly as the python kernel
+        "readability": r"""
+WITH t AS (SELECT doc_id,
+    len(regexp_extract_all(lower(text), '\w+')) AS w,
+    len(list_filter(regexp_extract_all(lower(text), '\w+'),
+                    x -> length(x) > 6)) AS lw,
+    len(regexp_extract_all(text, '[.!?]+')) AS s
+  FROM documents)
+SELECT doc_id, CAST(w AS BIGINT) AS n_words, CAST(s AS BIGINT) AS n_sents,
+  CASE WHEN w = 0 THEN 0.0
+       ELSE (CAST(w AS DOUBLE) / GREATEST(s, 1))
+            + ((100.0 * lw) / w) END AS lix
+FROM t
+""",
         "out_degrees":
             f"{E} SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src",
         "in_degrees":

@@ -165,7 +165,8 @@ def run_queries(sf_dir: str) -> dict:
              "eigenvector", "domain_rank_mass",
              "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa",
              "sssp_distances", "bm25_search", "title_edit_pairs",
-             "revenue_cube", "maximal_independent_set", "greedy_coloring"]
+             "revenue_cube", "maximal_independent_set", "greedy_coloring",
+             "readability", "crawl_budget"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -123,3 +123,48 @@ def reciprocity(edges_ds, src_col: str = "src", dst_col: str = "dst",
         "n_edges": pa.array([n_edges], pa.int64()),
         "n_mutual": pa.array([n_mutual], pa.int64()),
         "reciprocity": pa.array([ratio], pa.float64())}))
+
+
+def crawl_budget(ranks_ds, budget: int = 10_000, id_col: str = "vid",
+                 rank_col: str = "rank"):
+    """Per-domain crawl-budget apportionment: split an integer page
+    ``budget`` across domains proportionally to their (already
+    sum-normalized) PageRank by largest-remainder (Hamilton) rounding —
+    ``base = floor(budget·rank)``; the leftover ``budget − Σbase`` units
+    go to the largest fractional remainders (ties to the smaller vid).
+    The crawl-scheduling step a recrawl pipeline keys on
+    ``domain_pagerank`` / ``domain_rank_mass``.
+
+    All-integer output, so the SQL twin hashes exactly PROVIDED both
+    engines hold identical rank doubles (true for the unrolled
+    fixed-sweep solves this feeds on; a last-ulp rank difference at a
+    floor/remainder boundary would flip one unit — same empirical-parity
+    caveat as stages/kmeans).
+
+    The domain table is bounded (|domains| ≪ pages — e.g. 128 collapse
+    buckets regardless of page count), so the global remainder sort runs
+    in ONE worker task over a single block; nothing reaches the driver.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    def _alloc(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "alloc": pa.array([], pa.int64())})
+        vid = t[id_col].combine_chunks().to_numpy(zero_copy_only=False)
+        r = t[rank_col].combine_chunks().to_numpy(zero_copy_only=False)
+        q = budget * r
+        base = np.floor(q)
+        frac = q - base
+        base = base.astype(np.int64)
+        left = max(int(budget - base.sum()), 0)
+        order = np.lexsort((vid, -frac))      # frac desc, vid asc
+        alloc = base.copy()
+        alloc[order[:left]] += 1
+        out_order = np.argsort(vid, kind="stable")
+        return pa.table({id_col: pa.array(vid[out_order], pa.int64()),
+                         "alloc": pa.array(alloc[out_order], pa.int64())})
+
+    return ranks_ds.repartition(1).map_batches(
+        _alloc, batch_format="pyarrow", batch_size=None)

@@ -260,10 +260,43 @@ from functools import lru_cache
 
 
 @lru_cache(maxsize=16)
+class Readability:
+    """LIX readability per doc: ``n_words``, ``n_sents`` ([.!?]+ runs)
+    and ``lix = w/max(s,1) + 100·lw/w`` where lw = words longer than 6
+    chars (Björnsson's läsbarhetsindex — the standard long-word
+    formulation, language-agnostic unlike syllable-based indices).
+    Empty docs get lix 0.0.  Every float op mirrors the SQL twin's
+    parenthesization."""
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.re = TOKEN_RE
+        self.sent = re.compile(r"[.!?]+")
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        w_out, s_out, lix = [], [], []
+        for t in batch[self.text_col]:
+            toks = self.re.findall(t or "")
+            w = len(toks)
+            lw = sum(1 for x in toks if len(x) > 6)
+            s = len(self.sent.findall(t or ""))
+            w_out.append(w)
+            s_out.append(s)
+            lix.append(0.0 if w == 0
+                       else (w / max(s, 1)) + (100.0 * lw) / w)
+        batch["n_words"] = pd.Series(w_out, dtype="int64",
+                                     index=batch.index)
+        batch["n_sents"] = pd.Series(s_out, dtype="int64",
+                                     index=batch.index)
+        batch["lix"] = pd.Series(lix, dtype="float64", index=batch.index)
+        return batch
+
+
 def _cached_op(cls_name: str, text_col: str):
     cls = {"TokenCount": TokenCount, "QualityScore": QualityScore,
            "LanguageId": LanguageId, "Fingerprint": Fingerprint,
-           "RepetitionStats": RepetitionStats, "Redact": Redact}[cls_name]
+           "RepetitionStats": RepetitionStats, "Redact": Redact,
+           "Readability": Readability}[cls_name]
     return cls(text_col)
 
 
@@ -295,6 +328,10 @@ def add_repetition_stats(ds, text_col: str = "text", concurrency=None):
 
 def add_redaction(ds, text_col: str = "text", concurrency=None):
     return _task_stage(ds, "Redact", text_col)
+
+
+def add_readability(ds, text_col: str = "text", concurrency=None):
+    return _task_stage(ds, "Readability", text_col)
 
 
 def top_ngrams(docs_ds, text_col: str = "text", n: int = 2, k: int = 100):

@@ -866,3 +866,40 @@ def test_greedy_coloring_edge_cases():
                   "dst": pa.array([], pa.int64())})
     out2, info2 = greedy_coloring(rd.from_arrow(e), seed=7)
     assert out2.count() == 0 and info2["colors"] == 0
+
+
+def test_readability_lix():
+    from hackathon_pagerank_ray.stages.text_ops import add_readability
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": ["Short one. And another sentence here!",
+                 "wonderful extraordinary magnificent",   # all long words
+                 ""]}))
+    out = add_readability(docs).to_pandas().set_index("doc_id")
+    # doc 0: 6 words ("short one and another sentence here"), 2 sentences,
+    # long words (>6 chars): another(7), sentence(8) -> 2
+    assert out.loc[0, "n_words"] == 6 and out.loc[0, "n_sents"] == 2
+    assert abs(out.loc[0, "lix"] - (6 / 2 + 100.0 * 2 / 6)) < 1e-12
+    # doc 1: no sentence marks -> s clamped to 1; 3/3 long words
+    assert out.loc[1, "n_sents"] == 0
+    assert abs(out.loc[1, "lix"] - (3 / 1 + 100.0)) < 1e-12
+    assert out.loc[2, "lix"] == 0.0 and out.loc[2, "n_words"] == 0
+
+
+def test_crawl_budget_hamilton_rounding():
+    from hackathon_pagerank_ray.stages.domains import crawl_budget
+    ranks = rd.from_arrow(pa.table({
+        "vid": pa.array([0, 1, 2, 3], pa.int64()),
+        "rank": pa.array([0.4005, 0.3004, 0.1996, 0.0995], pa.float64())}))
+    out = crawl_budget(ranks, budget=10).to_pandas().set_index("vid")
+    # quotas 4.005, 3.004, 1.996, 0.995 -> bases 4,3,1,0 (sum 8),
+    # leftover 2 -> largest remainders .996 (vid 2) and .995 (vid 3)
+    assert out["alloc"].tolist() == [4, 3, 2, 1]
+    assert out["alloc"].sum() == 10
+    assert out["alloc"].dtype == np.int64
+    # remainder tie broken to the smaller vid
+    r2 = rd.from_arrow(pa.table({
+        "vid": pa.array([5, 3], pa.int64()),
+        "rank": pa.array([0.5, 0.5], pa.float64())}))
+    out2 = crawl_budget(r2, budget=5).to_pandas().set_index("vid")
+    assert out2.loc[3, "alloc"] == 3 and out2.loc[5, "alloc"] == 2
