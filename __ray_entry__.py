@@ -663,6 +663,15 @@ def _q_stopword_ratio(sf_dir):
         ["doc_id", "stopword_ratio"])
 
 
+def _q_hopping_counts(sf_dir):
+    """3h-wide, 1h-hop sliding window event counts — per-batch integer
+    window explode + one count shuffle (no join, no sort)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.events import hopping_window_counts
+    ev = _rd().read_parquet(f"{sf_dir}/events.parquet", columns=["ts"])
+    return hopping_window_counts(ev)
+
+
 def _q_readability(sf_dir):
     """LIX readability (word/sentence counts + long-word ratio index)."""
     _quiet()
@@ -2363,6 +2372,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _q_top_orders_per_customer,
         "doc_quality": _q_doc_quality,
         "readability": _q_readability,
+        "hopping_counts": _q_hopping_counts,
         "event_type_counts": _q_event_type_counts,
         "event_type_affinity": _q_event_type_affinity,
         "rfm_segments": _q_rfm,
@@ -3797,6 +3807,15 @@ FROM t GROUP BY user_id
         # LIX readability (text_ops.Readability): \w+ token runs equal
         # the engine's \b\w+\b matches; sentence runs are [.!?]+ groups;
         # float expression parenthesized exactly as the python kernel
+        # hopping windows (events.hopping_window_counts): window k =
+        # [k·hop, k·hop+width); each event expands to width/hop = 3 keys
+        "hopping_counts": """
+WITH e AS (SELECT epoch_us(ts) AS us FROM events),
+x AS (SELECT ((us // 3600000000) - j) * 3600000000 AS window_start
+      FROM e, unnest(range(0, 3)) AS t(j))
+SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n
+FROM x GROUP BY window_start
+""",
         "readability": r"""
 WITH t AS (SELECT doc_id,
     len(regexp_extract_all(lower(text), '\w+')) AS w,

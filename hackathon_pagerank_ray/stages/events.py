@@ -822,3 +822,44 @@ def rfm_segments(orders_ds, cust_col: str = "o_custkey",
 
     return (summary.repartition(1)
             .map_batches(_tiles, batch_format="pandas", batch_size=None))
+
+
+def hopping_window_counts(ds, ts_col: str = "ts",
+                          width_us: int = 3 * 3_600_000_000,
+                          hop_us: int = 3_600_000_000):
+    """Hopping (sliding) window event counts: window k covers
+    ``[k·hop, k·hop + width)`` epoch microseconds, ``width`` a multiple
+    of ``hop`` — the streaming-SQL HOP/HOPPING window as a batch
+    operator.  Returns ``(window_start, n)``, window_start in epoch µs.
+
+    Window membership is a PURE FUNCTION of the timestamp (an event at
+    ts falls in exactly width/hop windows, k = ts//hop − j for
+    j = 0..m−1), so this is one per-batch integer explode followed by a
+    single count shuffle over window keys — no join, no sort, and the
+    exchange carries ≤ m·|hours with data| counter rows after the
+    per-block Arrow pre-combine.
+    """
+    if width_us % hop_us != 0:
+        raise ValueError("width_us must be a multiple of hop_us")
+    m = width_us // hop_us
+
+    def _explode(t: pa.Table) -> pa.Table:
+        us = _ts_us_i64(t[ts_col]).to_numpy(zero_copy_only=False)
+        q = us // hop_us
+        ks = (q[:, None] - np.arange(m, dtype=np.int64)[None, :]).ravel()
+        starts = ks * hop_us
+        # per-block pre-combine: ship (window, count) partials only
+        part = pa.table({"window_start": pa.array(starts, pa.int64()),
+                         "one": pa.array(np.ones(len(starts), np.int64),
+                                         pa.int64())})
+        agg = part.group_by(["window_start"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["window_start", "n"])
+
+    out = (ds.select_columns([ts_col])
+           .map_batches(_explode, batch_format="pyarrow")
+           .groupby("window_start").sum("n"))
+    return out.map_batches(
+        lambda t: pa.table({"window_start": t["window_start"],
+                            "n": t["sum(n)"].combine_chunks()
+                            .cast(pa.int64())}),
+        batch_format="pyarrow")

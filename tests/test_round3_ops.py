@@ -4,6 +4,7 @@ PageRank, global reciprocity."""
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 import ray.data as rd
 
 from hackathon_pagerank_ray import oracle
@@ -903,3 +904,23 @@ def test_crawl_budget_hamilton_rounding():
         "rank": pa.array([0.5, 0.5], pa.float64())}))
     out2 = crawl_budget(r2, budget=5).to_pandas().set_index("vid")
     assert out2.loc[3, "alloc"] == 3 and out2.loc[5, "alloc"] == 2
+
+
+def test_hopping_window_counts_math():
+    from hackathon_pagerank_ray.stages.events import hopping_window_counts
+    h = 3_600_000_000
+    ts = pa.array([0, 1, h, 3 * h - 1, 3 * h], pa.timestamp("us"))
+    ev = rd.from_arrow(pa.table({"ts": ts})).repartition(2)
+    out = (hopping_window_counts(ev, width_us=3 * h, hop_us=h).to_pandas()
+           .sort_values("window_start").reset_index(drop=True))
+    # brute force: window k covers [k*h, k*h + 3h)
+    import collections
+    want = collections.Counter()
+    for t in [0, 1, h, 3 * h - 1, 3 * h]:
+        for k in range(t // h - 2, t // h + 1):
+            want[k * h] += 1
+    got = dict(zip(out["window_start"], out["n"]))
+    assert got == dict(want)
+    assert out["n"].dtype == np.int64
+    with pytest.raises(ValueError):
+        hopping_window_counts(ev, width_us=5 * h, hop_us=2 * h)
