@@ -1797,6 +1797,30 @@ def _q_mis(sf_dir):
     return out.materialize()
 
 
+def _q_matching(sf_dir):
+    """Deterministic maximal matching (local-min on edges == greedy
+    sequential matching for the static priority order)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.matching import maximal_matching
+    out, info = maximal_matching(_edges_ds(sf_dir), seed=9, max_rounds=8)
+    assert info["rounds"] <= 8, info
+    return out.materialize()
+
+
+def _q_vertex_cover(sf_dir):
+    """2-approx minimum vertex cover: the matched endpoint set."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.matching import maximal_matching
+    from hackathon_pagerank_ray.stages.relational import distinct
+    out, info = maximal_matching(_edges_ds(sf_dir), seed=9, max_rounds=8)
+    assert info["rounds"] <= 8, info
+    ends = out.map_batches(
+        lambda t: pa.table({"vid": pa.concat_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()])}),
+        batch_format="pyarrow")
+    return distinct(ends, ["vid"], 8).materialize()
+
+
 def _q_coloring(sf_dir):
     """Greedy graph coloring by iterated deterministic MIS; max_colors
     matches the SQL twin's unroll depth (raises past it)."""
@@ -2484,6 +2508,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcore_membership": _q_kcore,
         "maximal_independent_set": _q_mis,
         "greedy_coloring": _q_coloring,
+        "maximal_matching": _q_matching,
+        "vertex_cover": _q_vertex_cover,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2607,6 +2633,46 @@ def _coloring_oracle_sql(colors: int = 16, rounds: int = 8,
     return ("WITH " + ",\n".join(parts) + "\n"
             + "SELECT vid, CAST(color AS BIGINT) AS color FROM ("
             + " UNION ALL ".join(sel) + ")")
+
+
+def _matching_oracle_sql(rounds: int = 8, seed: int = 9,
+                         cover: bool = False) -> str:
+    """Unrolled local-min maximal matching (graph/matching.py): per
+    round, an active edge whose 24-hex priority is the MIN at both
+    endpoints joins; matched endpoints deactivate their edges.  With
+    ``cover`` the final select emits the matched endpoint set (the
+    2-approx vertex cover) instead of the edge pairs."""
+    p_expr = (f"substr(md5('{seed}:' || CAST(u AS VARCHAR) || ':' || "
+              "CAST(v AS VARCHAR)), 1, 8) "
+              "|| printf('%08x', u) || printf('%08x', v)")
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        f"GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        f"a0 AS MATERIALIZED (SELECT u, v, {p_expr} AS p FROM e0)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"vm{r} AS MATERIALIZED (SELECT vtx, MIN(p) AS mp FROM ("
+            f"SELECT u AS vtx, p FROM a{r} "
+            f"UNION ALL SELECT v AS vtx, p FROM a{r}) GROUP BY vtx)")
+        parts.append(
+            f"mm{r} AS MATERIALIZED (SELECT a.u, a.v FROM a{r} a "
+            f"JOIN vm{r} x ON x.vtx = a.u AND x.mp = a.p "
+            f"JOIN vm{r} y ON y.vtx = a.v AND y.mp = a.p)")
+        parts.append(
+            f"mv{r} AS MATERIALIZED (SELECT u AS vtx FROM mm{r} "
+            f"UNION SELECT v AS vtx FROM mm{r})")
+        parts.append(
+            f"a{r + 1} AS MATERIALIZED (SELECT u, v, p FROM a{r} "
+            f"WHERE u NOT IN (SELECT vtx FROM mv{r}) "
+            f"AND v NOT IN (SELECT vtx FROM mv{r}))")
+    union = " UNION ALL ".join(
+        f"SELECT u, v FROM mm{r}" for r in range(rounds))
+    if cover:
+        return ("WITH " + ",\n".join(parts) + f",\nm AS ({union})\n"
+                "SELECT DISTINCT vtx AS vid FROM ("
+                "SELECT u AS vtx FROM m UNION ALL SELECT v AS vtx FROM m)")
+    return "WITH " + ",\n".join(parts) + f"\n{union}"
 
 
 def _pagerank_oracle_sql(sweeps: int = _PR_SWEEPS, alpha: float = 0.85) -> str:
@@ -3600,6 +3666,8 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "kcore_membership": _kcore_oracle_sql(),
         "maximal_independent_set": _mis_oracle_sql(),
         "greedy_coloring": _coloring_oracle_sql(),
+        "maximal_matching": _matching_oracle_sql(),
+        "vertex_cover": _matching_oracle_sql(cover=True),
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -166,7 +166,8 @@ def run_queries(sf_dir: str) -> dict:
              "bowtie", "lp_modularity", "rank_delta", "spam_mass", "salsa",
              "sssp_distances", "bm25_search", "title_edit_pairs",
              "revenue_cube", "maximal_independent_set", "greedy_coloring",
-             "readability", "crawl_budget", "hopping_counts"]
+             "readability", "crawl_budget", "hopping_counts",
+             "maximal_matching", "vertex_cover"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -924,3 +924,48 @@ def test_hopping_window_counts_math():
     assert out["n"].dtype == np.int64
     with pytest.raises(ValueError):
         hopping_window_counts(ev, width_us=5 * h, hop_us=2 * h)
+
+
+def test_maximal_matching_both_paths_match_greedy():
+    from hackathon_pagerank_ray.graph.matching import (_edge_pkeys,
+                                                       maximal_matching)
+    rng = np.random.RandomState(41)
+    src = rng.randint(0, 150, 700).astype(np.int64)
+    dst = rng.randint(0, 150, 700).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    # greedy oracle over the canonical distinct edge set
+    e = sorted({(min(int(s), int(d)), max(int(s), int(d)))
+                for s, d in zip(src, dst) if s != d})
+    us = np.array([a for a, _ in e])
+    vs = np.array([b for _, b in e])
+    order = np.argsort(_edge_pkeys(us, vs, 9), kind="stable")
+    taken, exp = set(), []
+    for i in order:
+        a, b = int(us[i]), int(vs[i])
+        if a in taken or b in taken:
+            continue
+        taken.add(a)
+        taken.add(b)
+        exp.append((a, b))
+    exp = sorted(exp)
+    for thr in (2_000_000, 0):
+        out, info = maximal_matching(ds, seed=9, small_threshold=thr)
+        got = sorted(map(tuple,
+                         out.to_pandas()[["u", "v"]]
+                         .itertuples(index=False)))
+        assert got == exp, info
+    # matching: no shared endpoints; maximal: every edge touches one
+    flat = [x for p in exp for x in p]
+    assert len(flat) == len(set(flat))
+    mv = set(flat)
+    for s, d in zip(src, dst):
+        if s != d:
+            assert s in mv or d in mv
+
+
+def test_maximal_matching_empty_and_selfloops():
+    from hackathon_pagerank_ray.graph.matching import maximal_matching
+    t = pa.table({"src": pa.array([7], pa.int64()),
+                  "dst": pa.array([7], pa.int64())})
+    out, info = maximal_matching(rd.from_arrow(t), seed=9)
+    assert out.count() == 0 and info["path"] == "empty"
