@@ -936,6 +936,14 @@ def _q_revenue_cube(sf_dir):
                        "o_totalprice")
 
 
+def _q_bpe_pairs(sf_dir):
+    """Top-100 in-token character pairs weighted by corpus token
+    frequency — the first BPE merge-candidate table."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import bpe_pair_counts
+    return bpe_pair_counts(_docs_ds(sf_dir, ["text"]), k=100)
+
+
 def _q_top_bigrams(sf_dir):
     """Global top-100 word bigrams by corpus count — per-block Counter
     partials, one groupby exchange, deterministic (n desc, ngram)."""
@@ -2447,6 +2455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unigram_logprob": _q_unigram_logprob,
         "bigram_logprob": _q_bigram_logprob,
         "top_bigrams": _q_top_bigrams,
+        "bpe_pairs": _q_bpe_pairs,
         "quality_resample": _q_quality_resample,
         "events_pivot": _q_events_pivot,
         "revenue_rollup": _q_revenue_rollup,
@@ -4310,6 +4319,19 @@ LIMIT 10
             "(SELECT CAST(embedding AS DOUBLE[]) FROM embeddings "
             "WHERE vec_id = 0)) DESC, vec_id LIMIT 10",
         # corpus bigram table (stages/text_ops.top_ngrams)
+        # BPE merge candidates (text_ops.bpe_pair_counts): in-token char
+        # pairs weighted by corpus token frequency, vocab-sized work
+        "bpe_pairs": r"""
+WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '\w+'))
+             AS token FROM documents),
+vocab AS MATERIALIZED (SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+                       FROM tok GROUP BY token),
+pairs AS (SELECT substr(token, i, 2) AS pair, SUM(n) AS n
+  FROM vocab, unnest(range(1, length(token))) AS t(i)
+  GROUP BY pair)
+SELECT pair, CAST(n AS BIGINT) AS n FROM pairs
+ORDER BY n DESC, pair LIMIT 100
+""",
         "top_bigrams": r"""
 WITH toks AS (SELECT regexp_extract_all(lower(text), '\w+') AS t
               FROM documents),

@@ -167,7 +167,7 @@ def run_queries(sf_dir: str) -> dict:
              "sssp_distances", "bm25_search", "title_edit_pairs",
              "revenue_cube", "maximal_independent_set", "greedy_coloring",
              "readability", "crawl_budget", "hopping_counts",
-             "maximal_matching", "vertex_cover"]
+             "maximal_matching", "vertex_cover", "bpe_pairs"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -367,3 +367,58 @@ def top_ngrams(docs_ds, text_col: str = "text", n: int = 2, k: int = 100):
     totals = (partials.groupby("ngram").sum("n")
               .rename_columns({"sum(n)": "n"}))
     return topk(totals, ["n", "ngram"], k, descending=[True, False])
+
+
+def bpe_pair_counts(docs_ds, text_col: str = "text", k: int = 100):
+    """Top-k adjacent CHARACTER pairs inside tokens, weighted by corpus
+    token frequency — the merge-candidate table of the first BPE
+    (byte-pair-encoding) vocabulary-training step.
+
+    Two-level shape (vocab ≪ corpus): per-block token Counter partials →
+    one ``groupby(token).sum`` over the vocabulary → per DISTINCT token,
+    explode its len−1 character pairs × its corpus frequency (vocab-sized
+    work, not corpus-sized) → one ``groupby(pair).sum`` over the pair
+    alphabet (bounded by |chars|²) → deterministic top-k
+    (count desc, pair asc).
+    """
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from .relational import topk
+    from .schema_util import enforce_schema
+
+    def _tok_partial(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in batch[text_col]:
+            c.update(tokenize(text))
+        if not c:
+            return pd.DataFrame({"token": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"token": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64)})
+
+    vocab = enforce_schema(
+        docs_ds.map_batches(_tok_partial, batch_format="pandas"),
+        pa.schema([("token", pa.string()), ("n", pa.int64())])) \
+        .groupby("token").sum("n")
+
+    def _pairs(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for tok, freq in zip(batch["token"], batch["sum(n)"]):
+            f = int(freq)
+            for i in range(len(tok) - 1):
+                c[tok[i:i + 2]] += f
+        if not c:
+            return pd.DataFrame({"pair": pd.Series(dtype="object"),
+                                 "n": pd.Series(dtype="int64")})
+        return pd.DataFrame({"pair": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64)})
+
+    pairs = enforce_schema(
+        vocab.map_batches(_pairs, batch_format="pandas"),
+        pa.schema([("pair", pa.string()), ("n", pa.int64())])) \
+        .groupby("pair").sum("n")
+    pairs = pairs.map_batches(
+        lambda t: t.rename_columns(["pair", "n"]), batch_format="pyarrow")
+    return topk(pairs, ["n", "pair"], k, descending=[True, False])

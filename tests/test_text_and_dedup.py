@@ -818,3 +818,15 @@ def test_setsim_pairs_duplicate_cluster_not_quadratic_in_reps():
     out = setsim_pairs(rd.from_pandas(docs), 4, 5).to_pandas()
     assert len(out) == n * (n - 1) // 2
     assert (out["inter"] == out["uni"]).all()
+
+
+def test_bpe_pair_counts():
+    docs = rd.from_arrow(pa.Table.from_pydict({
+        "doc_id": [0, 1], "text": ["aab aab ab", "aab"]}))
+    out = TX.bpe_pair_counts(docs, k=10).to_pandas()
+    # vocab: aab×3, ab×1 -> pairs: aa: 3, ab: 3+1 = 4
+    got = dict(zip(out["pair"], out["n"]))
+    assert got == {"aa": 3, "ab": 4}
+    # deterministic order: count desc then pair asc
+    assert out["pair"].tolist() == ["ab", "aa"]
+    assert out["n"].dtype == np.int64
