@@ -1805,6 +1805,16 @@ def _q_mis(sf_dir):
     return out.materialize()
 
 
+def _q_densest(sf_dir):
+    """Densest-subgraph 2(1+ε) peeling, ε = 1/10; max_rounds matches
+    the SQL twin's unroll depth."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.densest import densest_subgraph
+    out, info = densest_subgraph(_edges_ds(sf_dir), max_rounds=16)
+    assert info["rounds"] <= 16, info
+    return out.materialize()
+
+
 def _q_matching(sf_dir):
     """Deterministic maximal matching (local-min on edges == greedy
     sequential matching for the static priority order)."""
@@ -2519,6 +2529,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "greedy_coloring": _q_coloring,
         "maximal_matching": _q_matching,
         "vertex_cover": _q_vertex_cover,
+        "densest_subgraph": _q_densest,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2642,6 +2653,47 @@ def _coloring_oracle_sql(colors: int = 16, rounds: int = 8,
     return ("WITH " + ",\n".join(parts) + "\n"
             + "SELECT vid, CAST(color AS BIGINT) AS color FROM ("
             + " UNION ALL ".join(sel) + ")")
+
+
+def _densest_oracle_sql(rounds: int = 16, eps_den: int = 10,
+                        bar_num: int = 22) -> str:
+    """Unrolled Bahmani peeling (graph/densest.densest_subgraph): per
+    round drop vertices with ``deg·eps_den·n ≤ bar_num·m`` (exact
+    integer test), keep the round with max m/n (same float64 compare as
+    the engine; ties to the earliest round), emit its vertex set."""
+    parts = [
+        f"e0 AS MATERIALIZED (SELECT DISTINCT LEAST(src, dst) AS u, "
+        f"GREATEST(src, dst) AS v FROM ({_EDGE_SQL}) WHERE src <> dst)",
+        "ae0 AS MATERIALIZED (SELECT u, v FROM e0)",
+    ]
+    for r in range(rounds):
+        parts.append(
+            f"deg{r} AS MATERIALIZED (SELECT vtx, "
+            f"CAST(COUNT(*) AS BIGINT) AS deg FROM ("
+            f"SELECT u AS vtx FROM ae{r} "
+            f"UNION ALL SELECT v AS vtx FROM ae{r}) GROUP BY vtx)")
+        parts.append(
+            f"st{r} AS MATERIALIZED (SELECT "
+            f"(SELECT COUNT(*) FROM ae{r}) AS m, "
+            f"(SELECT COUNT(*) FROM deg{r}) AS n)")
+        parts.append(
+            f"keep{r} AS MATERIALIZED (SELECT vtx FROM deg{r}, st{r} "
+            f"WHERE deg * {eps_den} * n > {bar_num} * m)")
+        parts.append(
+            f"ae{r + 1} AS MATERIALIZED (SELECT u, v FROM ae{r} "
+            f"WHERE u IN (SELECT vtx FROM keep{r}) "
+            f"AND v IN (SELECT vtx FROM keep{r}))")
+    rounds_sql = " UNION ALL ".join(
+        f"SELECT {r + 1} AS r, m, n FROM st{r}" for r in range(rounds))
+    sets_sql = " UNION ALL ".join(
+        f"SELECT {r + 1} AS r, vtx FROM deg{r}" for r in range(rounds))
+    return (
+        "WITH " + ",\n".join(parts)
+        + f",\nrounds AS ({rounds_sql}),\n"
+        + "best AS (SELECT r FROM rounds WHERE n > 0 "
+        + "ORDER BY CAST(m AS DOUBLE) / n DESC, r LIMIT 1),\n"
+        + f"sets AS ({sets_sql})\n"
+        + "SELECT vtx AS vid FROM sets WHERE r = (SELECT r FROM best)")
 
 
 def _matching_oracle_sql(rounds: int = 8, seed: int = 9,
@@ -3677,6 +3729,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "greedy_coloring": _coloring_oracle_sql(),
         "maximal_matching": _matching_oracle_sql(),
         "vertex_cover": _matching_oracle_sql(cover=True),
+        "densest_subgraph": _densest_oracle_sql(),
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -167,7 +167,8 @@ def run_queries(sf_dir: str) -> dict:
              "sssp_distances", "bm25_search", "title_edit_pairs",
              "revenue_cube", "maximal_independent_set", "greedy_coloring",
              "readability", "crawl_budget", "hopping_counts",
-             "maximal_matching", "vertex_cover", "bpe_pairs"]
+             "maximal_matching", "vertex_cover", "bpe_pairs",
+             "densest_subgraph"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

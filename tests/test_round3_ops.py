@@ -969,3 +969,47 @@ def test_maximal_matching_empty_and_selfloops():
                   "dst": pa.array([7], pa.int64())})
     out, info = maximal_matching(rd.from_arrow(t), seed=9)
     assert out.count() == 0 and info["path"] == "empty"
+
+
+def test_densest_subgraph_finds_planted_clique():
+    import itertools
+    from hackathon_pagerank_ray.graph.densest import densest_subgraph
+    rng = np.random.RandomState(9)
+    src = rng.randint(0, 100, 200).astype(np.int64)
+    dst = rng.randint(0, 100, 200).astype(np.int64)
+    cu, cv = zip(*itertools.combinations(range(12), 2))
+    src = np.concatenate([src, np.array(cu, dtype=np.int64)])
+    dst = np.concatenate([dst, np.array(cv, dtype=np.int64)])
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+
+    # python replay of the exact peel
+    def oracle():
+        e = sorted({(min(int(a), int(b)), max(int(a), int(b)))
+                    for a, b in zip(src, dst) if a != b})
+        u = np.array([a for a, _ in e])
+        v = np.array([b for _, b in e])
+        best = (-1.0, None, 0, 0)
+        while len(u):
+            verts, cnt = np.unique(np.concatenate([u, v]),
+                                   return_counts=True)
+            m, n = len(u), len(verts)
+            if m / n > best[0]:
+                best = (m / n, set(verts.tolist()), m, n)
+            keep = set(verts[cnt * 10 * n > 22 * m].tolist())
+            mask = np.array([a in keep and b in keep
+                             for a, b in zip(u, v)])
+            u, v = u[mask], v[mask]
+        return best
+
+    dens, vset, m_, n_ = oracle()
+    for thr in (2_000_000, 0):
+        out, info = densest_subgraph(ds, small_threshold=thr)
+        assert set(out.to_pandas()["vid"]) == vset, info
+        assert (info["best_m"], info["best_n"]) == (m_, n_)
+    # the planted 12-clique must survive into the winning set
+    assert set(range(12)) <= vset
+    # empty graph
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    out2, info2 = densest_subgraph(rd.from_arrow(e))
+    assert out2.count() == 0 and info2["rounds"] == 0
