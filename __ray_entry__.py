@@ -1815,6 +1815,14 @@ def _q_densest(sf_dir):
     return out.materialize()
 
 
+def _q_rectangles(sf_dir):
+    """Global 4-cycle census via the codegree identity
+    C4 = Σ C(codeg,2) / 2 — exact, no caps."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.rectangles import rectangle_count
+    return rectangle_count(_edges_ds(sf_dir)).materialize()
+
+
 def _q_matching(sf_dir):
     """Deterministic maximal matching (local-min on edges == greedy
     sequential matching for the static priority order)."""
@@ -2530,6 +2538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "maximal_matching": _q_matching,
         "vertex_cover": _q_vertex_cover,
         "densest_subgraph": _q_densest,
+        "rectangle_count": _q_rectangles,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2694,6 +2703,27 @@ def _densest_oracle_sql(rounds: int = 16, eps_den: int = 10,
         + "ORDER BY CAST(m AS DOUBLE) / n DESC, r LIMIT 1),\n"
         + f"sets AS ({sets_sql})\n"
         + "SELECT vtx AS vid FROM sets WHERE r = (SELECT r FROM best)")
+
+
+_RECTANGLES_SQL = f"""
+-- 4-cycle census (graph/rectangles.rectangle_count): codegree identity
+-- C4 = SUM(C(codeg, 2)) / 2 over ALL vertex pairs of the canonical
+-- undirected simple graph; exact integer sums in both engines.
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({_EDGE_SQL}) WHERE src <> dst),
+sym AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+cd AS MATERIALIZED (
+  SELECT s1.b AS x, s2.b AS y, CAST(COUNT(*) AS BIGINT) AS cn
+  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+  GROUP BY s1.b, s2.b)
+SELECT CAST(COALESCE(SUM(cn * (cn - 1) // 2), 0) // 2 AS BIGINT)
+         AS rectangles,
+       CAST(COUNT(*) AS BIGINT) AS codegree_pairs,
+       CAST(COALESCE(MAX(cn), 0) AS BIGINT) AS max_codegree
+FROM cd
+"""
 
 
 def _matching_oracle_sql(rounds: int = 8, seed: int = 9,
@@ -3730,6 +3760,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "maximal_matching": _matching_oracle_sql(),
         "vertex_cover": _matching_oracle_sql(cover=True),
         "densest_subgraph": _densest_oracle_sql(),
+        "rectangle_count": _RECTANGLES_SQL,
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

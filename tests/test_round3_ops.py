@@ -1013,3 +1013,65 @@ def test_densest_subgraph_finds_planted_clique():
                   "dst": pa.array([], pa.int64())})
     out2, info2 = densest_subgraph(rd.from_arrow(e))
     assert out2.count() == 0 and info2["rounds"] == 0
+
+
+def test_rectangle_count_known_graphs():
+    from hackathon_pagerank_ray.graph.rectangles import rectangle_count
+    import itertools
+
+    def run(src, dst, thr):
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        return rectangle_count(rd.from_arrow(t).repartition(2),
+                               small_threshold=thr).to_pandas().iloc[0]
+
+    for thr in (2_000_000, 0):
+        # 4-cycle 0-1-2-3-0: exactly one rectangle
+        r = run([0, 1, 2, 3], [1, 2, 3, 0], thr)
+        assert (r["rectangles"], r["max_codegree"]) == (1, 2)
+        # K4: 3 distinct 4-cycles
+        cu, cv = zip(*itertools.combinations(range(4), 2))
+        r = run(list(cu), list(cv), thr)
+        assert r["rectangles"] == 3 and r["codegree_pairs"] == 6
+        # K_{2,3}: C(3,2)*C(2,2) = 3 butterflies
+        r = run([0, 0, 0, 1, 1, 1], [2, 3, 4, 2, 3, 4], thr)
+        assert r["rectangles"] == 3
+        # triangle: no 4-cycles, 3 codegree pairs
+        r = run([0, 1, 2], [1, 2, 0], thr)
+        assert r["rectangles"] == 0 and r["codegree_pairs"] == 3
+    # empty graph
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    r0 = rectangle_count(rd.from_arrow(e)).to_pandas().iloc[0]
+    assert (r0["rectangles"], r0["codegree_pairs"],
+            r0["max_codegree"]) == (0, 0, 0)
+
+
+def test_rectangle_count_random_vs_bruteforce():
+    from hackathon_pagerank_ray.graph.rectangles import rectangle_count
+    import itertools
+    rng = np.random.RandomState(5)
+    src = rng.randint(0, 40, 150).astype(np.int64)
+    dst = rng.randint(0, 40, 150).astype(np.int64)
+    adj = {}
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    # brute force: for each 4-set, each unordered 4-cycle is determined
+    # by which pair {b, d} flanks the smallest vertex a (K4 hosts 3)
+    verts = sorted(adj)
+    n_rect = 0
+    for q in itertools.combinations(verts, 4):
+        a = q[0]
+        for b, d in itertools.combinations(q[1:], 2):
+            c = next(x for x in q[1:] if x not in (b, d))
+            if (b in adj[a] and c in adj[b] and d in adj[c]
+                    and a in adj[d]):
+                n_rect += 1
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    for thr in (2_000_000, 0):
+        r = rectangle_count(ds, small_threshold=thr).to_pandas().iloc[0]
+        assert r["rectangles"] == n_rect, (thr, r["rectangles"], n_rect)
