@@ -1823,6 +1823,14 @@ def _q_rectangles(sf_dir):
     return rectangle_count(_edges_ds(sf_dir)).materialize()
 
 
+def _q_clique4(sf_dir):
+    """Global triangle + 4-clique census (each 4-clique anchored at its
+    two lowest vertices — exact, no caps)."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.cliques import clique4_census
+    return clique4_census(_edges_ds(sf_dir)).materialize()
+
+
 def _q_matching(sf_dir):
     """Deterministic maximal matching (local-min on edges == greedy
     sequential matching for the static priority order)."""
@@ -2539,6 +2547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vertex_cover": _q_vertex_cover,
         "densest_subgraph": _q_densest,
         "rectangle_count": _q_rectangles,
+        "clique4_census": _q_clique4,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2723,6 +2732,30 @@ SELECT CAST(COALESCE(SUM(cn * (cn - 1) // 2), 0) // 2 AS BIGINT)
        CAST(COUNT(*) AS BIGINT) AS codegree_pairs,
        CAST(COALESCE(MAX(cn), 0) AS BIGINT) AS max_codegree
 FROM cd
+"""
+
+
+_CLIQUE4_SQL = f"""
+-- triangle + 4-clique census (graph/cliques.clique4_census): ordered
+-- self-joins over the canonical undirected simple graph count each
+-- sorted triangle / 4-clique exactly once — same anchoring as the
+-- engine's (x, y)-grouped z-pair closure.
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({_EDGE_SQL}) WHERE src <> dst),
+tri AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM e ab JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+            JOIN e bc ON bc.u = ab.v AND bc.v = ac.v),
+k4 AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS c
+  FROM e ab JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+            JOIN e ad ON ad.u = ab.u AND ad.v > ac.v
+            JOIN e bc ON bc.u = ab.v AND bc.v = ac.v
+            JOIN e bd ON bd.u = ab.v AND bd.v = ad.v
+            JOIN e cd ON cd.u = ac.v AND cd.v = ad.v)
+SELECT (SELECT c FROM tri) AS triangles,
+       (SELECT c FROM k4) AS four_cliques
 """
 
 
@@ -3761,6 +3794,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "vertex_cover": _matching_oracle_sql(cover=True),
         "densest_subgraph": _densest_oracle_sql(),
         "rectangle_count": _RECTANGLES_SQL,
+        "clique4_census": _CLIQUE4_SQL,
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -168,7 +168,7 @@ def run_queries(sf_dir: str) -> dict:
              "revenue_cube", "maximal_independent_set", "greedy_coloring",
              "readability", "crawl_budget", "hopping_counts",
              "maximal_matching", "vertex_cover", "bpe_pairs",
-             "densest_subgraph", "rectangle_count"]
+             "densest_subgraph", "rectangle_count", "clique4_census"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

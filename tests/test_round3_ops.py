@@ -1075,3 +1075,52 @@ def test_rectangle_count_random_vs_bruteforce():
     for thr in (2_000_000, 0):
         r = rectangle_count(ds, small_threshold=thr).to_pandas().iloc[0]
         assert r["rectangles"] == n_rect, (thr, r["rectangles"], n_rect)
+
+
+def test_clique4_census_known_and_random():
+    import itertools
+    from hackathon_pagerank_ray.graph.cliques import clique4_census
+
+    def run(src, dst, thr):
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        return clique4_census(rd.from_arrow(t).repartition(2),
+                              small_threshold=thr).to_pandas().iloc[0]
+
+    k4u, k4v = zip(*itertools.combinations(range(4), 2))
+    k5u, k5v = zip(*itertools.combinations(range(5), 2))
+    for thr in (3_000_000, 0):
+        r = run(list(k4u), list(k4v), thr)          # K4
+        assert (r["triangles"], r["four_cliques"]) == (4, 1), (thr, r)
+        r = run(list(k5u), list(k5v), thr)          # K5: C(5,3), C(5,4)
+        assert (r["triangles"], r["four_cliques"]) == (10, 5), (thr, r)
+        r = run([0, 1, 2, 3], [1, 2, 3, 0], thr)    # C4: square, no tris
+        assert (r["triangles"], r["four_cliques"]) == (0, 0), (thr, r)
+
+    # random graph vs brute force
+    rng = np.random.RandomState(11)
+    src = rng.randint(0, 30, 140).astype(np.int64)
+    dst = rng.randint(0, 30, 140).astype(np.int64)
+    adj = {}
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    n_tri = sum(1 for q in itertools.combinations(verts, 3)
+                if q[1] in adj[q[0]] and q[2] in adj[q[0]]
+                and q[2] in adj[q[1]])
+    n_k4 = sum(1 for q in itertools.combinations(verts, 4)
+               if all(b in adj[a] for a, b in itertools.combinations(q, 2)))
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst})).repartition(3)
+    for thr in (3_000_000, 0):
+        r = clique4_census(ds, small_threshold=thr).to_pandas().iloc[0]
+        assert (r["triangles"], r["four_cliques"]) == (n_tri, n_k4), (thr, r)
+
+    # empty graph
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    r0 = clique4_census(rd.from_arrow(e)).to_pandas().iloc[0]
+    assert (r0["triangles"], r0["four_cliques"]) == (0, 0)
