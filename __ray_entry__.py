@@ -1823,6 +1823,18 @@ def _q_rectangles(sf_dir):
     return rectangle_count(_edges_ds(sf_dir)).materialize()
 
 
+def _q_copurchase(sf_dir):
+    """Item-item co-purchase support: top-50 part pairs by the number
+    of orders containing BOTH (basket-level market-basket projection;
+    the CF support build)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.copurchase import copurchase_topk
+    li = _rd().read_parquet(f"{sf_dir}/lineitem.parquet",
+                            columns=["l_orderkey", "l_partkey"])
+    return copurchase_topk(li, "l_orderkey", "l_partkey",
+                           k=50).materialize()
+
+
 def _q_clique4(sf_dir):
     """Global triangle + 4-clique census (each 4-clique anchored at its
     two lowest vertices — exact, no caps)."""
@@ -2548,6 +2560,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "densest_subgraph": _q_densest,
         "rectangle_count": _q_rectangles,
         "clique4_census": _q_clique4,
+        "copurchase_topk": _q_copurchase,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -3795,6 +3808,16 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "densest_subgraph": _densest_oracle_sql(),
         "rectangle_count": _RECTANGLES_SQL,
         "clique4_census": _CLIQUE4_SQL,
+        # co-purchase support (stages/copurchase.copurchase_topk):
+        # exact basket-pair counts, ties (n_both desc, p1, p2)
+        "copurchase_topk": """
+WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            FROM lineitem)
+SELECT a.p AS p1, b.p AS p2, CAST(COUNT(*) AS BIGINT) AS n_both
+FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p
+GROUP BY a.p, b.p
+ORDER BY n_both DESC, p1, p2 LIMIT 50
+""",
         "truss_edges": _truss_oracle_sql(),
         "bfs_distances": f"""
 WITH RECURSIVE edges AS MATERIALIZED ({_EDGE_SQL}),

@@ -168,7 +168,8 @@ def run_queries(sf_dir: str) -> dict:
              "revenue_cube", "maximal_independent_set", "greedy_coloring",
              "readability", "crawl_budget", "hopping_counts",
              "maximal_matching", "vertex_cover", "bpe_pairs",
-             "densest_subgraph", "rectangle_count", "clique4_census"]
+             "densest_subgraph", "rectangle_count", "clique4_census",
+             "copurchase_topk"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -1124,3 +1124,44 @@ def test_clique4_census_known_and_random():
                   "dst": pa.array([], pa.int64())})
     r0 = clique4_census(rd.from_arrow(e)).to_pandas().iloc[0]
     assert (r0["triangles"], r0["four_cliques"]) == (0, 0)
+
+
+def test_copurchase_topk_vs_replay():
+    from hackathon_pagerank_ray.stages.copurchase import copurchase_topk
+    import itertools
+    rng = np.random.RandomState(13)
+    baskets = rng.randint(0, 60, 400).astype(np.int64)
+    items = rng.randint(0, 25, 400).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"b": baskets, "i": items})).repartition(4)
+
+    want = {}
+    per = {}
+    for b, i in zip(baskets, items):
+        per.setdefault(int(b), set()).add(int(i))
+    for s in per.values():
+        for p1, p2 in itertools.combinations(sorted(s), 2):
+            want[(p1, p2)] = want.get((p1, p2), 0) + 1
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    got = copurchase_topk(ds, "b", "i", k=10).to_pandas()
+    assert [((r.p1, r.p2), r.n_both) for r in
+            got.itertuples(index=False)] == order
+    assert got["n_both"].dtype == np.int64
+
+    # duplicate (basket, item) rows count once
+    d2 = rd.from_arrow(pa.table({"b": pa.array([1, 1, 1, 1], pa.int64()),
+                                 "i": pa.array([7, 7, 9, 9], pa.int64())}))
+    g2 = copurchase_topk(d2, "b", "i", k=5).to_pandas()
+    assert g2.values.tolist() == [[7, 9, 1]]
+
+    # max_basket_size keeps the smallest item ids
+    d3 = rd.from_arrow(pa.table({"b": pa.array([1] * 4, pa.int64()),
+                                 "i": pa.array([4, 3, 2, 1], pa.int64())}))
+    g3 = copurchase_topk(d3, "b", "i", k=10,
+                         max_basket_size=2).to_pandas()
+    assert g3.values.tolist() == [[1, 2, 1]]
+
+    # empty input
+    e = rd.from_arrow(pa.table({"b": pa.array([], pa.int64()),
+                                "i": pa.array([], pa.int64())}))
+    assert copurchase_topk(e, "b", "i").count() == 0
