@@ -1823,6 +1823,16 @@ def _q_rectangles(sf_dir):
     return rectangle_count(_edges_ds(sf_dir)).materialize()
 
 
+def _q_textrank(sf_dir):
+    """TextRank keyword scores: fixed-12-sweep PageRank over the
+    distinct adjacent-token co-occurrence graph (full vector — no
+    float top-k boundary)."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.textrank import textrank_scores
+    return textrank_scores(_docs_ds(sf_dir, ["text"]),
+                           sweeps=12).materialize()
+
+
 def _q_copurchase(sf_dir):
     """Item-item co-purchase support: top-50 part pairs by the number
     of orders containing BOTH (basket-level market-basket projection;
@@ -2561,6 +2571,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rectangle_count": _q_rectangles,
         "clique4_census": _q_clique4,
         "copurchase_topk": _q_copurchase,
+        "textrank_keywords": _q_textrank,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -2725,6 +2736,47 @@ def _densest_oracle_sql(rounds: int = 16, eps_den: int = 10,
         + "ORDER BY CAST(m AS DOUBLE) / n DESC, r LIMIT 1),\n"
         + f"sets AS ({sets_sql})\n"
         + "SELECT vtx AS vid FROM sets WHERE r = (SELECT r FROM best)")
+
+
+def _textrank_oracle_sql(sweeps: int = 12, alpha: float = 0.85) -> str:
+    """Unrolled TextRank (functions/textrank.textrank_scores): the SAME
+    fixed-sweep chain as `_pagerank_oracle_sql` run directly on string
+    vids (PageRank is relabel-invariant, so the engine's dense word→id
+    relabel drops out).  The symmetrized co-occurrence graph has no
+    dangling vertices, so the dangling term is identically zero and is
+    omitted on both sides."""
+    parts = [
+        r"toks AS MATERIALIZED (SELECT regexp_extract_all(lower(text), "
+        r"'\w+') AS t FROM documents)",
+        "adj AS MATERIALIZED (SELECT unnest(list_transform("
+        "range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bg "
+        "FROM toks WHERE len(t) >= 2)",
+        "pr0 AS MATERIALIZED (SELECT split_part(bg, ' ', 1) AS a, "
+        "split_part(bg, ' ', 2) AS b FROM adj)",
+        "e AS MATERIALIZED (SELECT DISTINCT LEAST(a, b) AS u, "
+        "GREATEST(a, b) AS v FROM pr0 WHERE a <> b)",
+        "sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM e "
+        "UNION ALL SELECT v, u FROM e)",
+        "verts AS MATERIALIZED (SELECT DISTINCT src AS vid FROM sym)",
+        "p AS MATERIALIZED (SELECT COUNT(*) AS n FROM verts)",
+        "od AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) "
+        "AS outdeg FROM sym GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM p) AS r "
+        "FROM verts)"]
+    for k in range(1, sweeps + 1):
+        parts.append(
+            f"c{k} AS MATERIALIZED (SELECT e.dst AS vid, "
+            f"SUM(pr.r / od.outdeg) AS s FROM sym e "
+            f"JOIN r{k - 1} pr ON pr.vid = e.src "
+            f"JOIN od ON od.src = e.src GROUP BY e.dst)")
+        parts.append(
+            f"r{k} AS MATERIALIZED (SELECT v.vid, {alpha} * "
+            f"(COALESCE(c.s, 0.0) + 0.0 / (SELECT n FROM p)) "
+            f"+ {1.0 - alpha} / (SELECT n FROM p) AS r "
+            f"FROM verts v LEFT JOIN c{k} c ON c.vid = v.vid)")
+    return ("WITH " + ",\n".join(parts) +
+            f"\nSELECT vid AS word, "
+            f"r / (SELECT SUM(r) FROM r{sweeps}) AS rank FROM r{sweeps}")
 
 
 _RECTANGLES_SQL = f"""
@@ -3808,6 +3860,7 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "densest_subgraph": _densest_oracle_sql(),
         "rectangle_count": _RECTANGLES_SQL,
         "clique4_census": _CLIQUE4_SQL,
+        "textrank_keywords": _textrank_oracle_sql(),
         # co-purchase support (stages/copurchase.copurchase_topk):
         # exact basket-pair counts, ties (n_both desc, p1, p2)
         "copurchase_topk": """

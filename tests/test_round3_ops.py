@@ -1165,3 +1165,36 @@ def test_copurchase_topk_vs_replay():
     e = rd.from_arrow(pa.table({"b": pa.array([], pa.int64()),
                                 "i": pa.array([], pa.int64())}))
     assert copurchase_topk(e, "b", "i").count() == 0
+
+
+def test_textrank_vs_numpy_replay():
+    from hackathon_pagerank_ray.functions.textrank import textrank_scores
+
+    docs = ["the quick brown fox jumps over the lazy dog",
+            "the quick red fox runs. The dog sleeps!",
+            "Brown dog, lazy fox?", "one", ""]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, pa.string())}))
+    got = (textrank_scores(ds, sweeps=12).to_pandas()
+           .sort_values("word").reset_index(drop=True))
+
+    # python replay: adjacent distinct pairs -> symmetric PageRank
+    import re
+    pairs = set()
+    for d in docs:
+        toks = re.findall(r"\w+", d.lower())
+        for a, b in zip(toks, toks[1:]):
+            if a != b:
+                pairs.add((min(a, b), max(a, b)))
+    words = sorted({w for p in pairs for w in p})
+    idx = {w: i for i, w in enumerate(words)}
+    e = np.array([[idx[a], idx[b]] for a, b in sorted(pairs)],
+                 dtype=np.int64)
+    sym = np.concatenate([e, e[:, ::-1]])
+    want, _, _ = oracle.pagerank(sym, n=len(words), tol=0.0, max_iter=12)
+
+    assert got["word"].tolist() == words
+    assert np.abs(got["rank"].to_numpy() - want).max() < 1e-12
+    assert abs(got["rank"].sum() - 1.0) < 1e-12
+    # punctuation-only / empty corpus
+    e0 = rd.from_arrow(pa.table({"text": pa.array(["!!", ""], pa.string())}))
+    assert textrank_scores(e0).count() == 0
