@@ -79,13 +79,15 @@ def textrank_scores(docs_ds, text_col: str = "text", sweeps: int = 12,
             "word": pa.array([], pa.string()),
             "rank": pa.array([], pa.float64())}))
     und = distinct(pairs, ["w1", "w2"], num_partitions).materialize()
+    n_und = und.count()
 
     def _stack(t: pa.Table) -> pa.Table:
         return pa.table({"url": pa.concat_arrays(
             [t["w1"].combine_chunks(), t["w2"].combine_chunks()])})
 
     vocab = assign_vertex_ids(
-        und.map_batches(_stack, batch_format="pyarrow"), col="url")
+        und.map_batches(_stack, batch_format="pyarrow"), col="url",
+        input_rows_hint=2 * n_und)
     eint = edges_to_ids(
         rename(und, {"w1": "src_url", "w2": "dst_url"}), vocab,
         num_partitions=num_partitions)

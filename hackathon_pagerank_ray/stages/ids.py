@@ -28,6 +28,11 @@ def _block_rows(table: pa.Table) -> int:
 
 @ray.remote
 def _assign_ids(table: pa.Table, offset: int, col: str) -> pa.Table:
+    if table.num_rows == 0 or col not in table.column_names:
+        # the sort emits zero-column empty blocks when there are fewer
+        # distinct values than partitions — type them instead of raising
+        return pa.schema([("vid", pa.int64()), (col, pa.string())]) \
+            .empty_table()
     vids = pa.array(np.arange(offset, offset + table.num_rows, dtype=np.int64))
     return pa.Table.from_arrays([vids, table[col].combine_chunks()],
                                 names=["vid", col])

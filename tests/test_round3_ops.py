@@ -1198,3 +1198,17 @@ def test_textrank_vs_numpy_replay():
     # punctuation-only / empty corpus
     e0 = rd.from_arrow(pa.table({"text": pa.array(["!!", ""], pa.string())}))
     assert textrank_scores(e0).count() == 0
+
+
+def test_assign_vertex_ids_more_partitions_than_values():
+    """Regression: the distributed sort path emits zero-column empty
+    blocks when distinct values < partitions; _assign_ids must type
+    them instead of raising KeyError."""
+    from hackathon_pagerank_ray.stages.ids import assign_vertex_ids
+    ds = rd.from_arrow(pa.table({
+        "url": pa.array(["b", "a", "c", "a", "b", "c", "a", "b"] * 4,
+                        pa.string())})).repartition(8)
+    out = (assign_vertex_ids(ds).to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    assert out["url"].tolist() == ["a", "b", "c"]
+    assert out["vid"].tolist() == [0, 1, 2]
