@@ -39,8 +39,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_OUT_SCHEMA = pa.schema([("triangles", pa.int64()),
-                         ("four_cliques", pa.int64())])
 _CAND_SCHEMA = pa.schema([("x", pa.int64()), ("code", pa.int64())])
 
 

@@ -37,11 +37,6 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_OUT_SCHEMA = pa.schema([("rectangles", pa.int64()),
-                         ("codegree_pairs", pa.int64()),
-                         ("max_codegree", pa.int64())])
-
-
 def _partials(t: pa.Table, col: str) -> pa.Table:
     """Per-batch (Σ C(cn,2), #pairs, max cn) over exact int64 codegrees.
     cn < 2^31 keeps cn·(cn−1)/2 inside int64 (vids are < 2^31 by the
