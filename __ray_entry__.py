@@ -1823,6 +1823,14 @@ def _q_rectangles(sf_dir):
     return rectangle_count(_edges_ds(sf_dir)).materialize()
 
 
+def _q_transitivity(sf_dir):
+    """Global transitivity ratio 3T/W — exact wedge + triangle counts,
+    one float division."""
+    _quiet()
+    from hackathon_pagerank_ray.graph.triangles import transitivity_ratio
+    return transitivity_ratio(_edges_ds(sf_dir)).materialize()
+
+
 def _q_textrank(sf_dir):
     """TextRank keyword scores: fixed-12-sweep PageRank over the
     distinct adjacent-token co-occurrence graph (full vector — no
@@ -2572,6 +2580,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clique4_census": _q_clique4,
         "copurchase_topk": _q_copurchase,
         "textrank_keywords": _q_textrank,
+        "transitivity": _q_transitivity,
         "bfs_distances": _q_bfs_distances,
         "sssp_distances": _q_sssp,
         "seed_distance": _q_seed_distance,
@@ -3861,6 +3870,25 @@ FROM pr JOIN tr ON tr.vid = pr.vid
         "rectangle_count": _RECTANGLES_SQL,
         "clique4_census": _CLIQUE4_SQL,
         "textrank_keywords": _textrank_oracle_sql(),
+        # global transitivity (graph/triangles.transitivity_ratio):
+        # 3T/W, exact int counts, one shared float division
+        "transitivity": f"""
+WITH e AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+  FROM ({_EDGE_SQL}) WHERE src <> dst),
+sym AS (SELECT u AS a FROM e UNION ALL SELECT v FROM e),
+deg AS (SELECT a, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a),
+w AS (SELECT CAST(COALESCE(SUM(d * (d - 1) // 2), 0) AS BIGINT)
+        AS wedges FROM deg),
+tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS c
+        FROM e ab JOIN e ac ON ac.u = ab.u AND ac.v > ab.v
+                  JOIN e bc ON bc.u = ab.v AND bc.v = ac.v)
+SELECT (SELECT wedges FROM w) AS wedges,
+       (SELECT c FROM tri) AS triangles,
+       CASE WHEN (SELECT wedges FROM w) = 0 THEN 0.0
+            ELSE CAST(3 * (SELECT c FROM tri) AS DOUBLE)
+                 / (SELECT wedges FROM w) END AS transitivity
+""",
         # co-purchase support (stages/copurchase.copurchase_topk):
         # exact basket-pair counts, ties (n_both desc, p1, p2)
         "copurchase_topk": """

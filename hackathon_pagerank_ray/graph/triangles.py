@@ -326,3 +326,42 @@ def clustering_coefficient(edges_ds, num_partitions: int = 16,
             names=["vid", "deg", "triangles", "lcc"])
 
     return out.map_batches(_lcc, batch_format="pyarrow")
+
+
+def transitivity_ratio(edges_ds, num_partitions: int = 16,
+                       small_threshold: int = 5_000_000):
+    """Global transitivity (Newman–Watts–Strogatz): ONE row
+    ``(wedges, triangles, transitivity)`` with transitivity =
+    3·triangles / wedges over the canonical undirected simple graph
+    (0.0 when wedge-free).  The corpus-level companion to the
+    per-vertex `clustering_coefficient` — exact integer wedge and
+    triangle counts, ONE float division shared with the SQL twin.
+
+    Plan: wedges = Σ C(deg, 2) from one degree count (per-row int64
+    partials, d < 2^31 keeps d·(d−1)/2 in range); the triangle total
+    reuses `triangle_counts` (per-vertex counts sum to exactly 3T).
+    """
+    import ray
+
+    und = canonical_undirected(edges_ds, num_partitions).materialize()
+    if und.count() == 0:
+        return ray.data.from_arrow(pa.table({
+            "wedges": pa.array([0], pa.int64()),
+            "triangles": pa.array([0], pa.int64()),
+            "transitivity": pa.array([0.0], pa.float64())}))
+
+    def _wedge_partial(t: pa.Table) -> pa.Table:
+        d = np.asarray(t["deg"], dtype=np.int64)
+        return pa.table({"w": pa.array(d * (d - 1) // 2, pa.int64())})
+
+    wedges = int(drop_empty_blocks(undirected_degrees(und))
+                 .map_batches(_wedge_partial, batch_format="pyarrow")
+                 .sum("w") or 0)
+    tsum = int(triangle_counts(
+        edges_ds, num_partitions=num_partitions,
+        small_threshold=small_threshold).sum("triangles") or 0)  # == 3T
+    return ray.data.from_arrow(pa.table({
+        "wedges": pa.array([wedges], pa.int64()),
+        "triangles": pa.array([tsum // 3], pa.int64()),
+        "transitivity": pa.array(
+            [float(tsum) / wedges if wedges else 0.0], pa.float64())}))

@@ -1212,3 +1212,44 @@ def test_assign_vertex_ids_more_partitions_than_values():
            .sort_values("vid").reset_index(drop=True))
     assert out["url"].tolist() == ["a", "b", "c"]
     assert out["vid"].tolist() == [0, 1, 2]
+
+
+def test_transitivity_ratio_known_and_replay():
+    from hackathon_pagerank_ray.graph.triangles import transitivity_ratio
+    import itertools
+
+    def run(src, dst):
+        t = pa.table({"src": pa.array(src, pa.int64()),
+                      "dst": pa.array(dst, pa.int64())})
+        return transitivity_ratio(
+            rd.from_arrow(t).repartition(2)).to_pandas().iloc[0]
+
+    # triangle: 3 wedges, 1 triangle, transitivity 1.0
+    r = run([0, 1, 2], [1, 2, 0])
+    assert (r["wedges"], r["triangles"], r["transitivity"]) == (3, 1, 1.0)
+    # star K_{1,3}: 3 wedges, no triangles
+    r = run([0, 0, 0], [1, 2, 3])
+    assert (r["wedges"], r["triangles"], r["transitivity"]) == (3, 0, 0.0)
+    # random graph replay
+    rng = np.random.RandomState(17)
+    src = rng.randint(0, 40, 160).astype(np.int64)
+    dst = rng.randint(0, 40, 160).astype(np.int64)
+    adj = {}
+    for a, b in zip(src, dst):
+        a, b = int(a), int(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    tri = sum(1 for q in itertools.combinations(sorted(adj), 3)
+              if q[1] in adj[q[0]] and q[2] in adj[q[0]]
+              and q[2] in adj[q[1]])
+    r = run(src, dst)
+    assert (r["wedges"], r["triangles"]) == (wedges, tri)
+    assert r["transitivity"] == 3.0 * tri / wedges
+    # empty graph
+    e = pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    r0 = transitivity_ratio(rd.from_arrow(e)).to_pandas().iloc[0]
+    assert (r0["wedges"], r0["triangles"], r0["transitivity"]) == (0, 0, 0.0)
