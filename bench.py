@@ -102,6 +102,18 @@ def run_pagerank_bench(num_cpus: int, gather_mode: str = "full") -> dict:
         # Ray Data sort dominates build time at bench scale
         sort_by_src=sort)
     build_sec = time.perf_counter() - t0
+    # per-shard build phase maxima: the engine terms of build_sec (phases
+    # run concurrently across shards, so wall ≈ max + actor spin-up).  A
+    # build_sec far above the phase sum means the HOST was in a
+    # page-fault-storm phase, not that the build grew superlinear — the
+    # r3 weak-scaling artifact recorded 45.5 s for a build whose engine
+    # phases sum to ~3 s (see BASELINE.md "Build linearity").
+    shard_metrics = graph.collect_metrics()
+    build_phases = {
+        ph: round(max(m.get(ph, 0.0) for m in shard_metrics), 3)
+        for ph in ("build_load_sec", "build_scatter_sec",
+                   "build_gather_sec", "build_sub_sec")
+    } if shard_metrics else {}
     # warmup: this VM's first-touch page faults are intermittently ~1000x
     # slower than warm memory — two untimed sweeps let every actor allocate
     # its working buffers before the timed run
@@ -117,6 +129,7 @@ def run_pagerank_bench(num_cpus: int, gather_mode: str = "full") -> dict:
     graph.shutdown()
     return {
         "build_sec": round(build_sec, 2),
+        "build_phases_max_per_shard": build_phases,
         "pagerank_sec": round(info["elapsed_sec"], 2),
         "sweeps": info["sweeps"],
         "converged": info["converged"],

@@ -497,6 +497,135 @@ class RankOwner:
             names=["vid", "label"],
         )
 
+    # -- sharded Brandes (K-lane betweenness/closeness) --------------------
+    # The at-scale exact path for betweenness/closeness: K sources run
+    # level-synchronously as lanes of a (n_local, K) state matrix; the
+    # whole-graph CSR never exists anywhere (r3 verdict's one remaining
+    # one-worker-heap bound).  Forward phase (this mesh = forward edges):
+    # BFS levels + shortest-path counts sigma.  Backward phase (reversed
+    # mesh): dependency accumulation delta.  sigma values are integer-
+    # valued floats, so their accumulation is order-exact; delta is
+    # deterministic (fixed shard-order reduce) but associates differently
+    # from the broadcast path — parity is allclose, not bit-equal.
+
+    def source_sample(self, max_sources, seed: int):
+        """This owner's Brandes source candidates (outdeg>0 vids) with
+        their md5 ranks (the deterministic sampling order shared with the
+        broadcast path).  With ``max_sources`` set, only the owner's
+        ``max_sources`` smallest-rank candidates return — the driver
+        merges P such lists, so its payload is bounded by P·max_sources
+        regardless of n.  Returns ``(n_candidates, vids, ranks)``."""
+        vids = self.vids()[self.outdeg > 0]
+        n_cand = len(vids)
+        if max_sources is None:
+            return n_cand, vids, None
+        from ..stages.stats import _bulk_md5_upper_be
+        ranks = _bulk_md5_upper_be(vids.astype(str), [f"{seed}:"])[0]
+        if n_cand > max_sources:
+            pick = np.argsort(ranks, kind="stable")[:max_sources]
+            vids, ranks = vids[pick], ranks[pick]
+        return n_cand, vids, ranks
+
+    def brandes_init(self, sources) -> None:
+        """Start a K-lane forward phase: lane k's source is vid
+        ``sources[k]``; dist = -1 everywhere except 0 at each owned
+        source, sigma = 0 except 1 there."""
+        srcs = np.asarray(sources, dtype=np.int64)
+        K = len(srcs)
+        self.b_src = srcs
+        self.b_dist = np.full((self.n_local, K), -1, dtype=np.int64)
+        self.b_sigma = np.zeros((self.n_local, K))
+        mine = (srcs % self.P == self.j) & (srcs // self.P < self.n_local)
+        for k in np.flatnonzero(mine):
+            self.b_dist[srcs[k] // self.P, k] = 0
+            self.b_sigma[srcs[k] // self.P, k] = 1.0
+
+    def brandes_publish_sigma(self, level: int) -> np.ndarray:
+        """(n_local, K) matrix: sigma where dist == level, else 0 — the
+        frontier's path counts, one full-mode gather object per owner."""
+        return np.where(self.b_dist == level, self.b_sigma, 0.0)
+
+    def brandes_apply_sigma(self, level: int, *partials) -> int:
+        """Assign newly-reached vertices to ``level + 1``: a vertex is at
+        level+1 iff unvisited and some in-neighbor at ``level`` reaches
+        it; its sigma is the (exact, integer-in-float) sum of those
+        neighbors' sigmas.  Returns #newly reached across lanes."""
+        K = self.b_dist.shape[1]
+        y = np.zeros((self.n_local, K))
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                y[self.dst_maps[e_id]] += part
+        newly = (self.b_dist == -1) & (y > 0)
+        self.b_dist[newly] = level + 1
+        self.b_sigma[newly] = y[newly]
+        return int(newly.sum())
+
+    def brandes_state(self):
+        """(sources, dist, sigma) — shipped once per batch to the
+        reversed mesh's same-index owner (identical vid % P slots)."""
+        return self.b_src, self.b_dist, self.b_sigma
+
+    def brandes_load_state(self, state) -> None:
+        self.b_src, self.b_dist, self.b_sigma = state
+        self.b_delta = np.zeros_like(self.b_sigma)
+
+    def brandes_reset_total(self) -> None:
+        self.b_total = np.zeros(self.n_local)
+
+    def brandes_publish_g(self, level: int) -> np.ndarray:
+        """(1 + delta) / sigma masked to dist == level — the backward
+        phase's per-vertex factor (sigma >= 1 wherever reached)."""
+        g = np.zeros_like(self.b_sigma)
+        mask = self.b_dist == level
+        np.divide(1.0 + self.b_delta, self.b_sigma, out=g, where=mask)
+        return g
+
+    def brandes_apply_delta(self, level: int, *partials) -> None:
+        """delta(u) += sigma(u) · Σ_{v ∈ succ(u), dist(v)=level+1} g(v),
+        restricted to dist(u) == level (the predecessor condition —
+        partials arrive over the REVERSED edge set)."""
+        K = self.b_dist.shape[1]
+        y = np.zeros((self.n_local, K))
+        for e_id in sorted(self.dst_maps):
+            part = partials[e_id]
+            if isinstance(part, tuple):
+                part = part[self.j]
+            if part is not None and len(part):
+                y[self.dst_maps[e_id]] += part
+        m = self.b_dist == level
+        self.b_delta[m] += (self.b_sigma * y)[m]
+
+    def brandes_accumulate(self, scale: float) -> None:
+        """Fold this batch's lanes into the running betweenness totals,
+        excluding each lane's own source (delta_s(s) is never counted)."""
+        d = self.b_delta
+        srcs = self.b_src
+        mine = (srcs % self.P == self.j) & (srcs // self.P < self.n_local)
+        for k in np.flatnonzero(mine):
+            d[srcs[k] // self.P, k] = 0.0
+        self.b_total += d.sum(axis=1) * scale
+
+    def brandes_total_table(self) -> pa.Table:
+        nz = np.flatnonzero(self.b_total)
+        return pa.table({
+            "vid": pa.array(self.vids()[nz], pa.int64()),
+            "betweenness": pa.array(self.b_total[nz], pa.float64())})
+
+    def distance_lane_partials(self):
+        """Per-lane (Σ dist, #reached, Σ 1/dist) over this owner's slots
+        with dist > 0 — the closeness/harmonic reductions of the forward
+        phase (driver sums P such partials per lane; int sums are exact,
+        the harmonic float sum is fixed owner-major order)."""
+        d = self.b_dist
+        pos = d > 0
+        sums = np.where(pos, d, 0).sum(axis=0).astype(np.int64)
+        reach = pos.sum(axis=0).astype(np.int64)
+        inv = np.where(pos, 1.0 / np.maximum(d, 1), 0.0).sum(axis=0)
+        return sums, reach, inv
+
     # -- checkpoint --------------------------------------------------------
     def write_state_part(self, path: str, kind: str) -> dict:
         import os
