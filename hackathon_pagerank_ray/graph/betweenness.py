@@ -35,9 +35,15 @@ import pyarrow as pa
 from ..stages.relational import distinct
 
 
+def _distinct_edges(edges_ds, num_partitions: int):
+    """Distinct directed edges, materialized once — shared by the gate
+    (row count) and whichever path the gate picks."""
+    return distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
+
+
 def _csr_and_sources(edges_ds, num_partitions: int,
                      max_sources: int | None = None, seed: int = 42,
-                     restrict=None):
+                     restrict=None, already_distinct: bool = False):
     """Distinct edges → CSR + source table, built in ONE worker task.
 
     Returns ``(csr_ref, src_ref, n_sources, scale)``: an ObjectRef to
@@ -54,7 +60,8 @@ def _csr_and_sources(edges_ds, num_partitions: int,
     """
     import ray
 
-    e = distinct(edges_ds, ["src", "dst"], num_partitions).materialize()
+    e = edges_ds if already_distinct else \
+        _distinct_edges(edges_ds, num_partitions)
     refs = e.to_arrow_refs()
 
     @ray.remote(num_returns=4)
@@ -209,7 +216,9 @@ class _BrandesBatch:
 
 def betweenness_centrality(edges_ds, num_partitions: int = 16,
                            max_sources: int | None = None, seed: int = 42,
-                           concurrency: int = 8, exact_fold: bool = False):
+                           concurrency: int = 8, exact_fold: bool = False,
+                           small_threshold: int = 2_000_000,
+                           lanes: int = 8):
     """(vid, betweenness) for every vertex with positive centrality.
 
     Exact (all vertices with out-edges as sources) when ``max_sources``
@@ -217,19 +226,32 @@ def betweenness_centrality(edges_ds, num_partitions: int = 16,
     n_sources / max_sources.  Zero-centrality vertices are omitted
     (same contract as mutual_edge_counts).
 
-    At web scale the exact variant is infeasible (one BFS per vertex);
-    ``max_sources`` is the intended operating mode there — it bounds
-    compute while the broadcast-CSR contract bounds memory.
+    Adaptive gate (same pattern as linkpred's wedge plan): at or below
+    ``small_threshold`` distinct edges the broadcast-CSR source-parallel
+    plan runs (CSR ray.put once, actors sweep source batches — the
+    SQL-twin-exact path); above it the partitioned K-lane Brandes in
+    :mod:`.brandes_sharded` runs — no whole-graph structure in any
+    single worker, ``max_sources`` bounds compute with the SAME
+    deterministic md5 sample.  The sharded path's float association
+    differs (allclose ~1e-9 to the broadcast result).
 
     ``exact_fold=True`` makes the per-vertex total a sequential
     ascending-source fold (heavier exchange: per-source dependency rows
     instead of batch partials) so the result is bit-reproducible by an
-    ordered-list SQL fold — the oracle-parity mode, not the scale mode.
+    ordered-list SQL fold — the oracle-parity mode, not the scale mode
+    (it always uses the broadcast plan).
     """
     import ray
 
+    e = _distinct_edges(edges_ds, num_partitions)
+    if not exact_fold and e.count() > small_threshold:
+        from .brandes_sharded import betweenness_sharded
+        return betweenness_sharded(
+            e, num_owners=max(2, num_partitions // 2), lanes=lanes,
+            max_sources=max_sources, seed=seed)
     csr_ref, src_ref, n_sources, scale = _csr_and_sources(
-        edges_ds, num_partitions, max_sources=max_sources, seed=seed)
+        e, num_partitions, max_sources=max_sources, seed=seed,
+        already_distinct=True)
     if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),
@@ -297,17 +319,42 @@ class _ClosenessBatch:
 
 
 def closeness_centrality(edges_ds, num_partitions: int = 16,
-                         concurrency: int = 8, sources=None):
+                         concurrency: int = 8, sources=None,
+                         small_threshold: int = 2_000_000,
+                         lanes: int = 8):
     """(vid, closeness, n_reachable) per vertex with out-edges:
     out-closeness C(s) = |reachable| / sum of d(s, t) (0.0 when nothing
-    is reachable).  Same broadcast-CSR contract and source-parallel
-    decomposition as :func:`betweenness_centrality`.  ``sources``
-    restricts to an explicit start set (intersected with the
-    out-degree>0 vertices)."""
+    is reachable).  Below ``small_threshold`` distinct edges: the
+    broadcast-CSR source-parallel plan; above: the partitioned K-lane
+    BFS (:func:`.brandes_sharded.distance_stats_sharded`) — distances
+    and reach counts are exact int sums, so closeness is bit-identical
+    between the two plans.  ``sources`` restricts to an explicit start
+    set (intersected with the out-degree>0 vertices)."""
     import ray
 
+    e = _distinct_edges(edges_ds, num_partitions)
+    if e.count() > small_threshold:
+        from .brandes_sharded import distance_stats_sharded
+        stats = distance_stats_sharded(
+            e, num_owners=max(2, num_partitions // 2), lanes=lanes,
+            sources=sources)
+        return stats.map_batches(
+            lambda t: pa.table({
+                "vid": t["vid"].combine_chunks(),
+                "closeness": pa.array(
+                    np.divide(
+                        t["n_reachable"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        t["sum_dist"].to_numpy(zero_copy_only=False)
+                        .astype(np.float64),
+                        out=np.zeros(t.num_rows),
+                        where=t["sum_dist"].to_numpy(zero_copy_only=False)
+                        > 0),
+                    pa.float64()),
+                "n_reachable": t["n_reachable"].combine_chunks()}),
+            batch_format="pyarrow")
     csr_ref, src_ref, n_sources, _ = _csr_and_sources(
-        edges_ds, num_partitions, restrict=sources)
+        e, num_partitions, restrict=sources, already_distinct=True)
     if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),
@@ -367,14 +414,31 @@ class _HarmonicBatch:
 
 
 def harmonic_out_centrality(edges_ds, num_partitions: int = 16,
-                            concurrency: int = 8, sources=None):
+                            concurrency: int = 8, sources=None,
+                            small_threshold: int = 2_000_000,
+                            lanes: int = 8):
     """(vid, harmonic, n_reachable): exact out-harmonic centrality
     sum_t 1/d(s,t) — the exact small-scale twin of HyperBall's estimate.
-    Same broadcast-CSR contract as :func:`betweenness_centrality`."""
+    Below ``small_threshold`` distinct edges: the broadcast-CSR plan
+    with the ascending-d SQL-twin fold; above: the partitioned K-lane
+    BFS, whose harmonic sum folds in owner-major order (allclose to the
+    broadcast fold; reach counts stay exact)."""
     import ray
 
+    e = _distinct_edges(edges_ds, num_partitions)
+    if e.count() > small_threshold:
+        from .brandes_sharded import distance_stats_sharded
+        stats = distance_stats_sharded(
+            e, num_owners=max(2, num_partitions // 2), lanes=lanes,
+            sources=sources)
+        return stats.map_batches(
+            lambda t: pa.table({
+                "vid": t["vid"].combine_chunks(),
+                "harmonic": t["harmonic"].combine_chunks(),
+                "n_reachable": t["n_reachable"].combine_chunks()}),
+            batch_format="pyarrow")
     csr_ref, src_ref, n_sources, _ = _csr_and_sources(
-        edges_ds, num_partitions, restrict=sources)
+        e, num_partitions, restrict=sources, already_distinct=True)
     if not n_sources:
         return ray.data.from_arrow(pa.table({
             "vid": pa.array([], pa.int64()),

@@ -1029,6 +1029,42 @@ class EdgeShard:
             out.append(mins)
         return tuple(out) if self.P > 1 else out[0]
 
+    def lane_sum_partials(self, *value_matrices):
+        """K-lane plain-sum gather-scatter (sharded Brandes): each owner
+        ships its whole ``(n_local, K)`` float64 state matrix (full-mode
+        gather; rows are sliced to this shard's subscription locally),
+        and the shard returns per-destination-owner
+        ``(len(uniq_dst_local), K)`` partial-sum matrices — K bincount
+        passes over the same composed indexes the 1-lane sweeps use, so
+        transient memory stays O(m) per lane, never O(m·K)."""
+        t0 = time.perf_counter()
+        if self.gather_mode != "full":
+            raise ValueError("lane_sum_partials requires gather_mode='full'")
+        mats = [np.asarray(v) for v in value_matrices]
+        K = mats[0].shape[1]
+        if getattr(self, "dense_gather", False):
+            V = np.concatenate(mats, axis=0)
+        else:
+            V = np.concatenate(
+                [m[self.sub_local[j]] for j, m in enumerate(mats)], axis=0)
+        VT = np.ascontiguousarray(V.T)   # lane-major: contiguous columns
+        out = []
+        for j in range(self.P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            size = len(self.uniq_dst_local[j])
+            if self.soffs[j + 1] == self.soffs[j]:
+                out.append(np.zeros((0, K)))
+                continue
+            dc = self.dst_compact[seg]
+            sp = self.src_pos_scattered[seg]
+            part = np.empty((size, K))
+            for k in range(K):
+                part[:, k] = np.bincount(dc, weights=VT[k][sp],
+                                         minlength=size)
+            out.append(part)
+        self.metrics["sweep_seconds"] += time.perf_counter() - t0
+        return tuple(out) if self.P > 1 else out[0]
+
     def mode_label_partials(self, *label_slices: np.ndarray):
         """(dst_local_idx, label, count) triplets per destination owner —
         the pre-aggregated histogram shuffle for label propagation."""
