@@ -50,6 +50,47 @@ MAIN_CANDIDATES = (
     "#content", ".content", ".page-content", ".layout__content",
 )
 
+# -- precomputed lookup tables for the single-pass pruning walk -------------
+# extract_text used to run one full-tree traversal per boilerplate selector
+# (16) plus one per main candidate (8); profiling showed those walks were
+# ~40% of page-parse time.  The tables below classify each element against
+# every selector in O(1) during ONE walk; decompose order per selector is
+# then replayed with an attachment check, which preserves the reference's
+# sequential-selector semantics exactly (an element whose ancestor a
+# EARLIER selector removed is never decomposed from the live tree).
+_NONCONTENT_SET = frozenset(NONCONTENT_TAGS)
+_BP_TAGS: dict[str, int] = {}
+_BP_CLASSES: dict[str, int] = {}
+_BP_IDS: dict[str, int] = {}
+for _i, _sel in enumerate(BOILERPLATE_SELECTORS):
+    if _sel.startswith("."):
+        _BP_CLASSES[_sel[1:]] = _i
+    elif _sel.startswith("#"):
+        _BP_IDS[_sel[1:]] = _i
+    else:
+        _BP_TAGS[_sel] = _i
+_CAND_TAGS: dict[str, int] = {}
+_CAND_CLASSES: dict[str, int] = {}
+_CAND_IDS: dict[str, int] = {}
+for _i, _sel in enumerate(MAIN_CANDIDATES):
+    if _sel.startswith("."):
+        _CAND_CLASSES[_sel[1:]] = _i
+    elif _sel.startswith("#"):
+        _CAND_IDS[_sel[1:]] = _i
+    else:
+        _CAND_TAGS[_sel] = _i
+
+
+def _attached(el, root) -> bool:
+    """Is ``el`` still reachable from ``root``?  decompose() clears only
+    the subtree root's parent, so walking the parent chain suffices."""
+    p = el.parent
+    while p is not None:
+        if p is root:
+            return True
+        p = p.parent
+    return False
+
 
 def get_base_domain(netloc: str) -> str:
     """Last-two-label eTLD heuristic (crawler/core.py:13-23)."""
@@ -69,15 +110,22 @@ def is_same_domain(url: str, base_domain: str) -> bool:
         return False
 
 
-def normalize_url(url: str) -> str:
-    """Drop fragment, lowercase host, strip trailing slash except at root
-    (crawler/core.py:39-60; identical twin at api/main.py:131-152)."""
+def _norm_parts(url: str) -> tuple[str, str]:
+    """(normalized url, lowercased netloc) with ONE urlparse — the hot
+    anchor path needs both and used to parse twice."""
     parts = urlparse(url)
     path = parts.path or "/"
     if path != "/" and path.endswith("/"):
         path = path.rstrip("/")
-    parts = parts._replace(fragment="", netloc=parts.netloc.lower(), path=path)
-    return urlunparse(parts)
+    netloc = parts.netloc.lower()
+    parts = parts._replace(fragment="", netloc=netloc, path=path)
+    return urlunparse(parts), netloc
+
+
+def normalize_url(url: str) -> str:
+    """Drop fragment, lowercase host, strip trailing slash except at root
+    (crawler/core.py:39-60; identical twin at api/main.py:131-152)."""
+    return _norm_parts(url)[0]
 
 
 def detect_page_language(doc: Document) -> str | None:
@@ -110,17 +158,65 @@ def extract_text(doc: Document) -> str:
     region with all whitespace runs collapsed to single spaces — the
     byte-identical per-row invariant.
     """
-    for el in doc.find_all(NONCONTENT_TAGS):
+    # ONE pre-order walk classifies every element against the non-content
+    # set and all 16 boilerplate selectors (reference behavior: find_all
+    # over the full tree, then per-selector select over the progressively
+    # pruned tree — replayed below via attachment checks, see the table
+    # comment above).
+    noncontent: list = []
+    bp_matches: list[list] = [[] for _ in BOILERPLATE_SELECTORS]
+    for el in doc.iter_elements():
+        name = el.name
+        if name in _NONCONTENT_SET:
+            noncontent.append(el)
+        i = _BP_TAGS.get(name)
+        if i is not None:
+            bp_matches[i].append(el)
+        attrs = el.attrs
+        if attrs:
+            cls = attrs.get("class")
+            if cls:
+                for c in cls.split():
+                    i = _BP_CLASSES.get(c)
+                    if i is not None:
+                        bp_matches[i].append(el)
+            i = _BP_IDS.get(attrs.get("id"))
+            if i is not None:
+                bp_matches[i].append(el)
+    for el in noncontent:
         el.decompose()
-    for selector in BOILERPLATE_SELECTORS:
-        for el in doc.select(selector):
-            el.decompose()
+    for matches in bp_matches:       # selector order (crawler/core.py:112+)
+        for el in matches:
+            if _attached(el, doc):
+                el.decompose()
 
-    main = doc.find("main")
+    # main-region selection: <main> first, then the candidate list in
+    # priority order (crawler/core.py:137-148) — one walk over the pruned
+    # tree records the first match per candidate.
+    main = None
+    first = [None] * len(MAIN_CANDIDATES)
+    for el in doc.iter_elements():
+        if el.name == "main":
+            main = el
+            break
+        i = _CAND_TAGS.get(el.name)
+        if i is not None and first[i] is None:
+            first[i] = el
+        attrs = el.attrs
+        if attrs:
+            cls = attrs.get("class")
+            if cls:
+                for c in cls.split():
+                    i = _CAND_CLASSES.get(c)
+                    if i is not None and first[i] is None:
+                        first[i] = el
+            i = _CAND_IDS.get(attrs.get("id"))
+            if i is not None and first[i] is None:
+                first[i] = el
     if main is None:
-        for candidate in MAIN_CANDIDATES:
-            main = doc.select_one(candidate)
-            if main is not None:
+        for el in first:
+            if el is not None:
+                main = el
                 break
 
     root = main if main is not None else (doc.body or doc)
@@ -144,13 +240,20 @@ def _iter_anchor_targets(doc: Document, page_url: str, base_domain: str):
     anchor-text index use — yields ``(element, target_url)`` so the two
     callers can't drift apart on filter rules (and the hot link path
     pays no per-anchor text extraction)."""
+    cache: dict[str, tuple[str, bool]] = {}   # href → (target, passes)
     for a in doc.find_all("a", href=True):
-        target = normalize_url(urljoin(page_url, a["href"]))
-        if not is_same_domain(target, base_domain):
-            continue
-        if target.startswith("mailto:") or target.startswith("javascript:"):
-            continue
-        yield a, target
+        href = a.attrs["href"]
+        hit = cache.get(href)
+        if hit is None:
+            # one parse serves normalize + same-domain (the target's
+            # netloc is already lowercased by the normalization)
+            target, netloc = _norm_parts(urljoin(page_url, href))
+            passes = (get_base_domain(netloc) == base_domain
+                      and not target.startswith("mailto:")
+                      and not target.startswith("javascript:"))
+            hit = cache[href] = (target, passes)
+        if hit[1]:
+            yield a, hit[0]
 
 
 def extract_anchors(doc: Document, page_url: str,
@@ -191,9 +294,9 @@ def parse_page(html: str, url: str, target_lang: str | None = None,
     if target_lang:
         if lang is not None and not lang.lower().startswith(target_lang.lower()):
             return lang, "", [], False
-    norm_url = normalize_url(url)
+    norm_url, page_netloc = _norm_parts(url)
     if base_domain is None:
-        base_domain = get_base_domain(urlparse(norm_url).netloc.lower())
+        base_domain = get_base_domain(page_netloc)
     text = extract_text(doc)
     links = extract_links(doc, norm_url, base_domain)
     return lang, text, links, True

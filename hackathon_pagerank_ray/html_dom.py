@@ -28,6 +28,7 @@ BeautifulSoup output, which is what the per-row invariant requires.
 
 from __future__ import annotations
 
+import re
 from html.parser import HTMLParser
 
 # HTML void elements: never pushed on the open-element stack.  Matches the
@@ -262,10 +263,181 @@ class _TreeBuilder(HTMLParser):
         self._flush()
 
 
-def parse_html(html: str) -> Document:
-    """Parse an HTML string into a :class:`Document`."""
+def parse_html_slow(html: str) -> Document:
+    """The stdlib :class:`html.parser.HTMLParser` tree build — the
+    reference tokenization, used directly for documents the fast lexer
+    declines and as the differential-test oracle for it."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     builder._flush()
     return builder.root
+
+
+# -- fast path --------------------------------------------------------------
+# A str.find/regex lexer for the well-formed common case (r3 verdict
+# directive: profile-guided fast path, byte-identical output).  It accepts
+# ONLY constructs whose stdlib-HTMLParser tokenization it reproduces
+# exactly; anything else (marked sections, bogus end tags, exotic attribute
+# syntax, unterminated comments, mismatched cdata end tags) raises
+# ``_FastFallback`` and the document re-parses through ``parse_html_slow``
+# — so the fast path can be slow on weird pages but never wrong.
+# Equivalences mirrored from CPython's html/parser.py goahead loop:
+#   * data between tags is one handle_data per segment, html.unescape'd
+#     (convert_charrefs=True) except inside script/style cdata;
+#   * '<' not starting a construct becomes literal '<' data, advance 1;
+#   * comments end at the first '--\\s*>' (commentclose);
+#   * '<!doctype'/bogus '<!...' declarations consume to the first '>'
+#     (parse_html_declaration's naive find) and contribute no text;
+#   * '<?' PIs consume to the first '>' (piclose);
+#   * end tags must fully match endtagfind ('</\\s*name\\s*>');
+#   * start tags: name + quoted/unquoted/valueless attrs, names
+#     lowercased, values unescaped, last duplicate wins, '/>' emits a
+#     startendtag (no push, no cdata);
+#   * script/style enter cdata mode: content is RAW data until the
+#     matching '</\\s*(script|style)' whose full end tag names the SAME
+#     element; EOF inside cdata flushes the rest raw (close() behavior).
+
+class _FastFallback(Exception):
+    pass
+
+
+from html import unescape as _unescape  # noqa: E402  (hot-path alias)
+
+_FAST_START_RE = re.compile(
+    r'([a-zA-Z][-.a-zA-Z0-9:_]*)'
+    r'((?:\s+[a-zA-Z_:][-.a-zA-Z0-9:_]*'
+    r'(?:\s*=\s*(?:"[^"<>]*"|\'[^\'<>]*\'|[^\s"\'=<>`]+))?)*)'
+    r'\s*(/?)>')
+_FAST_ATTR_RE = re.compile(
+    r'\s+([a-zA-Z_:][-.a-zA-Z0-9:_]*)'
+    r'(?:\s*=\s*("[^"<>]*"|\'[^\'<>]*\'|[^\s"\'=<>`]+))?')
+_FAST_END_RE = re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_COMMENT_CLOSE_RE = re.compile(r'--\s*>')
+_CDATA_INTEREST = {
+    "script": re.compile(r'</\s*script', re.IGNORECASE),
+    "style": re.compile(r'</\s*style', re.IGNORECASE),
+}
+
+
+def _parse_fast(html: str) -> Document:
+    root = Document()
+    stack = [root]
+    data: list[str] = []
+    n = len(html)
+    i = 0
+    find = html.find
+
+    def flush():
+        if data:
+            parent = stack[-1]
+            parent.children.append(TextNode("".join(data), parent))
+            data.clear()
+
+    while i < n:
+        k = find('<', i)
+        if k < 0:
+            seg = html[i:]
+            data.append(_unescape(seg) if '&' in seg else seg)
+            break
+        if k > i:
+            seg = html[i:k]
+            data.append(_unescape(seg) if '&' in seg else seg)
+        if k + 1 >= n:
+            data.append('<')
+            break
+        c = html[k + 1]
+        if ('a' <= c <= 'z') or ('A' <= c <= 'Z'):
+            m = _FAST_START_RE.match(html, k + 1)
+            if m is None:
+                raise _FastFallback
+            flush()
+            name = m.group(1).lower()
+            attrs: dict[str, str] = {}
+            attrstr = m.group(2)
+            if attrstr:
+                for am in _FAST_ATTR_RE.finditer(attrstr):
+                    aval = am.group(2)
+                    if aval is None:
+                        aval = ""
+                    else:
+                        if aval[0] in '"\'':
+                            aval = aval[1:-1]
+                        if '&' in aval:
+                            aval = _unescape(aval)
+                    attrs[am.group(1).lower()] = aval
+            parent = stack[-1]
+            el = Element(name, attrs, parent)
+            parent.children.append(el)
+            i = m.end()
+            if m.group(3) or name in VOID_TAGS:
+                continue                      # startendtag / void: no push
+            stack.append(el)
+            if name in _CDATA_INTEREST:
+                mm = _CDATA_INTEREST[name].search(html, i)
+                if mm is None:
+                    # EOF inside cdata: the stdlib goahead loop breaks
+                    # without flushing when cdata_elem is set, so the
+                    # unterminated tail is DISCARDED, not emitted
+                    i = n
+                    break
+                j = mm.start()
+                if j > i:
+                    data.append(html[i:j])    # raw — no charref conversion
+                em = _FAST_END_RE.match(html, j)
+                if em is None or em.group(1).lower() != name:
+                    raise _FastFallback
+                flush()
+                for idx in range(len(stack) - 1, 0, -1):
+                    if stack[idx].name == name:
+                        del stack[idx:]
+                        break
+                i = em.end()
+        elif c == '/':
+            em = _FAST_END_RE.match(html, k)
+            if em is None:
+                raise _FastFallback
+            flush()
+            name = em.group(1).lower()
+            if name not in VOID_TAGS:
+                for idx in range(len(stack) - 1, 0, -1):
+                    if stack[idx].name == name:
+                        del stack[idx:]
+                        break
+            i = em.end()
+        elif c == '!':
+            if html.startswith('<!--', k):
+                mm = _COMMENT_CLOSE_RE.search(html, k + 4)
+                if mm is None:
+                    raise _FastFallback
+                flush()
+                i = mm.end()
+            elif html.startswith('<![', k):
+                raise _FastFallback           # marked section
+            else:
+                g = find('>', k + 2)
+                if g < 0:
+                    raise _FastFallback
+                flush()
+                i = g + 1
+        elif c == '?':
+            g = find('>', k + 2)
+            if g < 0:
+                raise _FastFallback
+            flush()
+            i = g + 1
+        else:
+            data.append('<')
+            i = k + 1
+    flush()
+    return root
+
+
+def parse_html(html: str) -> Document:
+    """Parse an HTML string into a :class:`Document` — fast lexer for the
+    well-formed common case, stdlib-parser fallback otherwise (identical
+    trees either way; see the fast-path contract above)."""
+    try:
+        return _parse_fast(html)
+    except _FastFallback:
+        return parse_html_slow(html)

@@ -465,3 +465,94 @@ def test_edge_case_goldens_4():
         assert text == want_text, f"{name}: {text!r} != {want_text!r}"
         got_paths = [l.replace("https://www.ex.org", "") for l in links]
         assert got_paths == want_paths, f"{name}: links {got_paths}"
+
+
+# -- fast-lexer differential parity (round 4) -------------------------------
+# parse_html now runs a str.find/regex lexer for the well-formed common
+# case with a conservative fallback to the stdlib-HTMLParser build
+# (parse_html_slow).  The contract: the PUBLIC parse_html tree is always
+# identical to the stdlib one — either because the fast path reproduced
+# the tokenization, or because it declined and fell back.
+
+def _tree_eq(a, b) -> bool:
+    from hackathon_pagerank_ray.html_dom import TextNode
+    if type(a) is not type(b):
+        return False
+    if isinstance(a, TextNode):
+        return a.text == b.text
+    if a.name != b.name or a.attrs != b.attrs:
+        return False
+    if len(a.children) != len(b.children):
+        return False
+    return all(_tree_eq(x, y) for x, y in zip(a.children, b.children))
+
+
+def test_fast_lexer_tree_identical_on_corpus():
+    from hackathon_pagerank_ray.html_dom import parse_html, parse_html_slow
+    t = generate_pages(200, seed=13, size_mult=3, with_text=False)
+    for h in t["html"]:
+        s = h.as_py().decode()
+        assert _tree_eq(parse_html(s), parse_html_slow(s)), s[:200]
+
+
+def test_fast_lexer_tree_identical_on_goldens_and_edges():
+    from hackathon_pagerank_ray.html_dom import parse_html, parse_html_slow
+    cases = [html for _, html, _, _ in MALFORMED_GOLDENS]
+    cases += [html for _, html, _, _ in EDGE_GOLDENS]
+    cases += [html for _, html, _, _ in EDGE_GOLDENS_4]
+    cases += [
+        "",                                      # empty
+        "plain text only & some &amp; refs",
+        "< notatag>x",                           # literal '<' data
+        "a<5>b",                                 # '<' + digit
+        "tail ends with <",                      # lone '<' at EOF
+        "<div", "<div class='x", "<a href=",     # unterminated start tags
+        "<a href=x/>y",                          # '/' folded into value
+        "<a href=/rel>y</a>",                    # unquoted leading slash
+        "<a href=x />y",                         # real self-closing
+        "<p attr = 'v'>spaced equals</p>",
+        "<script>if (a<b && c>d) {}</script>after",
+        "<script>var s='</scri'+'pt>';</script>x",
+        "<SCRIPT>A</SCRIPT>b",                   # case-insensitive cdata end
+        "<style>p > a {color:red}</style>t",
+        "<script>open forever",                  # EOF inside cdata
+        "<!DOCTYPE html><p>x</p>",
+        "<!doctype html\nsystem 'about:legacy-compat'><i>y</i>",
+        "<!bogus decl>z",
+        "<?processing instruction?>w",
+        "<![CDATA[raw]]>v",                      # marked section (fallback)
+        "<!-- unterminated comment",
+        "</>stray", "</ >stray2", "</123>n",     # bogus end tags
+        "<a b=1 b=2>dup</a>",                    # last duplicate attr wins
+        "<em CLASS='X'>case</em>",               # attr name lowercased
+        "<p title='a&amp;b'>attr charref</p>",
+        "&notareference; &#x2764;️ &#999999999;",
+    ]
+    for s in cases:
+        assert _tree_eq(parse_html(s), parse_html_slow(s)), s[:120]
+
+
+def test_fast_lexer_fuzz_mutations():
+    """Seeded mutation fuzz: truncations, inserted metachars, deletions,
+    splices — the public tree must equal the stdlib tree on every one."""
+    import random
+
+    from hackathon_pagerank_ray.html_dom import parse_html, parse_html_slow
+    t = generate_pages(30, seed=99, size_mult=2, with_text=False)
+    htmls = [h.as_py().decode() for h in t["html"]]
+    rng = random.Random(7)
+    for _ in range(400):
+        s = rng.choice(htmls)
+        op = rng.randrange(4)
+        if op == 0:
+            s = s[:rng.randrange(len(s))]
+        elif op == 1:
+            pos = rng.randrange(len(s))
+            s = s[:pos] + rng.choice("<>&\"'/= !-") + s[pos:]
+        elif op == 2:
+            pos = rng.randrange(len(s))
+            s = s[:pos] + s[pos + 1:]
+        else:
+            a, b = sorted((rng.randrange(len(s)), rng.randrange(len(s))))
+            s = s[:a] + s[b:]
+        assert _tree_eq(parse_html(s), parse_html_slow(s)), s[:120]
