@@ -550,6 +550,176 @@ def weak_scaling():
     }))
 
 
+def skew_bench():
+    """Skew-stress evidence (r4): a zipf(α=2) power-law graph (vid 0
+    carries ~60% of all endpoints) vs the uniform bench graph at equal
+    |E| — median sweep time ratio plus the per-shard compute-balance
+    ratio (max/median of the edge shards' timed sweep seconds).  The
+    combiner-as-salt design predicts hub sweeps ≤1.3× uniform and
+    shard balance near 1 (COVERAGE.md §Skew, north rule 'explicit skew
+    splitting')."""
+    import numpy as np
+
+    ray = _init_ray(NUM_CPUS)
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.testgen import (gen_powerlaw_edges,
+                                                gen_random_edges_fast,
+                                                write_edges_parquet)
+
+    mesh = MESH or max(2, NUM_CPUS // 2)
+    gather = os.environ.get("GRAFT_BENCH_GATHER", "subscribe")
+    sweeps = int(os.environ.get("GRAFT_SKEW_SWEEPS", "10"))
+    out = {}
+    for name, gen in (("uniform",
+                       lambda: gen_random_edges_fast(BENCH_N, BENCH_M,
+                                                     seed=7, hub_k=0)),
+                      ("powerlaw",
+                       lambda: gen_powerlaw_edges(BENCH_N, BENCH_M,
+                                                  alpha=2.0, seed=13))):
+        path = f"/tmp/graft_skew_{name}_{BENCH_N}_{BENCH_M}"
+        if not os.path.exists(os.path.join(path, "part-00000.parquet")):
+            write_edges_parquet(gen(), path, n_shards=16, sort_by_src=True)
+        g = ShardedGraph.build(path, n=BENCH_N, num_owners=mesh,
+                               num_edge_shards=mesh, gather_mode=gather)
+        pagerank(g, tol=0, max_iter=2, normalize=False)       # warmup
+        before = {m_["shard"]: m_["sweep_seconds"]
+                  for m_ in g.collect_metrics()}
+        _, info = pagerank(g, tol=0, max_iter=sweeps, normalize=False)
+        after = {m_["shard"]: m_["sweep_seconds"]
+                 for m_ in g.collect_metrics()}
+        shard_sec = np.array([after[e] - before[e] for e in sorted(after)])
+        g.shutdown()
+        out[name] = {
+            "edges": g.m,
+            "median_sweep_sec": round(info["median_sweep_sec"], 4),
+            "edges_per_sec_per_sweep_median":
+                round(info["edges_per_sec_per_sweep_median"] or 0),
+            "shard_sweep_sec_max": round(float(shard_sec.max()), 3),
+            "shard_sweep_sec_median": round(float(np.median(shard_sec)), 3),
+            "shard_balance_max_over_median":
+                round(float(shard_sec.max() / max(np.median(shard_sec),
+                                                  1e-9)), 3),
+        }
+    ratio = out["powerlaw"]["median_sweep_sec"] \
+        / out["uniform"]["median_sweep_sec"]
+    print(json.dumps({
+        "metric": "skew_stress_sweep_ratio",
+        "value": round(ratio, 3),
+        "unit": "hub_sweep_over_uniform_sweep",
+        "gather_mode": gather, "mesh": mesh, "num_cpus": NUM_CPUS,
+        "sweeps": sweeps, "detail": out,
+    }))
+    ray.shutdown()
+
+
+def delta_bench():
+    """Incremental-recrawl evidence (r4): cold rebuild vs apply_edge_delta
+    on a 4.8% churn of the bench graph — the delta path must produce
+    BIT-identical ranks at a large build-time advantage."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ray = _init_ray(NUM_CPUS)
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.testgen import gen_random_edges_fast
+
+    mesh = MESH or max(2, NUM_CPUS // 2)
+    churn = float(os.environ.get("GRAFT_DELTA_CHURN", "0.048"))
+    edges = gen_random_edges_fast(BENCH_N, BENCH_M, seed=7,
+                                  hub_k=32, hub_frac=0.2)
+    key = np.unique(edges[:, 0].astype(np.int64) * BENCH_N + edges[:, 1])
+    edges = np.stack([key // BENCH_N, key % BENCH_N], axis=1)
+    edges = edges[np.argsort(edges[:, 0], kind="stable")]
+
+    def write_ranged(arr, tag):
+        """Value-boundary range cut into `mesh` files; returns paths+mins."""
+        per = (len(arr) + mesh - 1) // mesh
+        cuts = [0]
+        for e in range(1, mesh):
+            c = min(e * per, len(arr))
+            while c < len(arr) and arr[c, 0] == arr[c - 1, 0]:
+                c += 1
+            cuts.append(c)
+        cuts.append(len(arr))
+        base = f"/tmp/graft_delta_{tag}_{BENCH_N}_{BENCH_M}"
+        os.makedirs(base, exist_ok=True)
+        paths, mins = [], []
+        for e in range(mesh):
+            chunk = arr[cuts[e]:cuts[e + 1]]
+            p = os.path.join(base, f"part-{e:05d}.parquet")
+            pq.write_table(pa.table({"src": chunk[:, 0],
+                                     "dst": chunk[:, 1]}), p)
+            paths.append(p)
+            mins.append(int(chunk[0, 0]))
+        return paths, np.array(mins[1:], dtype=np.int64)
+
+    a_paths, bounds = write_ranged(edges, "a")
+    t0 = time.perf_counter()
+    g = ShardedGraph.build(a_paths, n=BENCH_N, num_owners=mesh,
+                           num_edge_shards=mesh, canonical_scatter=True)
+    build_cold_sec = time.perf_counter() - t0
+
+    rng = np.random.default_rng(11)
+    k = int(len(edges) * churn)
+    removed = edges[rng.choice(len(edges), k, replace=False)]
+    cand = rng.integers(0, BENCH_N, (2 * k, 2)).astype(np.int64)
+    cand = cand[cand[:, 0] != cand[:, 1]]
+    ck = cand[:, 0] * BENCH_N + cand[:, 1]
+    added = cand[~np.isin(ck, key)][:k]
+
+    # the recrawl delta arrives as a Dataset; its creation is upstream
+    # crawl output, not delta-apply cost — excluded from the window
+    added_ds = rd.from_arrow(pa.table({"src": added[:, 0],
+                                       "dst": added[:, 1]})).materialize()
+    removed_ds = rd.from_arrow(pa.table({"src": removed[:, 0],
+                                         "dst": removed[:, 1]})).materialize()
+    t0 = time.perf_counter()
+    g.apply_edge_delta(added=added_ds, removed=removed_ds, n=BENCH_N)
+    delta_sec = time.perf_counter() - t0
+    ranks_d, _ = pagerank(g, tol=0.0, max_iter=5, normalize=False)
+    ranks_d = ranks_d.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g.shutdown()
+
+    # cold twin of the post-delta set, same persistent boundaries
+    bkey = np.setdiff1d(key, removed[:, 0] * BENCH_N + removed[:, 1])
+    bkey = np.union1d(bkey, added[:, 0] * BENCH_N + added[:, 1])
+    b_edges = np.stack([bkey // BENCH_N, bkey % BENCH_N], axis=1)
+    route = np.searchsorted(bounds, b_edges[:, 0], side="right")
+    base = f"/tmp/graft_delta_b_{BENCH_N}_{BENCH_M}"
+    os.makedirs(base, exist_ok=True)
+    b_paths = []
+    for e in range(mesh):
+        p = os.path.join(base, f"part-{e:05d}.parquet")
+        chunk = b_edges[route == e]
+        pq.write_table(pa.table({"src": chunk[:, 0], "dst": chunk[:, 1]}), p)
+        b_paths.append(p)
+    t0 = time.perf_counter()
+    g2 = ShardedGraph.build(b_paths, n=BENCH_N, num_owners=mesh,
+                            num_edge_shards=mesh, canonical_scatter=True)
+    build_cold_b_sec = time.perf_counter() - t0
+    ranks_c, _ = pagerank(g2, tol=0.0, max_iter=5, normalize=False)
+    ranks_c = ranks_c.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g2.shutdown()
+
+    bit_exact = bool((ranks_d == ranks_c).all())
+    print(json.dumps({
+        "metric": "delta_apply_vs_cold_build",
+        "value": round(build_cold_b_sec / delta_sec, 2),
+        "unit": "speedup",
+        "edges": int(len(edges)), "churn": churn,
+        "build_cold_sec": round(build_cold_sec, 2),
+        "build_cold_post_delta_sec": round(build_cold_b_sec, 2),
+        "delta_apply_sec": round(delta_sec, 2),
+        "ranks_bit_exact": bit_exact,
+        "mesh": mesh, "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 def pagerank_only():
     ray = _init_ray(NUM_CPUS)
     pr = run_pagerank_bench(
@@ -615,6 +785,10 @@ if __name__ == "__main__":
         scaling()
     elif "--weak-scaling" in sys.argv:
         weak_scaling()
+    elif "--skew" in sys.argv:
+        skew_bench()
+    elif "--delta" in sys.argv:
+        delta_bench()
     elif "--pagerank-only" in sys.argv:
         pagerank_only()
     elif "--extract-only" in sys.argv:

@@ -32,7 +32,11 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-_TOKEN_RE = re.compile(r"\w+")
+# re.ASCII pins \w to [A-Za-z0-9_] — the semantics of the DuckDB (RE2)
+# oracle twin's \w, so engine and SQL tokenize identically even on a
+# non-ASCII corpus (ADVICE r3: Python's default Unicode \w would keep
+# 'café' whole while RE2 splits it)
+_TOKEN_RE = re.compile(r"\w+", re.ASCII)
 
 
 def _adjacent_pairs(batch: pd.DataFrame, text_col: str) -> pd.DataFrame:

@@ -56,6 +56,13 @@ def _census_small(df: pd.DataFrame) -> pd.DataFrame:
                          "four_cliques": pd.Series([0], dtype="int64")})
     if len(u) == 0:
         return zero
+    # densify ids BEFORE any O(max_id) structure (ADVICE r3: sparse
+    # 31-bit vids would make the degree bincount a multi-GB allocation);
+    # searchsorted relabeling is monotone, so orientation tie-breaks by
+    # vid order and the packed-edge binary search are unaffected
+    verts = np.unique(np.concatenate([u, v]))
+    u = np.searchsorted(verts, u).astype(np.int64)
+    v = np.searchsorted(verts, v).astype(np.int64)
     ecode = np.unique((u << 32) | v)
     u, v = ecode >> 32, ecode & 0xFFFFFFFF
     n = int(v.max()) + 1

@@ -30,11 +30,19 @@ import pyarrow as pa
 
 
 def densest_subgraph(edges_ds, eps_num: int = 1, eps_den: int = 10,
-                     max_rounds: int = 16, num_partitions: int = 8,
+                     max_rounds: int = 64, num_partitions: int = 8,
                      small_threshold: int = 2_000_000):
     """(vid) rows of the densest round's vertex set over the undirected
-    simple graph (self-loops dropped).  Raises past ``max_rounds`` —
-    keep equal to the SQL twin's unroll depth.
+    simple graph (self-loops dropped).  Raises past ``max_rounds``.
+
+    Round budget (ADVICE r3): Bahmani peeling at eps = eps_num/eps_den
+    needs at most ``log_{1+eps} n`` rounds in the adversarial worst case
+    (~145 at eps=0.1, n=10^6), though real web graphs converge in a
+    handful because each round strips far more than the guaranteed
+    (eps/(1+eps)) fraction.  The default is 64; the conformance query
+    passes ``max_rounds=16`` explicitly IN LOCKSTEP with its 16-round
+    SQL-twin unroll (``__ray_entry__._densest_oracle_sql(rounds=16)``)
+    — raise both together if a fixture ever needs more.
 
     Returns ``(dataset, info)``,
     ``info = {"rounds", "best_m", "best_n", "path"}``.

@@ -46,6 +46,33 @@ def _expand_parquet_paths(paths) -> list[str]:
     return out
 
 
+def _wire_mesh(owners, shards, n: int) -> None:
+    """Phase 2 of a mesh (re)build: gather-side addressing + owner wiring
+    (subscriptions, scatter maps, out-degrees) — shared by
+    ``ShardedGraph.build`` and ``ShardedGraph.apply_edge_delta``
+    (``RankOwner.configure`` resets the degree vectors, so rewiring after
+    a delta rebuilds them from the patched shards)."""
+    num_owners = len(owners)
+    gather_pending = [sh.build_gather.remote(n) for sh in shards]
+    ray.get([ow.configure.remote(n) for ow in owners])
+    ray.get(gather_pending)
+    pending = []
+    for e, sh in enumerate(shards):
+        if num_owners > 1:
+            payloads = sh.build_owner_payloads.options(
+                num_returns=num_owners).remote()
+        else:
+            payloads = [sh.build_owner_payloads.remote()]
+        for j, ow in enumerate(owners):
+            pending.append(ow.register_shard.remote(e, payloads[j]))
+    ray.get(pending)
+    ray.get([ow.finalize_build.remote() for ow in owners])
+    # raw src/dst are build-time only — sweeps run on the composed
+    # indexes; freeing them cuts resident memory by ~16 bytes/edge
+    for sh in shards:
+        sh.release_raw_edges.remote()
+
+
 class ShardedGraph:
     def __init__(self, owners, edge_shards, n: int, m: int, num_owners: int,
                  gather_mode: str = "full"):
@@ -61,7 +88,8 @@ class ShardedGraph:
     def build(cls, edges_ds, n: int | None = None, num_owners: int = 8,
               num_edge_shards: int | None = None, undirected: bool = False,
               sort_by_src: bool = False, gather_mode: str = "auto",
-              actor_num_cpus: float = 0, weight_col: str | None = None):
+              actor_num_cpus: float = 0, weight_col: str | None = None,
+              canonical_scatter: bool = False):
         """Build the actor mesh from an edge Dataset.
 
         ``sort_by_src`` (opt-in) range-partitions edges by source before
@@ -106,7 +134,8 @@ class ShardedGraph:
         owner_cls = (RankOwner.options(num_cpus=actor_num_cpus)
                      if actor_num_cpus else RankOwner)
         shards = [
-            shard_cls.remote(e, num_owners, None, undirected, gather_mode)
+            shard_cls.remote(e, num_owners, None, undirected, gather_mode,
+                             canonical_scatter)
             for e in range(E)
         ]
         owners = [owner_cls.remote(j, num_owners) for j in range(num_owners)]
@@ -148,31 +177,80 @@ class ShardedGraph:
         if n is None:
             # reference convention n = max_id + 1 (pagerank_gpu.cu:65)
             n = max(max_ids) + 1
-        # phase 2: gather-side addressing needs n (dense shards under full
-        # gather skip the unique/sort compaction entirely); overlaps the
-        # owner configure call
-        gather_pending = [sh.build_gather.remote(n) for sh in shards]
-        ray.get([ow.configure.remote(n) for ow in owners])
-        ray.get(gather_pending)
-
-        # wire subscriptions + scatter maps + out-degrees: one payload per
-        # (shard, owner) pair, computed in one batched call per shard
-        pending = []
-        for e, sh in enumerate(shards):
-            if num_owners > 1:
-                payloads = sh.build_owner_payloads.options(
-                    num_returns=num_owners).remote()
-            else:
-                payloads = [sh.build_owner_payloads.remote()]
-            for j, ow in enumerate(owners):
-                pending.append(ow.register_shard.remote(e, payloads[j]))
-        ray.get(pending)
-        ray.get([ow.finalize_build.remote() for ow in owners])
-        # raw src/dst are build-time only — sweeps run on the composed
-        # indexes; freeing them cuts resident memory by ~16 bytes/edge
-        for sh in shards:
-            sh.release_raw_edges.remote()
+        _wire_mesh(owners, shards, n)
         return cls(owners, shards, n, m, num_owners, gather_mode)
+
+    # -- incremental recrawl ----------------------------------------------
+    def apply_edge_delta(self, added=None, removed=None, n: int | None = None):
+        """Patch the built mesh with a recrawl delta instead of a cold
+        rebuild: drop every (src, dst) row of ``removed``, append the
+        rows of ``added`` (``w`` column required on weighted meshes),
+        then rebuild each shard's indexes in place and rewire the owners
+        (degrees, subscriptions, scatter maps).  Vertex/rank state is
+        reset — run :func:`pagerank` (typically with ``warm_start``) /
+        the label ops afterwards.
+
+        Contract: the mesh must be built with ``canonical_scatter=True``
+        on src-range-partitioned input (each shard's src range disjoint
+        and ascending — the engine's ONE persistent partitioning key).
+        Delta rows route to shards by those persistent boundaries, and
+        because the canonical index build is row-order independent, the
+        patched mesh solves **bit-identically** to a cold build of the
+        post-delta edge set routed by the same boundaries — while
+        skipping the parquet load, actor spawn and full-table shuffle of
+        a cold build.  New vertices may grow ``n``; pass ``n`` to pin it
+        (e.g. to match a cold-build twin).  Returns ``{"n": ..,
+        "m": ..}``.
+        """
+        E = self.E
+        ranges = ray.get([sh.src_range.remote() for sh in self.edge_shards])
+        if any(r[0] < 0 for r in ranges):
+            raise ValueError("apply_edge_delta: every shard needs edges "
+                             "(empty shard has no routable src range)")
+        for e in range(E - 1):
+            if ranges[e][1] >= ranges[e + 1][0]:
+                raise ValueError(
+                    "apply_edge_delta requires disjoint ascending per-shard "
+                    "src ranges (build from src-range-partitioned input)")
+        bounds = np.array([ranges[e][0] for e in range(1, E)],
+                          dtype=np.int64)
+
+        @ray.remote
+        def _route(block):
+            t = block if isinstance(block, pa.Table) else \
+                pa.Table.from_pandas(block, preserve_index=False)
+            if not t.num_rows:
+                outs = [t] * E
+                return tuple(outs) if E > 1 else t
+            s = np.asarray(t["src"], dtype=np.int64)
+            idx = np.searchsorted(bounds, s, side="right")
+            outs = [t.filter(pa.array(idx == e)) for e in range(E)]
+            return tuple(outs) if E > 1 else outs[0]
+
+        def _split(ds):
+            if ds is None:
+                return [[] for _ in range(E)]
+            refs = ds.materialize().to_arrow_refs()
+            if E == 1:
+                return [[_route.remote(b) for b in refs]]
+            parts = [_route.options(num_returns=E).remote(b) for b in refs]
+            return [[p[e] for p in parts] for e in range(E)]
+
+        added_parts = _split(added)
+        removed_parts = _split(removed)
+        max_ids = ray.get([
+            sh.apply_delta.remote(added_parts[e], removed_parts[e])
+            for e, sh in enumerate(self.edge_shards)])
+        new_n = max(max(max_ids) + 1, self.n)
+        if n is not None:
+            if n < new_n:
+                raise ValueError(f"n={n} below max delta vid {new_n - 1}")
+            new_n = n
+        _wire_mesh(self.owners, self.edge_shards, new_n)
+        self.n = new_n
+        self.m = int(sum(ray.get([sh.get_m.remote()
+                                  for sh in self.edge_shards])))
+        return {"n": self.n, "m": self.m}
 
     # -- shared sweep plumbing --------------------------------------------
     def _submit_gathers(self):
@@ -756,17 +834,62 @@ def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float,
                 f"checkpointing run's configuration or start a fresh run")
 
 
+def _resume_fixpoint(graph: ShardedGraph, checkpoint_dir: str, kind: str,
+                     op: str, extra_checks: tuple = ()):
+    """Shared resume loader for the label/distance fixpoints: load the
+    newest complete sweep's per-owner state, failing fast on a manifest
+    written by a different operator or mesh shape (the same guard
+    :func:`_validate_resume` gives PageRank).  Returns ``(next_it,
+    manifest)`` or ``None`` when there is nothing to resume from."""
+    last = latest_sweep(checkpoint_dir)
+    if last is None:
+        return None
+    it, manifest = last
+    rec_op = manifest.get("op")
+    if rec_op is not None and rec_op != op:
+        raise ValueError(
+            f"checkpoint/resume mismatch: manifest written by op={rec_op!r}"
+            f" but this run is {op!r}")
+    for key, current in (("num_owners", graph.P), ("n", graph.n),
+                         *extra_checks):
+        recorded = manifest.get(key)
+        if recorded is not None and recorded != current:
+            raise ValueError(
+                f"checkpoint/resume mismatch: manifest {key}={recorded} "
+                f"but current run has {key}={current}")
+    ray.get([ow.load_state_part.remote(
+        f"{sweep_dir(checkpoint_dir, it)}/{kind}", kind)
+        for ow in graph.owners])
+    return it + 1, manifest
+
+
 def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
                          checkpoint_dir: str | None = None,
-                         checkpoint_every: int = 5):
+                         checkpoint_every: int = 5, resume: bool = False):
     """Iterative min-label propagation to fixpoint (exact); build the graph
-    with ``undirected=True``.  Labels converge to min vid per component."""
+    with ``undirected=True``.  Labels converge to min vid per component.
+    ``resume=True`` restarts from the newest complete sweep checkpoint
+    (min-label state is monotone, so a resumed run reaches the identical
+    fixpoint, and an already-converged checkpoint returns immediately)."""
     owners = graph.owners
-    ray.get([ow.init_labels.remote() for ow in owners])
     if graph.n == 0:
+        ray.get([ow.init_labels.remote() for ow in owners])
         return graph.labels_dataset(), {"sweeps": 0}
-    it = -1
-    for it in range(max_iter):
+    start_it = 0
+    if resume and checkpoint_dir:
+        loaded = _resume_fixpoint(graph, checkpoint_dir, "labels", "cc")
+        if loaded is not None:
+            start_it, manifest = loaded
+            if manifest.get("changed") == 0:
+                return graph.labels_dataset(), {
+                    "sweeps": start_it, "resumed_at": start_it - 1,
+                    "converged": True}
+        else:
+            ray.get([ow.init_labels.remote() for ow in owners])
+    else:
+        ray.get([ow.init_labels.remote() for ow in owners])
+    it = start_it - 1
+    for it in range(start_it, max_iter):
         ray.get([ow.start_label_sweep.remote() for ow in owners])
         partials = graph._partial_refs("min_label_partials")
         changed = sum(ray.get([
@@ -774,9 +897,10 @@ def connected_components(graph: ShardedGraph, max_iter: int = 10_000,
                 *[partials[e][j] for e in range(graph.E)])
             for j, ow in enumerate(owners)
         ]))
-        if checkpoint_dir and it % checkpoint_every == 0:
+        if checkpoint_dir and (it % checkpoint_every == 0 or changed == 0):
             _checkpoint(graph, checkpoint_dir, it, "labels",
-                        {"changed": changed})
+                        {"changed": changed, "op": "cc",
+                         "num_owners": graph.P, "n": graph.n})
         if changed == 0:
             break
     return graph.labels_dataset(), {"sweeps": it + 1}
@@ -955,7 +1079,9 @@ def bfs_distances(graph: ShardedGraph, source: int, max_iter: int = 10_000):
 
 
 def sssp_distances(graph: ShardedGraph, source,
-                   max_iter: int = 10_000):
+                   max_iter: int = 10_000,
+                   checkpoint_dir: str | None = None,
+                   checkpoint_every: int = 5, resume: bool = False):
     """Weighted single-source (or multi-source: pass an array — distance
     to the NEAREST seed) shortest paths by distributed Bellman-Ford:
     per round relax ``d(v) = min(d(v), min over in-edges (d(u) + w))``
@@ -968,9 +1094,12 @@ def sssp_distances(graph: ShardedGraph, source,
     unrolled SQL twin's recursion, so min-fixpoint equality is exact.
     Unreached vertices report -1.0.  Returns ``(dataset, info)`` with
     columns ``(vid, dist)``.
+
+    ``resume=True`` restarts from the newest complete sweep checkpoint
+    (min-plus state is monotone — identical fixpoint; the manifest pins
+    the source set so a different-source resume fails fast).
     """
     import pyarrow as pa
-    import pyarrow.compute as pc
     srcs = np.atleast_1d(np.asarray(source, dtype=np.int64))
     if len(srcs) == 0 or srcs.min() < 0 or srcs.max() >= max(graph.n, 1):
         raise ValueError(f"source(s) {source} outside [0, n)")
@@ -980,9 +1109,29 @@ def sssp_distances(graph: ShardedGraph, source,
             {"vid": pa.array([], pa.int64()),
              "dist": pa.array([], pa.float64())}))
         return empty, {"sweeps": 0}
-    ray.get([ow.init_sssp.remote(srcs) for ow in owners])
-    it = -1
-    for it in range(max_iter):
+
+    def _out():
+        return ray.data.from_arrow_refs(
+            [ow.ranks_table.remote() for ow in owners]).map_batches(
+            _sssp_shape, batch_format="pyarrow")
+
+    start_it = 0
+    if resume and checkpoint_dir:
+        loaded = _resume_fixpoint(
+            graph, checkpoint_dir, "ranks", "sssp",
+            (("sources", srcs.tolist()),))
+        if loaded is not None:
+            start_it, manifest = loaded
+            if manifest.get("changed") == 0:
+                return _out(), {"sweeps": start_it,
+                                "resumed_at": start_it - 1,
+                                "converged": True}
+        else:
+            ray.get([ow.init_sssp.remote(srcs) for ow in owners])
+    else:
+        ray.get([ow.init_sssp.remote(srcs) for ow in owners])
+    it = start_it - 1
+    for it in range(start_it, max_iter):
         ray.get([ow.start_value_sweep.remote() for ow in owners])
         partials = graph._partial_refs("minplus_partials")
         changed = sum(ray.get([
@@ -990,35 +1139,64 @@ def sssp_distances(graph: ShardedGraph, source,
                 *[partials[e][j] for e in range(graph.E)])
             for j, ow in enumerate(owners)
         ]))
+        if checkpoint_dir and (it % checkpoint_every == 0 or changed == 0):
+            _checkpoint(graph, checkpoint_dir, it, "ranks",
+                        {"changed": changed, "op": "sssp",
+                         "num_owners": graph.P, "n": graph.n,
+                         "sources": srcs.tolist()})
         if changed == 0:
             break
-
-    def _shape(t: pa.Table) -> pa.Table:
-        d = t["rank"].combine_chunks()
-        dist = pc.if_else(pc.equal(d, pa.scalar(float("inf"),
-                                                pa.float64())),
-                          pa.scalar(-1.0, pa.float64()), d)
-        return pa.Table.from_arrays(
-            [t["vid"].combine_chunks(), dist.combine_chunks()
-             if isinstance(dist, pa.ChunkedArray) else dist],
-            names=["vid", "dist"])
-
-    out = ray.data.from_arrow_refs(
-        [ow.ranks_table.remote() for ow in owners]).map_batches(
-        _shape, batch_format="pyarrow")
-    return out, {"sweeps": it + 1}
+    return _out(), {"sweeps": it + 1}
 
 
-def label_propagation(graph: ShardedGraph, max_iter: int = 10):
+def _sssp_shape(t):
+    """(vid, rank) owner table → (vid, dist) with inf → -1.0."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    d = t["rank"].combine_chunks()
+    dist = pc.if_else(pc.equal(d, pa.scalar(float("inf"), pa.float64())),
+                      pa.scalar(-1.0, pa.float64()), d)
+    return pa.Table.from_arrays(
+        [t["vid"].combine_chunks(), dist.combine_chunks()
+         if isinstance(dist, pa.ChunkedArray) else dist],
+        names=["vid", "dist"])
+
+
+def label_propagation(graph: ShardedGraph, max_iter: int = 10,
+                      checkpoint_dir: str | None = None,
+                      checkpoint_every: int = 1, resume: bool = False):
     """Synchronous LP with the deterministic min-label tie-break — the exact
     contract of ``oracle.label_propagation``; build with ``undirected=True``
-    on the canonical simple edge set."""
+    on the canonical simple edge set.
+
+    ``resume=True`` continues from the newest complete sweep checkpoint:
+    LP is NOT monotone, so exact-parity resume relies on the checkpoint
+    carrying the full label state and the manifest carrying the sweep
+    index — the resumed run executes exactly the REMAINING sweeps of the
+    fixed ``max_iter`` budget, reproducing the uninterrupted labels
+    bit-for-bit."""
     owners = graph.owners
-    ray.get([ow.init_labels.remote() for ow in owners])
     if graph.n == 0:
+        ray.get([ow.init_labels.remote() for ow in owners])
         return graph.labels_dataset(), {"sweeps": 0}
-    it = -1
-    for it in range(max_iter):
+    start_it = 0
+    if resume and checkpoint_dir:
+        # max_iter is a sweep BUDGET, not a shape param: a killed-at-k
+        # run resumed with the same budget executes sweeps k..max_iter-1,
+        # reproducing the uninterrupted run exactly
+        loaded = _resume_fixpoint(graph, checkpoint_dir, "labels", "lp")
+        if loaded is not None:
+            start_it, manifest = loaded
+            if manifest.get("changed") == 0 or start_it >= max_iter:
+                return graph.labels_dataset(), {
+                    "sweeps": start_it, "resumed_at": start_it - 1,
+                    "converged": manifest.get("changed") == 0}
+        else:
+            ray.get([ow.init_labels.remote() for ow in owners])
+    else:
+        ray.get([ow.init_labels.remote() for ow in owners])
+    it = start_it - 1
+    for it in range(start_it, max_iter):
         ray.get([ow.start_label_sweep.remote() for ow in owners])
         partials = graph._partial_refs("mode_label_partials")
         changed = sum(ray.get([
@@ -1026,6 +1204,11 @@ def label_propagation(graph: ShardedGraph, max_iter: int = 10):
                 *[partials[e][j] for e in range(graph.E)])
             for j, ow in enumerate(owners)
         ]))
+        if checkpoint_dir and (it % checkpoint_every == 0 or changed == 0):
+            _checkpoint(graph, checkpoint_dir, it, "labels",
+                        {"changed": changed, "op": "lp",
+                         "num_owners": graph.P, "n": graph.n,
+                         "max_iter": max_iter})
         if changed == 0:
             break
     return graph.labels_dataset(), {"sweeps": it + 1}

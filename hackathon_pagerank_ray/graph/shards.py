@@ -670,11 +670,21 @@ class EdgeShard:
 
     def __init__(self, shard_id: int, num_owners: int,
                  edge_tables=None, undirected: bool = False,
-                 gather_mode: str = "full"):
+                 gather_mode: str = "full",
+                 canonical_scatter: bool = False):
         _tune_malloc()
         self.e = shard_id
         self.P = num_owners
         self.gather_mode = gather_mode
+        # canonical_scatter totally orders the scatter sort by
+        # (dst_owner, dst, src) instead of (dst_owner, dst) with
+        # input-position ties — per-destination float accumulation is
+        # then independent of edge ROW ORDER, which is what lets
+        # apply_edge_delta's patched mesh solve bit-identically to a
+        # cold rebuild of the same edge set (opt-in: it changes
+        # last-ulp sums vs the default order)
+        self.canonical_scatter = canonical_scatter
+        self.undirected = undirected
         self.metrics = {"edges": 0, "uniq_src": 0, "sweep_seconds": 0.0}
         if edge_tables is not None:
             self.set_edges(edge_tables, undirected)
@@ -726,6 +736,20 @@ class EdgeShard:
             dst = np.zeros(0, dtype=np.int64)
             if weight_col:
                 w = np.zeros(0)
+        self.metrics["build_load_sec"] = round(time.perf_counter() - _t, 3)
+        self.undirected = undirected
+        return self._finish_load(src, dst, w, undirected)
+
+    def _finish_load(self, src, dst, w, undirected: bool,
+                     presorted: bool = False) -> int:
+        """Array → index build (phase 1): shared by the parquet/table load
+        path (:meth:`set_edges`) and the in-place patch path
+        (:meth:`apply_delta`).  Returns the shard's max vertex id.
+
+        ``presorted=True`` (delta path only): the arrays are already in
+        canonical (dst_owner, dst, src) order, so the scatter sort — the
+        most expensive build phase — is the identity permutation."""
+        num_owners = self.P
         # canonical (pre-doubling) row count — what Dataset.count() reports
         self.m_input = len(src)
         if undirected:
@@ -738,7 +762,8 @@ class EdgeShard:
         self.w = w
         self.m = len(src)
         self._od_cache = None
-        self.metrics["build_load_sec"] = round(time.perf_counter() - _t, 3)
+        self._src_min = int(src.min()) if self.m else -1
+        self._src_max = int(src.max()) if self.m else -1
 
         _t = time.perf_counter()
         # scatter side: per destination owner, a compacted dst index.
@@ -748,7 +773,19 @@ class EdgeShard:
         # consistent edge permutation is valid here — src_pos is composed
         # through the same scatter_order in build_gather.
         dst_owner = dst % num_owners
-        if self.m:
+        if self.m and presorted:
+            self.scatter_order = np.arange(self.m, dtype=np.int64)
+        elif self.m and self.canonical_scatter:
+            # total (dst_owner, dst, src) order: row-order independent
+            span = int(dst.max()) + 1
+            span_s = int(src.max()) + 1
+            if num_owners * span * span_s < 2 ** 63:
+                key = (dst_owner * np.int64(span) + dst) \
+                    * np.int64(span_s) + src
+                self.scatter_order = np.argsort(key, kind="stable")
+            else:
+                self.scatter_order = np.lexsort((src, dst, dst_owner))
+        elif self.m:
             span = int(dst.max()) + 1
             if num_owners * span < 2 ** 63:
                 self.scatter_order = np.argsort(
@@ -919,6 +956,129 @@ class EdgeShard:
             out.append((self.sub_local[j], self.uniq_dst_local[j],
                         od[j][0], od[j][1]))
         return tuple(out) if self.P > 1 else out[0]
+
+    # -- incremental recrawl: in-place edge delta ---------------------------
+    def src_range(self):
+        """(min src, max src) of this shard's current edges (-1, -1 when
+        empty) — the driver derives the persistent range-routing
+        boundaries for :meth:`apply_delta` from these."""
+        return getattr(self, "_src_min", -1), getattr(self, "_src_max", -1)
+
+    def _reconstruct_edges(self):
+        """Rebuild (src, dst, w) arrays in scatter order from the composed
+        sweep indexes — no raw-edge retention needed (release_raw_edges
+        freed them), O(m) gathers only."""
+        P = self.P
+        dst = np.empty(self.m, dtype=np.int64)
+        for j in range(P):
+            seg = slice(self.soffs[j], self.soffs[j + 1])
+            if self.soffs[j + 1] > self.soffs[j]:
+                dst[seg] = self.uniq_dst_local[j][self.dst_compact[seg]] \
+                    * P + j
+        if getattr(self, "dense_gather", False):
+            offs = self._gather_offs
+            slot = self.src_pos_scattered
+            owner = np.searchsorted(offs, slot, side="right") - 1
+            src = (slot - offs[owner]) * P + owner
+        else:
+            uniq_sorted = self.uniq_src[self.gather_order]
+            src = uniq_sorted[self.src_pos_scattered]
+        w = self.w_scattered.copy() if self.w_scattered is not None else None
+        return src, dst, w
+
+    def apply_delta(self, added, removed) -> int:
+        """Patch this shard's edge set in place: drop every edge matching
+        a (src, dst) row of ``removed``, append the rows of ``added``
+        (``w`` column required iff the mesh is weighted), rebuild the
+        local indexes (phase 1).  The driver must then re-run phase 2
+        (``build_gather`` + owner rewiring) — see
+        ``ShardedGraph.apply_edge_delta``.  Returns the new max vertex id.
+
+        Requires ``canonical_scatter=True`` (row-order-independent index
+        build — the property that makes the patched mesh solve
+        bit-identical to a cold rebuild) and a directed mesh (the
+        undirected doubling would need both directions patched; the
+        recrawl loop operates on the directed link graph).
+        """
+        if not self.canonical_scatter:
+            raise ValueError(
+                "apply_delta requires a mesh built with "
+                "canonical_scatter=True (row-order-independent indexes)")
+        if self.undirected:
+            raise NotImplementedError(
+                "apply_delta supports directed meshes only")
+        src, dst, w = self._reconstruct_edges()
+        weighted = self.w_scattered is not None
+
+        def _cols(t):
+            if t is None or not t.num_rows:
+                return (np.empty(0, np.int64), np.empty(0, np.int64),
+                        np.empty(0, np.float64))
+            s = _to_numpy(t["src"]).astype(np.int64, copy=False)
+            d = _to_numpy(t["dst"]).astype(np.int64, copy=False)
+            ww = (_to_numpy(t["w"]).astype(np.float64, copy=False)
+                  if "w" in t.schema.names else np.empty(0, np.float64))
+            return s, d, ww
+
+        removed = [ray.get(t) if isinstance(t, ray.ObjectRef) else t
+                   for t in (removed or [])]
+        added = [ray.get(t) if isinstance(t, ray.ObjectRef) else t
+                 for t in (added or [])]
+        r_s = np.concatenate([_cols(t)[0] for t in removed]) if removed \
+            else np.empty(0, np.int64)
+        r_d = np.concatenate([_cols(t)[1] for t in removed]) if removed \
+            else np.empty(0, np.int64)
+        a_s = np.concatenate([_cols(t)[0] for t in added]) if added \
+            else np.empty(0, np.int64)
+        a_d = np.concatenate([_cols(t)[1] for t in added]) if added \
+            else np.empty(0, np.int64)
+        a_w = None
+        if weighted and added:
+            a_w = np.concatenate([_cols(t)[2] for t in added])
+            if len(a_w) != len(a_s):
+                raise ValueError(
+                    "weighted mesh delta needs a 'w' column on added edges")
+
+        # merge-based patch: the reconstructed arrays are already in
+        # canonical (dst_owner, dst, src) order, so removal is a boolean
+        # mask and insertion a searchsorted merge — NO argsort anywhere,
+        # the patched arrays go to _finish_load presorted (O(m + k·log)
+        # total vs the cold build's O(m·log m) scatter sort)
+        P = np.int64(self.P)
+        span = np.int64(int(max(dst.max(initial=0), a_d.max(initial=0),
+                                r_d.max(initial=0))) + 1)
+        span_s = np.int64(int(max(src.max(initial=0), a_s.max(initial=0),
+                                  r_s.max(initial=0))) + 1)
+        if int(P) * int(span) * int(span_s) >= 2 ** 63:
+            raise NotImplementedError(
+                "apply_delta packed-key span exceeds int64")
+
+        def _key(s, d):
+            return ((d % P) * span + d) * span_s + s
+
+        key = _key(src, dst)            # ascending by construction
+        if len(r_s):
+            # key is sorted: membership = one searchsorted over the
+            # (small, sorted) removal keys — np.isin would argsort the
+            # whole concatenation, reintroducing the O(m log m) we
+            # removed from the build
+            rk = np.sort(_key(r_s, r_d))
+            idx = np.minimum(np.searchsorted(rk, key), len(rk) - 1)
+            keep = rk[idx] != key
+            src, dst, key = src[keep], dst[keep], key[keep]
+            if w is not None:
+                w = w[keep]
+        if len(a_s):
+            akey = _key(a_s, a_d)
+            aorder = np.argsort(akey, kind="stable")
+            a_s, a_d, akey = a_s[aorder], a_d[aorder], akey[aorder]
+            pos = np.searchsorted(key, akey)
+            src = np.insert(src, pos, a_s)
+            dst = np.insert(dst, pos, a_d)
+            if weighted:
+                w = np.insert(w, pos, a_w[aorder])
+        return self._finish_load(src, dst, w, undirected=False,
+                                 presorted=True)
 
     def release_raw_edges(self) -> None:
         """Drop the raw src/dst arrays (and the build-time out-degree

@@ -27,11 +27,14 @@ def _block_rows(table: pa.Table) -> int:
 
 
 @ray.remote
-def _assign_ids(table: pa.Table, offset: int, col: str) -> pa.Table:
+def _assign_ids(table: pa.Table, offset: int, col: str,
+                col_type: pa.DataType) -> pa.Table:
     if table.num_rows == 0 or col not in table.column_names:
         # the sort emits zero-column empty blocks when there are fewer
-        # distinct values than partitions — type them instead of raising
-        return pa.schema([("vid", pa.int64()), (col, pa.string())]) \
+        # distinct values than partitions — type them (with the INPUT
+        # column's type, ADVICE r3: a hardcoded string here would break
+        # the downstream union for non-string keys) instead of raising
+        return pa.schema([("vid", pa.int64()), (col, col_type)]) \
             .empty_table()
     vids = pa.array(np.arange(offset, offset + table.num_rows, dtype=np.int64))
     return pa.Table.from_arrays([vids, table[col].combine_chunks()],
@@ -76,11 +79,18 @@ def assign_vertex_ids(urls_ds, col: str = "url",
         .sort(col)
         .materialize()
     )
+    sch = distinct_sorted.schema()
+    try:
+        col_type = dict(zip(sch.names, sch.types))[col]
+        if not isinstance(col_type, pa.DataType):
+            col_type = pa.string()
+    except Exception:
+        col_type = pa.string()
     refs = distinct_sorted.to_arrow_refs()
     counts = ray.get([_block_rows.remote(r) for r in refs])
     offsets = np.concatenate([[0], np.cumsum(counts)[:-1]])
     out_refs = [
-        _assign_ids.remote(r, int(off), col)
+        _assign_ids.remote(r, int(off), col, col_type)
         for r, off in zip(refs, offsets)
     ]
     return ray.data.from_arrow_refs(out_refs)

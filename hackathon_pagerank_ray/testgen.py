@@ -293,6 +293,22 @@ def gen_random_edges_fast(n: int, m: int, seed: int = 7,
     return np.stack([u, v], axis=1)
 
 
+def gen_powerlaw_edges(n: int, m: int, alpha: float = 2.0,
+                       seed: int = 13) -> np.ndarray:
+    """Power-law degree skew on BOTH endpoints: src and dst drawn from a
+    zipf(alpha) rank distribution over the vertex set (rank 0 = vid 0,
+    the mega-hub — at alpha=2 it carries ~60% of all endpoints).  The
+    skew-stress fixture for the north rule's "explicit skew splitting"
+    clause: out-skew exercises the src-range shard straddling, in-skew
+    the per-shard bincount combiner that caps hub fan-in at ≤E partials."""
+    rng = np.random.RandomState(seed)
+    u = (rng.zipf(alpha, m).astype(np.int64) - 1) % n
+    v = (rng.zipf(alpha, m).astype(np.int64) - 1) % n
+    fix = u == v
+    v[fix] = (v[fix] + 1) % n
+    return np.stack([u, v], axis=1)
+
+
 def gen_hub_edges(n: int, m: int, hub_k: int = 4, seed: int = 11) -> np.ndarray:
     """Star-heavy graph: ~30% of edges land on ``hub_k`` hub vertices
     (skew-salting fixture, FIXTURES.md F2 ``hubgraph``)."""

@@ -122,3 +122,234 @@ def test_closeness_sharded_restricted_sources():
     assert ref[["vid", "n_reachable"]].equals(got[["vid", "n_reachable"]])
     assert (ref["closeness"].to_numpy()
             == got["closeness"].to_numpy()).all()
+
+
+# -- checkpoint/resume parity for the label/distance fixpoints (r4 dir. 4) --
+
+def _und_graph(seed=31, n=400, m=1600):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    return rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+
+def test_cc_resume_bit_parity(tmp_path):
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     connected_components)
+    ds = _und_graph()
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    ref, info = connected_components(g)
+    ref = ref.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert info["sweeps"] > 2
+    g.shutdown()
+
+    ck = str(tmp_path / "cc")
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    connected_components(g, max_iter=2, checkpoint_dir=ck,
+                         checkpoint_every=1)          # "killed" after 2
+    g.shutdown()
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    out, info2 = connected_components(g, checkpoint_dir=ck, resume=True)
+    out = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+    assert info2["sweeps"] == info["sweeps"]          # no recomputation
+    assert out.equals(ref)
+
+    # resuming an already-converged checkpoint returns immediately
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    connected_components(g, checkpoint_dir=ck, checkpoint_every=1)
+    g.shutdown()
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    out3, info3 = connected_components(g, checkpoint_dir=ck, resume=True)
+    out3 = out3.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+    assert info3.get("converged") and out3.equals(ref)
+
+
+def test_lp_resume_bit_parity(tmp_path):
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     label_propagation)
+    ds = _und_graph(seed=8, n=200, m=900)
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    ref, info = label_propagation(g, max_iter=8)
+    ref = ref.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+
+    ck = str(tmp_path / "lp")
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    label_propagation(g, max_iter=3, checkpoint_dir=ck, checkpoint_every=1)
+    g.shutdown()
+    g = ShardedGraph.build(ds, num_owners=3, undirected=True)
+    out, info2 = label_propagation(g, max_iter=8, checkpoint_dir=ck,
+                                   resume=True)
+    out = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+    assert out.equals(ref), "LP resume must be bit-exact (non-monotone op)"
+    assert info2["sweeps"] == info["sweeps"]
+
+
+def test_sssp_resume_bit_parity(tmp_path):
+    import pytest as _pytest
+
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                     sssp_distances)
+    rng = np.random.default_rng(44)
+    n, m = 300, 1200
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    w = rng.uniform(0.5, 2.0, m)
+    keep = src != dst
+    ds = rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep],
+                                 "w": w[keep]}))
+    g = ShardedGraph.build(ds, num_owners=3, weight_col="w")
+    ref, info = sssp_distances(g, 0)
+    ref = ref.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+
+    ck = str(tmp_path / "sssp")
+    g = ShardedGraph.build(ds, num_owners=3, weight_col="w")
+    sssp_distances(g, 0, max_iter=2, checkpoint_dir=ck, checkpoint_every=1)
+    g.shutdown()
+    g = ShardedGraph.build(ds, num_owners=3, weight_col="w")
+    out, info2 = sssp_distances(g, 0, checkpoint_dir=ck, resume=True)
+    out = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert out.equals(ref), "SSSP resume must be bit-exact"
+    assert info2["sweeps"] == info["sweeps"]
+
+    # a different source set must fail fast against the manifest
+    with _pytest.raises(ValueError, match="sources"):
+        sssp_distances(g, 1, checkpoint_dir=ck, resume=True)
+    g.shutdown()
+
+
+# -- incremental recrawl delta-apply (r4 directive 6) -----------------------
+
+def _ranged_edge_files(edges, tmp_path, E, tag):
+    """Write edges (already src-sorted) as E contiguous-range parquet
+    files; returns (paths, bounds) where bounds are the range-routing
+    boundaries apply_edge_delta derives."""
+    import pyarrow.parquet as pq
+    per = (len(edges) + E - 1) // E
+    # cut at src-VALUE boundaries so no source straddles two files (the
+    # disjoint-range contract apply_edge_delta checks)
+    cuts = [0]
+    for e in range(1, E):
+        c = min(e * per, len(edges))
+        while c < len(edges) and edges[c, 0] == edges[c - 1, 0]:
+            c += 1
+        cuts.append(c)
+    cuts.append(len(edges))
+    paths, mins = [], []
+    for e in range(E):
+        chunk = edges[cuts[e]:cuts[e + 1]]
+        p = str(tmp_path / f"{tag}-{e:02d}.parquet")
+        pq.write_table(pa.table({"src": chunk[:, 0], "dst": chunk[:, 1]}), p)
+        paths.append(p)
+        mins.append(int(chunk[0, 0]))
+    return paths, np.array(mins[1:], dtype=np.int64)
+
+
+def test_apply_edge_delta_bit_parity(tmp_path):
+    """4.8% churn: delta-applied mesh must solve PageRank BIT-identically
+    to a cold build of the post-delta edge set routed by the same
+    persistent src-range boundaries."""
+    import ray
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+
+    rng = np.random.default_rng(5)
+    n, m, E = 20_000, 200_000, 4
+    key = rng.integers(0, n, (m, 2)).astype(np.int64)
+    key = key[key[:, 0] != key[:, 1]]
+    key = np.unique(key[:, 0] * n + key[:, 1])       # distinct directed
+    edges = np.stack([key // n, key % n], axis=1)
+    edges = edges[np.argsort(edges[:, 0], kind="stable")]
+
+    paths, bounds = _ranged_edge_files(edges, tmp_path, E, "a")
+    g = ShardedGraph.build(paths, n=n, num_owners=E, num_edge_shards=E,
+                           canonical_scatter=True)
+
+    # churn: remove 4.8%, add the same count of fresh (disjoint) edges
+    k = int(len(edges) * 0.048)
+    rem_idx = rng.choice(len(edges), k, replace=False)
+    removed = edges[rem_idx]
+    existing = set(key.tolist())
+    cand = rng.integers(0, n, (3 * k, 2)).astype(np.int64)
+    cand = cand[cand[:, 0] != cand[:, 1]]
+    ck = cand[:, 0] * n + cand[:, 1]
+    fresh = ~np.isin(ck, key)
+    added = cand[fresh][:k]
+    assert len(added) == k
+
+    import ray.data as rd2
+    info = g.apply_edge_delta(
+        added=rd2.from_arrow(pa.table({"src": added[:, 0],
+                                       "dst": added[:, 1]})),
+        removed=rd2.from_arrow(pa.table({"src": removed[:, 0],
+                                         "dst": removed[:, 1]})),
+        n=n)
+    assert info["m"] == len(edges) - k + k
+    ranks_d, _ = pagerank(g, tol=0.0, max_iter=10)
+    ranks_d = ranks_d.to_pandas().sort_values("vid").reset_index(drop=True)
+    g.shutdown()
+
+    # cold twin: post-delta edge set routed by the SAME boundaries
+    bkey = np.setdiff1d(key, removed[:, 0] * n + removed[:, 1])
+    bkey = np.union1d(bkey, added[:, 0] * n + added[:, 1])
+    b_edges = np.stack([bkey // n, bkey % n], axis=1)
+    route = np.searchsorted(bounds, b_edges[:, 0], side="right")
+    import pyarrow.parquet as pq
+    b_paths = []
+    for e in range(E):
+        chunk = b_edges[route == e]
+        p = str(tmp_path / f"b-{e:02d}.parquet")
+        pq.write_table(pa.table({"src": chunk[:, 0], "dst": chunk[:, 1]}), p)
+        b_paths.append(p)
+    g2 = ShardedGraph.build(b_paths, n=n, num_owners=E, num_edge_shards=E,
+                            canonical_scatter=True)
+    ranks_c, _ = pagerank(g2, tol=0.0, max_iter=10)
+    ranks_c = ranks_c.to_pandas().sort_values("vid").reset_index(drop=True)
+    g2.shutdown()
+
+    assert list(ranks_d["vid"]) == list(ranks_c["vid"])
+    assert (ranks_d["rank"].to_numpy()
+            == ranks_c["rank"].to_numpy()).all(), "delta solve not bit-exact"
+
+
+def test_apply_edge_delta_guards(tmp_path):
+    import pytest as _pytest
+    import ray.data as rd2
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph
+
+    rng = np.random.default_rng(3)
+    edges = rng.integers(0, 1000, (5000, 2)).astype(np.int64)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    edges = edges[np.argsort(edges[:, 0], kind="stable")]
+    paths, _ = _ranged_edge_files(edges, tmp_path, 2, "g")
+
+    # default (non-canonical) build refuses deltas
+    g = ShardedGraph.build(paths, num_owners=2, num_edge_shards=2)
+    with _pytest.raises(Exception, match="canonical_scatter"):
+        g.apply_edge_delta(added=rd2.from_arrow(
+            pa.table({"src": pa.array([1], pa.int64()),
+                      "dst": pa.array([2], pa.int64())})))
+    g.shutdown()
+
+    # a random (non-range-partitioned) layout refuses deltas
+    shuf = edges[rng.permutation(len(edges))]
+    import pyarrow.parquet as pq
+    p0 = str(tmp_path / "r0.parquet")
+    p1 = str(tmp_path / "r1.parquet")
+    pq.write_table(pa.table({"src": shuf[:2000, 0], "dst": shuf[:2000, 1]}),
+                   p0)
+    pq.write_table(pa.table({"src": shuf[2000:, 0], "dst": shuf[2000:, 1]}),
+                   p1)
+    g = ShardedGraph.build([p0, p1], num_owners=2, num_edge_shards=2,
+                           canonical_scatter=True)
+    with _pytest.raises(ValueError, match="src ranges"):
+        g.apply_edge_delta(added=rd2.from_arrow(
+            pa.table({"src": pa.array([1], pa.int64()),
+                      "dst": pa.array([2], pa.int64())})))
+    g.shutdown()

@@ -75,6 +75,55 @@ out.materialize().write_parquet(sys.argv[2] + "_sssp")
 g.shutdown()
 ray.shutdown()
 EOF
+
+# mid-iteration resume parity for the label/distance fixpoints on the
+# SAME two-raylet topology (r3 verdict directive 4): stop cc/lp/sssp
+# after k sweeps via max_iter (stands in for a killed job), resume from
+# the checkpoints, and require bit-identical results vs the
+# uninterrupted run
+python - "$EDGES" "$WORK" <<'EOF'
+import sys
+import ray
+ray.init(address="127.0.0.1:6379")
+import ray.data as rd
+from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
+                                                 connected_components,
+                                                 label_propagation,
+                                                 sssp_distances)
+edges = rd.read_parquet(sys.argv[1]).materialize()
+work = sys.argv[2]
+
+def fresh(und):
+    return ShardedGraph.build(edges, num_owners=8, undirected=und)
+
+for name, und, run in (
+        ("cc", True, lambda g, **kw: connected_components(g, **kw)),
+        ("lp", True, lambda g, **kw: label_propagation(g, max_iter=8, **kw)),
+        ("sssp", False, lambda g, **kw: sssp_distances(g, 0, **kw))):
+    g = fresh(und)
+    ref, info = run(g)
+    ref.materialize().write_parquet(f"{work}/{name}_uninterrupted")
+    g.shutdown()
+    ck = f"{work}/ck_{name}"
+    g = fresh(und)
+    # "killed" after 2 sweeps: max_iter=2 with per-sweep checkpoints
+    if name == "lp":
+        label_propagation(g, max_iter=2, checkpoint_dir=ck,
+                          checkpoint_every=1)
+    elif name == "cc":
+        connected_components(g, max_iter=2, checkpoint_dir=ck,
+                             checkpoint_every=1)
+    else:
+        sssp_distances(g, 0, max_iter=2, checkpoint_dir=ck,
+                       checkpoint_every=1)
+    g.shutdown()
+    g = fresh(und)
+    out, info2 = run(g, checkpoint_dir=ck, resume=True)
+    out.materialize().write_parquet(f"{work}/{name}_resumed")
+    g.shutdown()
+    assert info2["sweeps"] == info["sweeps"], (name, info2, info)
+ray.shutdown()
+EOF
 cleanup
 
 # single-node reference run (full gather) on the same input
@@ -144,6 +193,13 @@ sp1 = (pq.read_table(f"{w}/single_sssp").to_pandas()
        .sort_values("vid").reset_index(drop=True))
 assert sp2.equals(sp1), "SSSP topology mismatch"
 print("SSSP two-node == single-node (bit-exact)")
+for name in ("cc", "lp", "sssp"):
+    full = (pq.read_table(f"{w}/{name}_uninterrupted").to_pandas()
+            .sort_values("vid").reset_index(drop=True))
+    res = (pq.read_table(f"{w}/{name}_resumed").to_pandas()
+           .sort_values("vid").reset_index(drop=True))
+    assert res.equals(full), f"{name} resume diverged"
+    print(f"{name} stop-after-2 -> resume == uninterrupted (bit-exact)")
 print("REHEARSAL OK: cross-raylet subscribe parity + mid-iteration resume"
-      " + bow-tie/SALSA/SSSP topology parity")
+      " (pagerank/cc/lp/sssp) + bow-tie/SALSA/SSSP topology parity")
 EOF
