@@ -25,65 +25,122 @@ from ..stages.text_ops import tokenize
 
 
 def term_freq_table(docs_ds, id_col="doc_id", text_col="text"):
-    """(doc, term, tf) rows — one per distinct term per doc."""
-    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+    """(doc, term, tf) rows — one per distinct term per doc.
+
+    Arrow in/out (r4 cleanup): the input docs table is text-heavy, and a
+    pandas batch format forced a full copy of the text column per batch;
+    only the two needed columns are pulled out of the zero-copy Arrow
+    block now.  The per-doc Counter walk stays — tokenize is per-string
+    regex work with no vectorized form."""
+    import pyarrow as pa
+
+    def _explode(t: pa.Table) -> pa.Table:
         ids, terms, tfs = [], [], []
-        for doc_id, text in zip(batch[id_col], batch[text_col]):
+        for doc_id, text in zip(t[id_col].to_pylist(),
+                                t[text_col].to_pylist()):
             for term, tf in Counter(tokenize(text)).items():
                 ids.append(doc_id)
                 terms.append(term)
                 tfs.append(float(tf))
-        return pd.DataFrame({id_col: ids, "term": terms, "tf": tfs})
+        id_type = t.schema.field(id_col).type
+        return pa.table({
+            id_col: pa.array(ids, id_type),
+            "term": pa.array(terms, pa.string()),
+            "tf": pa.array(tfs, pa.float64())})
 
-    return docs_ds.map_batches(_explode, batch_format="pandas")
+    return docs_ds.map_batches(_explode, batch_format="pyarrow")
 
 
 def build_tfidf_tables(docs_ds, id_col="doc_id", text_col="text",
-                       num_partitions: int = 8):
+                       num_partitions: int = 8,
+                       broadcast_max_terms: int = 5_000_000):
     """Returns (postings_ds (doc, term, weight), norms_ds (doc, norm),
     df_ds (term, df), N).  Weights/norms follow api/tfidf_index.py:65-93.
 
     NOTE: the reference counts only docs with ≥1 token into N
     (api/tfidf_index.py:55-58) — replicated here.
+
+    Physical plan (r4): the idf side is a VOCABULARY table — when it
+    fits a worker heap (≤ ``broadcast_max_terms`` rows) the
+    postings-weight step broadcasts {term: idf} via ``ray.put`` and maps
+    each tf batch locally, removing the full-explode all-to-all string
+    join that used to dominate this pipeline; above the threshold the
+    hash join runs (billions of distinct terms at 100 TB).  Weights are
+    identical either way (same np.log inputs, one multiply).
     """
+    import pyarrow as pa
+    import ray
+
     tf = drop_empty_blocks(term_freq_table(docs_ds, id_col, text_col))
     # N = docs with ≥1 token, counted dataset-side (no driver list)
     N = tf.select_columns([id_col]).groupby(id_col).count().count()
 
     from ..stages.relational import rename
     df_ds = drop_empty_blocks(
-        rename(tf.groupby("term").count(), {"count()": "df"}))
+        rename(tf.groupby("term").count(), {"count()": "df"})).materialize()
 
-    def _idf(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["idf"] = np.log((1.0 + N) / (1.0 + batch["df"])) + 1.0
-        return batch
+    def _idf(t: pa.Table) -> pa.Table:
+        df = t["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return t.append_column(
+            "idf", pa.array(np.log((1.0 + N) / (1.0 + df)) + 1.0,
+                            pa.float64()))
 
-    idf_ds = df_ds.map_batches(_idf, batch_format="pandas")
+    idf_ds = df_ds.map_batches(_idf, batch_format="pyarrow")
 
-    from ..stages.relational import inner_join
-    postings = inner_join(tf, idf_ds.select_columns(["term", "idf"]),
-                          on="term", num_partitions=num_partitions)
+    n_terms = df_ds.count()
+    if n_terms <= broadcast_max_terms:
+        parts = [ray.get(r) for r in idf_ds.materialize().to_arrow_refs()]
+        live = [p for p in parts if p.num_rows]
+        idf_map = {}
+        for p in live:
+            idf_map.update(zip(p["term"].to_pylist(),
+                               p["idf"].to_numpy(zero_copy_only=False)))
+        iref = ray.put(idf_map)
 
-    def _weight(batch: pd.DataFrame) -> pd.DataFrame:
-        batch["weight"] = batch["tf"] * batch["idf"]
-        return batch[[id_col, "term", "weight"]]
+        def _weight_bc(t: pa.Table) -> pa.Table:
+            w = ray.get(iref)
+            tfv = t["tf"].to_numpy(zero_copy_only=False)
+            terms = t["term"].to_pylist()
+            idfv = np.fromiter((w[x] for x in terms), dtype=np.float64,
+                               count=len(terms))
+            return pa.table({id_col: t[id_col].combine_chunks(),
+                             "term": t["term"].combine_chunks(),
+                             "weight": pa.array(tfv * idfv, pa.float64())})
 
-    postings = drop_empty_blocks(
-        postings.map_batches(_weight, batch_format="pandas"))
+        postings = drop_empty_blocks(
+            tf.map_batches(_weight_bc, batch_format="pyarrow"))
+    else:
+        from ..stages.relational import inner_join
+        postings = inner_join(
+            tf, idf_ds.select_columns(["term", "idf"]),
+            on="term", num_partitions=num_partitions)
 
-    sq = postings.map_batches(
-        lambda b: pd.DataFrame({id_col: b[id_col],
-                                "w2": b["weight"] ** 2}),
-        batch_format="pandas")
-    norms = sq.groupby(id_col).sum("w2")
+        def _weight(t: pa.Table) -> pa.Table:
+            tfv = t["tf"].to_numpy(zero_copy_only=False)
+            idfv = t["idf"].to_numpy(zero_copy_only=False)
+            return pa.table({id_col: t[id_col].combine_chunks(),
+                             "term": t["term"].combine_chunks(),
+                             "weight": pa.array(tfv * idfv, pa.float64())})
 
-    def _sqrt(batch: pd.DataFrame) -> pd.DataFrame:
-        n = np.sqrt(batch["sum(w2)"].to_numpy())
+        postings = drop_empty_blocks(
+            postings.map_batches(_weight, batch_format="pyarrow"))
+
+    def _sq(t: pa.Table) -> pa.Table:
+        w = t["weight"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: t[id_col].combine_chunks(),
+                         "w2": pa.array(w * w, pa.float64())})
+
+    norms = (postings.map_batches(_sq, batch_format="pyarrow")
+             .groupby(id_col).sum("w2"))
+
+    def _sqrt(t: pa.Table) -> pa.Table:
+        n = np.sqrt(t["sum(w2)"].to_numpy(zero_copy_only=False))
         n[n <= 0] = 1.0                      # api/tfidf_index.py:92 guard
-        batch["norm"] = n
-        return batch[[id_col, "norm"]]
+        return pa.table({id_col: t[id_col].combine_chunks(),
+                         "norm": pa.array(n, pa.float64())})
 
-    norms = drop_empty_blocks(norms.map_batches(_sqrt, batch_format="pandas"))
+    norms = drop_empty_blocks(
+        norms.map_batches(_sqrt, batch_format="pyarrow"))
     return postings, norms, df_ds, N
 
 
@@ -110,27 +167,35 @@ def search(postings_ds, norms_ds, df_ds, N, query: str, top_k: int = 10,
     # fetch df for ONLY the query's terms (a handful of rows) — never the
     # whole vocabulary (ADVICE r1: take_all() here was a driver OOM at
     # web-corpus scale)
-    q_terms = set(tokenize(query))
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    q_terms = sorted(set(tokenize(query)))
+    qset = pa.array(q_terms, pa.string())
     df_small = df_ds.map_batches(
-        lambda b, _t=q_terms: b[b["term"].isin(_t)],
-        batch_format="pandas")
+        lambda t, _q=qset: t.filter(pc.is_in(t["term"], value_set=_q)),
+        batch_format="pyarrow")
     df_map = {r["term"]: r["df"] for r in df_small.take_all()}
     weights, q_norm = query_weights(query, df_map, N)
     if not weights:
         return None
     wref = ray.put(weights)
 
-    def _dot(batch: pd.DataFrame) -> pd.DataFrame:
+    def _dot(t: pa.Table) -> pa.Table:
         w = ray.get(wref)
-        mask = batch["term"].isin(w)
-        sub = batch[mask]
-        return pd.DataFrame({
-            id_col: sub[id_col],
-            "dot": sub["weight"] * sub["term"].map(w),
-        })
+        sub = t.filter(pc.is_in(
+            t["term"], value_set=pa.array(sorted(w), pa.string())))
+        terms = sub["term"].to_pylist()
+        wv = np.fromiter((w[x] for x in terms), dtype=np.float64,
+                         count=len(terms))
+        return pa.table({
+            id_col: sub[id_col].combine_chunks(),
+            "dot": pa.array(
+                sub["weight"].to_numpy(zero_copy_only=False) * wv,
+                pa.float64())})
 
     dots = drop_empty_blocks(
-        postings_ds.map_batches(_dot, batch_format="pandas")
+        postings_ds.map_batches(_dot, batch_format="pyarrow")
         .groupby(id_col).sum("dot"))
 
     from ..stages.relational import inner_join, topk
@@ -224,12 +289,13 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
     q_terms = sorted(set(tokenize(query)))
     if not q_terms:
         return None
-    qset = set(q_terms)
 
     # prune the explode to the query's terms BEFORE any shuffle
+    # (Arrow filter: no pandas copy of the full explode, r4 cleanup)
+    qarr = pa.array(q_terms, pa.string())
     qtf = drop_empty_blocks(tf.map_batches(
-        lambda bt, _t=qset: bt[bt["term"].isin(_t)],
-        batch_format="pandas")).materialize()
+        lambda bt, _q=qarr: bt.filter(pc.is_in(bt["term"], value_set=_q)),
+        batch_format="pyarrow")).materialize()
 
     # df over the pruned explode: ≤|q| rows ever reach the driver
     df_map = {r["term"]: float(r["count()"])

@@ -111,23 +111,35 @@ def edges_to_ids(edges_url_ds, vertices_ds, num_partitions: int = 16,
     billions of rows."""
     n_v = vertices_ds.count()
     if n_v <= broadcast_max_vertices:
-        import pandas as pd
         parts = [ray.get(r) for r in vertices_ds.to_arrow_refs()]
         v = pa.concat_tables([p.select(["url", "vid"]) for p in parts
                               if p.num_rows])
-        vmap_ref = ray.put(pd.Series(
-            v["vid"].to_numpy(zero_copy_only=False),
-            index=v["url"].to_pandas()))
+        urls = v["url"].to_numpy(zero_copy_only=False)
+        vids = v["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(urls)
+        # broadcast the SORTED (url, vid) arrays once; per-batch lookup
+        # is a binary search — Arrow in/out, no pandas index build
+        vmap_ref = ray.put((urls[order], vids[order]))
 
-        def _map(batch: "pd.DataFrame") -> "pd.DataFrame":
-            vmap = ray.get(vmap_ref)
-            src = vmap.reindex(batch["src_url"]).to_numpy()
-            dst = vmap.reindex(batch["dst_url"]).to_numpy()
-            keep = ~(np.isnan(src) | np.isnan(dst))
-            return pd.DataFrame({"src": src[keep].astype(np.int64),
-                                 "dst": dst[keep].astype(np.int64)})
+        def _lookup(us, vs, keys):
+            if not len(us):
+                return np.full(len(keys), -1, dtype=np.int64)
+            idx = np.minimum(np.searchsorted(us, keys), len(us) - 1)
+            out = vs[idx]
+            out[us[idx] != keys] = -1
+            return out
 
-        return edges_url_ds.map_batches(_map, batch_format="pandas")
+        def _map(t: pa.Table) -> pa.Table:
+            us, vs = ray.get(vmap_ref)
+            src = _lookup(us, vs,
+                          t["src_url"].to_numpy(zero_copy_only=False))
+            dst = _lookup(us, vs,
+                          t["dst_url"].to_numpy(zero_copy_only=False))
+            keep = (src >= 0) & (dst >= 0)
+            return pa.table({"src": pa.array(src[keep], pa.int64()),
+                             "dst": pa.array(dst[keep], pa.int64())})
+
+        return edges_url_ds.map_batches(_map, batch_format="pyarrow")
     v_src = vertices_ds.rename_columns({"vid": "src", "url": "src_url"})
     v_dst = vertices_ds.rename_columns({"vid": "dst", "url": "dst_url"})
     e = inner_join(edges_url_ds, v_src, on="src_url",

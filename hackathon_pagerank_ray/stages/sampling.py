@@ -66,13 +66,15 @@ def hash_sample(ds, key_col: str, rate: float, seed=42):
 
     thr_num = int(thr, 16)
 
-    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch
-        keep = _bucket32(seed, batch[key_col].to_numpy()) < thr_num
-        return batch[keep]
+    def _keep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        if not t.num_rows:
+            return t
+        keep = _bucket32(
+            seed, t[key_col].to_numpy(zero_copy_only=False)) < thr_num
+        return t.filter(pa.array(keep))
 
-    return ds.map_batches(_keep, batch_format="pandas")
+    return ds.map_batches(_keep, batch_format="pyarrow")
 
 
 def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
@@ -85,15 +87,17 @@ def hash_split(ds, key_col: str, frac: float = 0.9, seed=42,
 
     thr_num = int(thr, 16)
 
-    def _tag(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            batch[split_col] = pd.Series(dtype=object)
-            return batch
-        train = _bucket32(seed, batch[key_col].to_numpy()) < thr_num
-        batch[split_col] = np.where(train, "train", "holdout")
-        return batch
+    def _tag(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        if not t.num_rows:
+            return t.append_column(split_col,
+                                   pa.array([], pa.string()))
+        train = _bucket32(
+            seed, t[key_col].to_numpy(zero_copy_only=False)) < thr_num
+        return t.append_column(
+            split_col, pa.array(np.where(train, "train", "holdout")))
 
-    return ds.map_batches(_tag, batch_format="pandas")
+    return ds.map_batches(_tag, batch_format="pyarrow")
 
 
 def mix_sources(ds, rates: dict, source_col: str = "source",
@@ -112,15 +116,18 @@ def mix_sources(ds, rates: dict, source_col: str = "source",
     thr = {s: int(rate_threshold_hex(min(r, 1.0)), 16)
            if r < 1.0 else (1 << 32) for s, r in rates.items()}
 
-    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch
-        h = _bucket32(seed, batch[key_col].to_numpy())
-        t = (batch[source_col].map(thr).fillna(0)
-             .to_numpy(dtype=np.int64))
-        return batch[h < t]
+    def _keep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        if not t.num_rows:
+            return t
+        h = _bucket32(seed, t[key_col].to_numpy(zero_copy_only=False))
+        sources = t[source_col].to_numpy(zero_copy_only=False)
+        tv = np.zeros(t.num_rows, dtype=np.int64)
+        for s, lim in thr.items():              # |rates| distinct sources
+            tv[sources == s] = lim
+        return t.filter(pa.array(h < tv))
 
-    return ds.map_batches(_keep, batch_format="pandas")
+    return ds.map_batches(_keep, batch_format="pyarrow")
 
 
 def stratified_sample(ds, key_col: str, id_col: str, n_per_key: int,
@@ -162,16 +169,17 @@ def quality_weighted_sample(ds, key_col: str, weight_col: str, seed=42):
     keeps; otherwise keep iff ``substr(md5('{seed}:{key}'),1,8) <
     printf('%08x', floor(weight · 2³²))``."""
 
-    def _keep(batch: pd.DataFrame) -> pd.DataFrame:
-        if not len(batch):
-            return batch
-        w = batch[weight_col].to_numpy(dtype=np.float64)
-        h = _bucket32(seed, batch[key_col].to_numpy())
+    def _keep(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+        if not t.num_rows:
+            return t
+        w = t[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64, copy=False)
+        h = _bucket32(seed, t[key_col].to_numpy(zero_copy_only=False))
         thr = np.floor(np.clip(w, 0.0, 1.0) * 4294967296.0).astype(np.int64)
-        keep = (w >= 1.0) | (h < thr)
-        return batch[keep]
+        return t.filter(pa.array((w >= 1.0) | (h < thr)))
 
-    return ds.map_batches(_keep, batch_format="pandas")
+    return ds.map_batches(_keep, batch_format="pyarrow")
 
 
 def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 7,
@@ -191,9 +199,11 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 7,
     """
     from .aggregates import prefix_sum
 
-    def _key(df: pd.DataFrame) -> pd.DataFrame:
+    def _key(t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
         from .stats import _bulk_md5_upper_be
-        ids = df[id_col].to_numpy()
+        ids = t[id_col].to_numpy(zero_copy_only=False)
         # enforce the packed-key bound: an id outside [0, 2**32) would
         # silently corrupt both the ordering key and the recovered id
         if len(ids) and (ids.min() < 0 or ids.max() >= 2 ** 32):
@@ -205,10 +215,11 @@ def deterministic_shuffle(ds, id_col: str = "doc_id", seed: int = 7,
         # the big-endian 8-byte hash value (bulk-hashed, no per-id loop)
         h64 = _bulk_md5_upper_be(ids.astype(str), [f"{seed}:"])[0]
         h = ((h64 >> np.uint64(32)).astype(np.int64)) & 0x7FFFFFFF
-        return pd.DataFrame({"skey": (h << 32) | ids,
-                             "one": np.ones(len(ids), dtype=np.int64)})
+        return pa.table({
+            "skey": pa.array((h << 32) | ids, pa.int64()),
+            "one": pa.array(np.ones(len(ids), dtype=np.int64))})
 
-    pos = prefix_sum(ds.map_batches(_key, batch_format="pandas"),
+    pos = prefix_sum(ds.map_batches(_key, batch_format="pyarrow"),
                      "skey", "one", out_col=out_col)
 
     def _unpack(t):
