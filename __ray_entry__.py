@@ -2294,6 +2294,87 @@ def _q_closeness(sf_dir):
                                 sources=np.arange(100, dtype=np.int64))
 
 
+def _q_closeness_sharded(sf_dir):
+    """The SAME closeness computation forced through the partitioned
+    K-lane BFS (``small_threshold=0`` — no broadcast CSR anywhere; the
+    r4 at-scale path).  Distances and reach counts are exact integer
+    sums on both plans, so this matches the identical SQL twin
+    bit-for-bit — the driver-gated proof that the sharded plan is
+    value-exact, not just allclose."""
+    _quiet()
+    import numpy as np
+    from hackathon_pagerank_ray.graph.betweenness import \
+        closeness_centrality
+    return closeness_centrality(_edges_ds(sf_dir), num_partitions=8,
+                                sources=np.arange(100, dtype=np.int64),
+                                small_threshold=0, lanes=8)
+
+
+def _q_delta_pagerank(sf_dir):
+    """PageRank on a mesh patched by ``apply_edge_delta`` (r4): build
+    over a deterministic 95% of the edges (md5-keyed keep on the packed
+    edge code — key-stable like every sampler here), routed into 4
+    contiguous src ranges, then delta-apply the remaining 5% and solve.
+    The post-delta edge set IS the full set, so the oracle is the
+    standard unrolled power iteration over all edges — driver-gated
+    evidence that the incremental patch solves exactly like a cold
+    build."""
+    _quiet()
+    import os as _os
+    import tempfile
+
+    import numpy as np
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.stages.sampling import (_bucket32,
+                                                        rate_threshold_hex)
+
+    e = _edges_ds(sf_dir).materialize()
+    n = int(max(e.max("src"), e.max("dst"))) + 1
+    bmax = int(e.max("src"))
+    step = (bmax + 4) // 4
+    bounds = [step, 2 * step, 3 * step]
+    thr = int(rate_threshold_hex(0.95), 16)
+
+    def _split_mask(t: pa.Table, keep: bool) -> pa.Table:
+        src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+        dst = t["dst"].combine_chunks().to_numpy(zero_copy_only=False)
+        key = (src.astype(np.int64) * 1024 + dst).astype(str)
+        m = _bucket32(77, key) < thr
+        return t.filter(pa.array(m if keep else ~m))
+
+    base = e.map_batches(lambda t: _split_mask(t, True),
+                         batch_format="pyarrow")
+    delta = e.map_batches(lambda t: _split_mask(t, False),
+                          batch_format="pyarrow")
+
+    tmp = tempfile.mkdtemp(prefix="graft_delta_q_")
+    paths = []
+    for i in range(4):
+        lo = 0 if i == 0 else bounds[i - 1]
+        hi = bounds[i] if i < 3 else bmax + 1
+
+        def _rng(t: pa.Table, _lo=lo, _hi=hi) -> pa.Table:
+            src = t["src"].combine_chunks().to_numpy(zero_copy_only=False)
+            return t.filter(pa.array((src >= _lo) & (src < _hi)))
+
+        d = _os.path.join(tmp, f"r{i}")
+        base.map_batches(_rng, batch_format="pyarrow") \
+            .repartition(1).write_parquet(d)
+        files = [_os.path.join(d, f) for f in sorted(_os.listdir(d))
+                 if f.endswith(".parquet")]
+        paths.extend(files)
+
+    g = ShardedGraph.build(paths, n=n, num_owners=4, num_edge_shards=4,
+                           canonical_scatter=True)
+    try:
+        g.apply_edge_delta(added=delta, n=n)
+        ranks, _ = pagerank(g, tol=0.0, max_iter=_PR_SWEEPS)
+        return ranks.materialize()
+    finally:
+        g.shutdown()
+
+
 def _q_assortativity(sf_dir):
     """Out–in degree assortativity of the edge graph (exact integer
     moments — bit-equal SQL twin)."""
@@ -2534,6 +2615,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity": _q_assortativity,
         "katz": _q_katz,
         "closeness": _q_closeness,
+        "closeness_sharded": _q_closeness_sharded,
+        "delta_pagerank": _q_delta_pagerank,
         "jaccard_linkpred": _q_jaccard_linkpred,
         "harmonic_exact": _q_harmonic_exact,
         "two_hop": _q_two_hop,
@@ -5165,6 +5248,31 @@ SELECT s AS vid,
   CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable
 FROM sp GROUP BY s
 """,
+        # the SAME BFS twin checks the partitioned K-lane plan (r4:
+        # graph/brandes_sharded.distance_stats_sharded) — exact integer
+        # distance sums make the two engine plans AND the SQL agree
+        # bit-for-bit
+        "closeness_sharded": f"""
+WITH RECURSIVE
+e AS (SELECT DISTINCT src, dst FROM ({_EDGE_SQL})),
+srcs AS (SELECT DISTINCT src FROM e WHERE src < 100),
+r(s, v, d) AS (
+  SELECT src, src, 0 FROM srcs
+  UNION
+  SELECT r.s, e.dst, r.d + 1 FROM r JOIN e ON e.src = r.v WHERE r.d < 32
+),
+sp AS (SELECT s, v, MIN(d) AS d FROM r GROUP BY s, v)
+SELECT s AS vid,
+  CASE WHEN COUNT(*) = 1 THEN 0.0
+       ELSE CAST(COUNT(*) - 1 AS DOUBLE) / CAST(SUM(d) AS DOUBLE) END
+    AS closeness,
+  CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable
+FROM sp GROUP BY s
+""",
+        # delta-applied mesh (r4 apply_edge_delta): the patched 95%+5%
+        # mesh solves the FULL edge set, so the oracle is the standard
+        # unrolled power iteration — identical to the "pagerank" twin
+        "delta_pagerank": _pagerank_oracle_sql(),
         # truncated Katz centrality (graph/katz.katz_dataset): unrolled
         # EXACT integer sweeps (y_t = 20^t x_t), one double division
         "katz": _katz_sql(inv_alpha=20, sweeps=8),
