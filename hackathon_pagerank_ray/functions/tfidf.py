@@ -24,6 +24,18 @@ from ..stages.schema_util import drop_empty_blocks
 from ..stages.text_ops import tokenize
 
 
+def _id_is_int(ds, id_col: str) -> bool:
+    """True iff the dataset has a known schema with an integer id column
+    (the gate for the int64 task-shuffle fast paths; empty datasets have
+    no schema and take the generic fallback)."""
+    import pyarrow as pa
+    sch = ds.schema()
+    if sch is None or id_col not in sch.names:
+        return False
+    t = dict(zip(sch.names, sch.types)).get(id_col)
+    return isinstance(t, pa.DataType) and pa.types.is_integer(t)
+
+
 def term_freq_table(docs_ds, id_col="doc_id", text_col="text"):
     """(doc, term, tf) rows — one per distinct term per doc.
 
@@ -71,9 +83,20 @@ def build_tfidf_tables(docs_ds, id_col="doc_id", text_col="text",
     import pyarrow as pa
     import ray
 
-    tf = drop_empty_blocks(term_freq_table(docs_ds, id_col, text_col))
-    # N = docs with ≥1 token, counted dataset-side (no driver list)
-    N = tf.select_columns([id_col]).groupby(id_col).count().count()
+    # materialize the explode ONCE: N, df and the postings map each
+    # consume it, and a lazy plan would re-run the tokenizer per consumer
+    # (the object store holds — and spills — the exploded rows; the
+    # tokenize pass is the pipeline's dominant compute)
+    tf = drop_empty_blocks(
+        term_freq_table(docs_ds, id_col, text_col)).materialize()
+    # N = docs with ≥1 token, counted dataset-side (no driver list);
+    # int64 ids go through the two-wave task distinct instead of the
+    # sort-based groupby (same exact count, a fraction of the fixed cost)
+    if _id_is_int(tf, id_col):
+        from ..stages.taskshuffle import distinct_int64
+        N = distinct_int64(tf.select_columns([id_col]), id_col).count()
+    else:
+        N = tf.select_columns([id_col]).groupby(id_col).count().count()
 
     from ..stages.relational import rename
     df_ds = drop_empty_blocks(
@@ -263,10 +286,32 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
 
     from ..stages.relational import inner_join, rename, topk
 
-    tf = drop_empty_blocks(term_freq_table(docs_ds, id_col, text_col))
-    # doc length = Σ tf (exact small ints carried as float64)
-    dl = rename(tf.groupby(id_col).sum("tf"),
-                {"sum(tf)": "dl"}).materialize()
+    # materialized once: dl and the query-term prune both consume the
+    # explode, and a lazy plan would tokenize the corpus twice
+    tf = drop_empty_blocks(
+        term_freq_table(docs_ds, id_col, text_col)).materialize()
+    # doc length = Σ tf (exact small ints carried as float64).  int64
+    # doc ids take the two-wave task shuffle (Ray's sort-based groupby
+    # has a multi-second fixed floor at this cardinality); the Ray
+    # groupby stays as the generic-key fallback.  Both are exact int
+    # sums — bit-identical.
+    if _id_is_int(tf, id_col):
+        from ..stages.taskshuffle import grouped_agg_int64
+
+        tf_int = tf.map_batches(
+            lambda t: pa.table({
+                id_col: t[id_col].combine_chunks(),
+                "f": t["tf"].combine_chunks().cast(pa.int64())}),
+            batch_format="pyarrow")
+        dl = grouped_agg_int64(tf_int, id_col, "f", out_val="dli") \
+            .map_batches(
+                lambda t: pa.table({
+                    id_col: t[id_col].combine_chunks(),
+                    "dl": t["dli"].combine_chunks().cast(pa.float64())}),
+                batch_format="pyarrow").materialize()
+    else:
+        dl = rename(tf.groupby(id_col).sum("tf"),
+                    {"sum(tf)": "dl"}).materialize()
 
     # N (docs with ≥1 token — term_freq_table emits nothing for empty
     # docs, matching build_tfidf_tables) and total tokens: both exact
@@ -306,7 +351,30 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
         return None
     iref = ray.put(idf)
 
-    scored = inner_join(qtf, dl, on=id_col, num_partitions=num_partitions)
+    # doc-length decoration: every qtf doc has a dl row by construction,
+    # so a broadcast map is semantically the inner join; below the
+    # threshold it removes the join operator's fixed exchange cost, and
+    # the hash join remains the at-scale path
+    if N <= 5_000_000:
+        dl_parts = [ray.get(r) for r in dl.to_arrow_refs()]
+        dmap = {}
+        for p in dl_parts:
+            if p.num_rows:
+                dmap.update(zip(p[id_col].to_pylist(),
+                                p["dl"].to_numpy(zero_copy_only=False)))
+        dref = ray.put(dmap)
+
+        def _with_dl(t: pa.Table) -> pa.Table:
+            dm = ray.get(dref)
+            ids = t[id_col].to_pylist()
+            return t.append_column("dl", pa.array(
+                np.fromiter((dm[i] for i in ids), dtype=np.float64,
+                            count=len(ids)), pa.float64()))
+
+        scored = qtf.map_batches(_with_dl, batch_format="pyarrow")
+    else:
+        scored = inner_join(qtf, dl, on=id_col,
+                            num_partitions=num_partitions)
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
         w = ray.get(iref)
