@@ -182,7 +182,8 @@ def run_queries(sf_dir: str) -> dict:
              "readability", "crawl_budget", "hopping_counts",
              "maximal_matching", "vertex_cover", "bpe_pairs",
              "densest_subgraph", "rectangle_count", "clique4_census",
-             "copurchase_topk", "textrank_keywords", "transitivity"]
+             "copurchase_topk", "textrank_keywords", "transitivity",
+             "closeness_sharded", "delta_pagerank"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -15,8 +15,6 @@ runs this end to end against a single DuckDB CTE oracle, so the
 
 from __future__ import annotations
 
-import pandas as pd
-
 
 def prep_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                 min_tokens: int = 5, min_stopword_ratio: float = 0.05,
@@ -36,13 +34,17 @@ def prep_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                      num_partitions=num_partitions)
     scored = add_quality_scores(kept, text_col)
 
-    def _gate(batch: pd.DataFrame) -> pd.DataFrame:
-        m = ((batch["n_tokens"] >= min_tokens)
-             & (batch["stopword_ratio"] >= min_stopword_ratio))
-        return batch[m]
+    def _gate(t):
+        # Arrow filter: a pandas batch here would copy the text column
+        # just to evaluate two numeric predicates
+        import pyarrow as pa
+        nt = t["n_tokens"].to_numpy(zero_copy_only=False)
+        sr = t["stopword_ratio"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array((nt >= min_tokens)
+                                 & (sr >= min_stopword_ratio)))
 
     gated = drop_empty_blocks(
-        scored.map_batches(_gate, batch_format="pandas"))
+        scored.map_batches(_gate, batch_format="pyarrow"))
     redacted = add_redaction(gated, text_col)
     return redacted.select_columns(
         [id_col, "n_tokens", "stopword_ratio", "text_redacted"])
