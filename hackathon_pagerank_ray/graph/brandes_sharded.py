@@ -48,14 +48,43 @@ def _reverse_ds(edges_ds):
         batch_format="pyarrow")
 
 
-def _build_meshes(edges_ds, num_owners: int):
-    """Forward + reversed full-gather meshes sharing the vid % P layout."""
+def _build_meshes(edges_ds, num_owners: int, gather_mode: str = "auto"):
+    """Forward + reversed meshes sharing the vid % P layout
+    (``gather_mode`` as in ``ShardedGraph.build``: auto picks the
+    subscribe gather on a multi-node cluster)."""
     from .engine import ShardedGraph
     g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
-                               gather_mode="full")
+                               gather_mode=gather_mode)
     g_rev = ShardedGraph.build(_reverse_ds(edges_ds), n=g_fwd.n,
-                               num_owners=num_owners, gather_mode="full")
+                               num_owners=num_owners,
+                               gather_mode=g_fwd.gather_mode)
     return g_fwd, g_rev
+
+
+def _lane_partials(graph, kind: str, level: int):
+    """One K-lane gather + shard-partial wave: full mode ships each
+    owner's whole publish matrix (one plasma object per owner, shared by
+    every shard); subscribe mode ships only each shard's subscription
+    rows (``RankOwner.lane_slices_all``, one owner call with E returns —
+    the multi-node path)."""
+    if graph.gather_mode == "full":
+        pub = ("brandes_publish_sigma" if kind == "sigma"
+               else "brandes_publish_g")
+        vals = [getattr(ow, pub).remote(level) for ow in graph.owners]
+        return [sh.lane_sum_partials.remote(*vals)
+                for sh in graph.edge_shards]
+    per_owner = []
+    for ow in graph.owners:
+        refs = ow.lane_slices_all.options(
+            num_returns=graph.E).remote(kind, level)
+        if graph.E == 1:
+            refs = [refs]
+        per_owner.append(refs)
+    return [
+        graph.edge_shards[e].lane_sum_partials.remote(
+            *[per_owner[j][e] for j in range(graph.P)])
+        for e in range(graph.E)
+    ]
 
 
 def _sample_sources(g_fwd, max_sources, seed: int):
@@ -84,10 +113,7 @@ def _forward_batch(g_fwd, batch: np.ndarray) -> int:
     ray.get([ow.brandes_init.remote(batch) for ow in g_fwd.owners])
     level = 0
     while True:
-        vals = [ow.brandes_publish_sigma.remote(level)
-                for ow in g_fwd.owners]
-        partials = [sh.lane_sum_partials.remote(*vals)
-                    for sh in g_fwd.edge_shards]
+        partials = _lane_partials(g_fwd, "sigma", level)
         changed = sum(ray.get([
             ow.brandes_apply_sigma.remote(level, *partials)
             for ow in g_fwd.owners]))
@@ -97,7 +123,8 @@ def _forward_batch(g_fwd, batch: np.ndarray) -> int:
 
 
 def betweenness_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
-                        max_sources: int | None = None, seed: int = 42):
+                        max_sources: int | None = None, seed: int = 42,
+                        gather_mode: str = "auto"):
     """(vid, betweenness) with positive centrality only — the sharded
     exact path (or the md5-sampled unbiased estimator with
     ``max_sources``, scaled by n_sources/|sample| like the broadcast
@@ -106,7 +133,7 @@ def betweenness_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
     before dispatching here)."""
     import ray
 
-    g_fwd, g_rev = _build_meshes(edges_ds, num_owners)
+    g_fwd, g_rev = _build_meshes(edges_ds, num_owners, gather_mode)
     try:
         sources, scale = _sample_sources(g_fwd, max_sources, seed)
         ray.get([ow.brandes_reset_total.remote() for ow in g_rev.owners])
@@ -123,10 +150,7 @@ def betweenness_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
             ray.get([g_rev.owners[j].brandes_load_state.remote(states[j])
                      for j in range(g_rev.P)])
             for lev in range(deepest, 0, -1):
-                vals = [ow.brandes_publish_g.remote(lev)
-                        for ow in g_rev.owners]
-                partials = [sh.lane_sum_partials.remote(*vals)
-                            for sh in g_rev.edge_shards]
+                partials = _lane_partials(g_rev, "g", lev)
                 ray.get([ow.brandes_apply_delta.remote(lev - 1, *partials)
                          for ow in g_rev.owners])
             ray.get([ow.brandes_accumulate.remote(scale)
@@ -140,7 +164,7 @@ def betweenness_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
 
 
 def distance_stats_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
-                           sources=None):
+                           sources=None, gather_mode: str = "auto"):
     """Per-source BFS reductions on the sharded mesh, forward phase only:
     returns a materialized Dataset ``(vid, sum_dist, n_reachable,
     harmonic)`` with one row per source (every outdeg>0 vertex, or the
@@ -152,7 +176,7 @@ def distance_stats_sharded(edges_ds, num_owners: int = 8, lanes: int = 8,
 
     from .engine import ShardedGraph
     g_fwd = ShardedGraph.build(edges_ds, num_owners=num_owners,
-                               gather_mode="full")
+                               gather_mode=gather_mode)
     try:
         all_src, _ = _sample_sources(g_fwd, None, 0)
         if sources is not None:

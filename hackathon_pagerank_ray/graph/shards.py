@@ -614,6 +614,20 @@ class RankOwner:
             "vid": pa.array(self.vids()[nz], pa.int64()),
             "betweenness": pa.array(self.b_total[nz], pa.float64())})
 
+    def lane_slices_all(self, kind: str, level: int):
+        """Subscribe-mode gather for the K-lane sweeps: every shard's
+        subscription row-slice of this owner's publish matrix in ONE
+        call (used with ``options(num_returns=E)``) — only the rows a
+        shard's edges touch leave the owner, the multi-node
+        bandwidth-minimal path (``kind``: "sigma" for the forward
+        frontier, "g" for the backward factor)."""
+        M = (self.brandes_publish_sigma(level) if kind == "sigma"
+             else self.brandes_publish_g(level))
+        E = len(self.subscriptions)
+        out = tuple(M[self.subscriptions[e]] for e in range(E))
+        self.metrics["gather_bytes"] += sum(o.nbytes for o in out)
+        return out if E > 1 else out[0]
+
     def distance_lane_partials(self):
         """Per-lane (Σ dist, #reached, Σ 1/dist) over this owner's slots
         with dist > 0 — the closeness/harmonic reductions of the forward
@@ -1190,19 +1204,23 @@ class EdgeShard:
         return tuple(out) if self.P > 1 else out[0]
 
     def lane_sum_partials(self, *value_matrices):
-        """K-lane plain-sum gather-scatter (sharded Brandes): each owner
-        ships its whole ``(n_local, K)`` float64 state matrix (full-mode
-        gather; rows are sliced to this shard's subscription locally),
-        and the shard returns per-destination-owner
-        ``(len(uniq_dst_local), K)`` partial-sum matrices — K bincount
-        passes over the same composed indexes the 1-lane sweeps use, so
-        transient memory stays O(m) per lane, never O(m·K)."""
+        """K-lane plain-sum gather-scatter (sharded Brandes): per owner,
+        either the whole ``(n_local, K)`` float64 state matrix (full
+        gather — rows are sliced to this shard's subscription locally)
+        or the pre-sliced ``(len(sub), K)`` subscription rows (subscribe
+        gather — the multi-node path, shipped by
+        ``RankOwner.lane_slices_all``); the shard returns
+        per-destination-owner ``(len(uniq_dst_local), K)`` partial-sum
+        matrices — K bincount passes over the same composed indexes the
+        1-lane sweeps use, so transient memory stays O(m) per lane,
+        never O(m·K)."""
         t0 = time.perf_counter()
-        if self.gather_mode != "full":
-            raise ValueError("lane_sum_partials requires gather_mode='full'")
         mats = [np.asarray(v) for v in value_matrices]
         K = mats[0].shape[1]
-        if getattr(self, "dense_gather", False):
+        if self.gather_mode != "full":
+            # subscribe: owners already sliced to this shard's rows
+            V = np.concatenate(mats, axis=0)
+        elif getattr(self, "dense_gather", False):
             V = np.concatenate(mats, axis=0)
         else:
             V = np.concatenate(

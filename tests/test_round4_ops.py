@@ -353,3 +353,34 @@ def test_apply_edge_delta_guards(tmp_path):
             pa.table({"src": pa.array([1], pa.int64()),
                       "dst": pa.array([2], pa.int64())})))
     g.shutdown()
+
+
+def test_brandes_sharded_subscribe_gather_bit_equal():
+    """The subscribe-mode lane gather (owner-side subscription slices —
+    the multi-node path) must reproduce the full-mode result bit-for-bit
+    (identical per-edge contribution order either way)."""
+    from hackathon_pagerank_ray.graph.brandes_sharded import (
+        betweenness_sharded, distance_stats_sharded)
+    from hackathon_pagerank_ray.stages.relational import distinct
+
+    src, dst = _hub_graph(seed=19)
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    e = distinct(ds, ["src", "dst"], 4).materialize()
+
+    full = betweenness_sharded(e, num_owners=2, lanes=5,
+                               gather_mode="full").to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    sub = betweenness_sharded(e, num_owners=2, lanes=5,
+                              gather_mode="subscribe").to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert list(full["vid"]) == list(sub["vid"])
+    assert (full["betweenness"].to_numpy()
+            == sub["betweenness"].to_numpy()).all()
+
+    dfull = distance_stats_sharded(e, num_owners=2, lanes=4,
+                                   gather_mode="full").to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    dsub = distance_stats_sharded(e, num_owners=2, lanes=4,
+                                  gather_mode="subscribe").to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert dfull.equals(dsub)
