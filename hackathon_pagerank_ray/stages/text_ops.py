@@ -14,6 +14,13 @@ import re
 import numpy as np
 import pandas as pd
 
+# re.UNICODE is REQUIRED reference parity (api/tfidf_index.py:23-28 uses
+# Python's default Unicode \w).  ORACLE CAVEAT (ADVICE r3): the DuckDB
+# twins' RE2 \w is effectively ASCII, so the SQL oracles match only on
+# ASCII corpora (all committed fixtures/testdata are).  A non-ASCII
+# corpus diverges from the SQL twin by design, never from the reference;
+# textrank (no reference counterpart) pins re.ASCII instead to stay
+# twin-exact.
 TOKEN_RE = re.compile(r"\b\w+\b", re.UNICODE)
 
 # small, deterministic per-language function-word profiles

@@ -73,6 +73,15 @@ g = ShardedGraph.build(edges, num_owners=8)
 out, _ = sssp_distances(g, 0)
 out.materialize().write_parquet(sys.argv[2] + "_sssp")
 g.shutdown()
+# partitioned K-lane Brandes (r4): auto-selects the subscribe lane
+# gather on two raylets; md5-sampled sources so both topologies pick
+# the identical source set
+from hackathon_pagerank_ray.graph.brandes_sharded import \
+    betweenness_sharded
+from hackathon_pagerank_ray.stages.relational import distinct
+e = distinct(edges, ["src", "dst"], 8).materialize()
+betweenness_sharded(e, num_owners=8, lanes=8, max_sources=64) \
+    .write_parquet(sys.argv[2] + "_brandes")
 ray.shutdown()
 EOF
 
@@ -148,6 +157,12 @@ g = ShardedGraph.build(edges, num_owners=8)
 out, _ = sssp_distances(g, 0)
 out.materialize().write_parquet(sys.argv[2] + "_sssp")
 g.shutdown()
+from hackathon_pagerank_ray.graph.brandes_sharded import \
+    betweenness_sharded
+from hackathon_pagerank_ray.stages.relational import distinct
+e = distinct(edges, ["src", "dst"], 8).materialize()
+betweenness_sharded(e, num_owners=8, lanes=8, max_sources=64) \
+    .write_parquet(sys.argv[2] + "_brandes")
 ray.shutdown()
 EOF
 
@@ -193,6 +208,15 @@ sp1 = (pq.read_table(f"{w}/single_sssp").to_pandas()
        .sort_values("vid").reset_index(drop=True))
 assert sp2.equals(sp1), "SSSP topology mismatch"
 print("SSSP two-node == single-node (bit-exact)")
+bw2 = (pq.read_table(f"{w}/two_node_brandes").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+bw1 = (pq.read_table(f"{w}/single_brandes").to_pandas()
+       .sort_values("vid").reset_index(drop=True))
+assert list(bw2["vid"]) == list(bw1["vid"])
+assert (bw2["betweenness"].to_numpy()
+        == bw1["betweenness"].to_numpy()).all(), "sharded Brandes diverged"
+print("sharded Brandes (subscribe lanes) two-node == single-node"
+      " (bit-exact)")
 for name in ("cc", "lp", "sssp"):
     full = (pq.read_table(f"{w}/{name}_uninterrupted").to_pandas()
             .sort_values("vid").reset_index(drop=True))
