@@ -112,13 +112,19 @@ def build_tfidf_tables(docs_ds, id_col="doc_id", text_col="text",
 
     n_terms = df_ds.count()
     if n_terms <= broadcast_max_terms:
-        parts = [ray.get(r) for r in idf_ds.materialize().to_arrow_refs()]
-        live = [p for p in parts if p.num_rows]
-        idf_map = {}
-        for p in live:
-            idf_map.update(zip(p["term"].to_pylist(),
-                               p["idf"].to_numpy(zero_copy_only=False)))
-        iref = ray.put(idf_map)
+        # the {term: idf} map is assembled in a WORKER task (the driver
+        # holds only the ObjectRef — at the 5M-term threshold the dict
+        # is ~0.5 GB, which must never live in the driver heap)
+        @ray.remote
+        def _build_map(*parts):
+            out = {}
+            for p in parts:
+                if p.num_rows:
+                    out.update(zip(p["term"].to_pylist(),
+                                   p["idf"].to_numpy(zero_copy_only=False)))
+            return out
+
+        iref = _build_map.remote(*idf_ds.materialize().to_arrow_refs())
 
         def _weight_bc(t: pa.Table) -> pa.Table:
             w = ray.get(iref)
@@ -356,13 +362,17 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
     # threshold it removes the join operator's fixed exchange cost, and
     # the hash join remains the at-scale path
     if N <= 5_000_000:
-        dl_parts = [ray.get(r) for r in dl.to_arrow_refs()]
-        dmap = {}
-        for p in dl_parts:
-            if p.num_rows:
-                dmap.update(zip(p[id_col].to_pylist(),
-                                p["dl"].to_numpy(zero_copy_only=False)))
-        dref = ray.put(dmap)
+        # worker-side map assembly: the driver holds only the ref
+        @ray.remote
+        def _build_dmap(*parts):
+            out = {}
+            for p in parts:
+                if p.num_rows:
+                    out.update(zip(p[id_col].to_pylist(),
+                                   p["dl"].to_numpy(zero_copy_only=False)))
+            return out
+
+        dref = _build_dmap.remote(*dl.to_arrow_refs())
 
         def _with_dl(t: pa.Table) -> pa.Table:
             dm = ray.get(dref)

@@ -111,15 +111,23 @@ def edges_to_ids(edges_url_ds, vertices_ds, num_partitions: int = 16,
     billions of rows."""
     n_v = vertices_ds.count()
     if n_v <= broadcast_max_vertices:
-        parts = [ray.get(r) for r in vertices_ds.to_arrow_refs()]
-        v = pa.concat_tables([p.select(["url", "vid"]) for p in parts
-                              if p.num_rows])
-        urls = v["url"].to_numpy(zero_copy_only=False)
-        vids = v["vid"].to_numpy(zero_copy_only=False).astype(np.int64)
-        order = np.argsort(urls)
-        # broadcast the SORTED (url, vid) arrays once; per-batch lookup
-        # is a binary search — Arrow in/out, no pandas index build
-        vmap_ref = ray.put((urls[order], vids[order]))
+        # broadcast the SORTED (url, vid) arrays once; the sort/concat
+        # runs in a WORKER task so the driver holds only the ObjectRef
+        # (per-batch lookup is then a binary search — Arrow in/out)
+        @ray.remote
+        def _build_vmap(*parts):
+            live = [p.select(["url", "vid"]) for p in parts if p.num_rows]
+            if not live:
+                return (np.empty(0, dtype=object),
+                        np.empty(0, dtype=np.int64))
+            v = pa.concat_tables(live)
+            urls = v["url"].to_numpy(zero_copy_only=False)
+            vids = v["vid"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            order = np.argsort(urls)
+            return urls[order], vids[order]
+
+        vmap_ref = _build_vmap.remote(*vertices_ds.to_arrow_refs())
 
         def _lookup(us, vs, keys):
             if not len(us):
