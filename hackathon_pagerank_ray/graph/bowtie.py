@@ -77,9 +77,89 @@ def _swap_src_dst(t: pa.Table) -> pa.Table:
         names=["src", "dst"])
 
 
+def _bowtie_small_fn(*parts):
+    """Whole decomposition in ONE vectorized task (the adaptive small
+    path): the same fwd/bwd min-label SCC coloring, representative
+    BFS reachability and weak-CC fixpoint the mesh runs, as in-task
+    numpy sweeps — every output is an integer count, so the two plans
+    are identical by construction."""
+    parts = [p if isinstance(p, pa.Table)
+             else pa.Table.from_pandas(p, preserve_index=False)
+             for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return None
+    t = pa.concat_tables([p.select(["src", "dst"]) for p in parts])
+    src = np.asarray(t["src"], dtype=np.int64)
+    dst = np.asarray(t["dst"], dtype=np.int64)
+    n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    if n <= 0:
+        return None
+    sent = np.iinfo(np.int64).max
+    vids = np.arange(n, dtype=np.int64)
+
+    def _min_label_fixpoint(s, d, settled_mask):
+        lab = np.where(settled_mask, sent, vids)
+        while True:
+            new = lab.copy()
+            np.minimum.at(new, d, lab[s])
+            new[settled_mask] = sent
+            if (new == lab).all():
+                return lab
+            lab = new
+
+    scc = np.full(n, -1, dtype=np.int64)
+    while (scc < 0).any():
+        settled = scc >= 0
+        fwd = _min_label_fixpoint(src, dst, settled)
+        bwd = _min_label_fixpoint(dst, src, settled)
+        m = (~settled) & (fwd == bwd) & (fwd != sent)
+        assert m.any(), "bow-tie small path made no progress"
+        scc[m] = fwd[m]
+
+    # largest SCC, ties by min label (identical tie-break to the
+    # Dataset groupby + sort in the mesh plan)
+    uniq, counts = np.unique(scc, return_counts=True)
+    best = counts.max()
+    core = int(uniq[counts == best].min())
+
+    def _reach(s, d, start):
+        r = np.zeros(n, dtype=bool)
+        r[start] = True
+        while True:
+            new = r.copy()
+            new[d[r[s]]] = True
+            if (new == r).all():
+                return r
+            r = new
+
+    fwd_r = _reach(src, dst, core)
+    bwd_r = _reach(dst, src, core)
+
+    # weak components: min-label over the symmetrized edge set
+    lab = vids.copy()
+    while True:
+        new = lab.copy()
+        np.minimum.at(new, dst, lab[src])
+        np.minimum.at(new, src, lab[dst])
+        if (new == lab).all():
+            break
+        lab = new
+    wcc_core = int(lab[core])
+
+    core_m = scc == core
+    in_m = ~core_m & bwd_r
+    out_m = ~core_m & ~in_m & fwd_r
+    tend_m = ~core_m & ~in_m & ~out_m & (lab == wcc_core)
+    c = [int(core_m.sum()), int(in_m.sum()), int(out_m.sum()),
+         int(tend_m.sum())]
+    return c + [n - sum(c)]
+
+
 def bowtie_regions(edges_ds, num_owners: int = 4,
                    num_edge_shards: int | None = None,
-                   num_partitions: int = 8):
+                   num_partitions: int = 8,
+                   small_threshold: int = 2_000_000):
     """Region sizes of the bow-tie decomposition.
 
     Returns a Dataset with columns ``(region: string, n_vertices:
@@ -87,6 +167,13 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
     The vertex universe is the engine convention ``[0, max_id + 1)``
     (isolated vids in range count as singleton weak components, i.e.
     ``DISCONNECTED``), matching :func:`strongly_connected_components`.
+
+    Adaptive small path: at or below ``small_threshold`` edge rows the
+    whole decomposition runs as one vectorized worker task (the three
+    mesh builds + ~hundreds of sweep task waves dominate wall time at
+    small scale); above it the sharded three-mesh plan runs.  All
+    outputs are integer counts — the plans are identical, and a parity
+    test pins them.
     """
     import ray
     import ray.data
@@ -102,6 +189,18 @@ def bowtie_regions(edges_ds, num_owners: int = 4,
          "n_vertices": pa.array([], pa.int64())}))
 
     edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        _small = ray.remote(_bowtie_small_fn)
+        counts5 = ray.get(_small.remote(*edges_ds.to_arrow_refs()))
+        if counts5 is None:
+            return empty
+        total = np.asarray(counts5, dtype=np.int64)
+        keep = total > 0
+        names = np.array(REGIONS)[keep]
+        order = np.argsort(names)
+        return ray.data.from_arrow(pa.table({
+            "region": pa.array(names[order], pa.string()),
+            "n_vertices": pa.array(total[keep][order], pa.int64())}))
     # ONE forward + ONE reversed mesh serve both the SCC coloring and the
     # two BFS reachability passes (owner state is re-initialized between
     # algorithms) — builds are the fixed cost here, so share them.  The

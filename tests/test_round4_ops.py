@@ -384,3 +384,18 @@ def test_brandes_sharded_subscribe_gather_bit_equal():
                                   gather_mode="subscribe").to_pandas() \
         .sort_values("vid").reset_index(drop=True)
     assert dfull.equals(dsub)
+
+
+def test_bowtie_small_path_matches_mesh():
+    """The single-task bow-tie (≤ small_threshold) must produce the
+    identical 5-region counts as the three-mesh plan (all integers)."""
+    from hackathon_pagerank_ray.graph.bowtie import bowtie_regions
+
+    for seed, gen in ((7, _random_graph), (13, _hub_graph)):
+        src, dst = gen(seed=seed)
+        ds = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+        small = bowtie_regions(ds, num_owners=2).to_pandas() \
+            .sort_values("region").reset_index(drop=True)
+        mesh = bowtie_regions(ds, num_owners=2, small_threshold=0) \
+            .to_pandas().sort_values("region").reset_index(drop=True)
+        assert small.equals(mesh), (seed, small, mesh)
