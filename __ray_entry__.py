@@ -1335,8 +1335,7 @@ def _q_connected_components(sf_dir):
 
 def _q_label_propagation(sf_dir):
     _quiet()
-    from hackathon_pagerank_ray.graph.engine import (ShardedGraph,
-                                                     label_propagation)
+    from hackathon_pagerank_ray.graph.engine import label_propagation_ds
     from hackathon_pagerank_ray.graph.triangles import canonical_undirected
 
     und = canonical_undirected(_edges_ds(sf_dir), 8).map_batches(
@@ -1344,12 +1343,7 @@ def _q_label_propagation(sf_dir):
             [t["u"].combine_chunks(), t["v"].combine_chunks()],
             names=["src", "dst"]),
         batch_format="pyarrow")
-    g = ShardedGraph.build(und, num_owners=4, undirected=True)
-    try:
-        labels, _ = label_propagation(g, max_iter=10)
-        return labels.materialize()
-    finally:
-        g.shutdown()
+    return label_propagation_ds(und, max_iter=10, num_owners=4)
 
 
 _HITS_SWEEPS = 8

@@ -1214,6 +1214,72 @@ def label_propagation(graph: ShardedGraph, max_iter: int = 10,
     return graph.labels_dataset(), {"sweeps": it + 1}
 
 
+def _lp_small_fn(max_iter: int, *parts):
+    """Whole synchronous-LP fixpoint in ONE vectorized task — the exact
+    global restatement of ``RankOwner.apply_mode_label_update``'s merge
+    (per-vertex argmax neighbor-label count, min-label tie-break), so
+    labels are identical to the mesh plan by construction."""
+    import pyarrow as pa
+    parts = [p if isinstance(p, pa.Table)
+             else pa.Table.from_pandas(p, preserve_index=False)
+             for p in parts]
+    parts = [p for p in parts if p.num_rows]
+    if not parts:
+        return pa.table({"vid": pa.array([], pa.int64()),
+                         "label": pa.array([], pa.int64())})
+    t = pa.concat_tables([p.select(["src", "dst"]) for p in parts])
+    src = np.asarray(t["src"], dtype=np.int64)
+    dst = np.asarray(t["dst"], dtype=np.int64)
+    n = int(max(src.max(initial=-1), dst.max(initial=-1))) + 1
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(max_iter):
+        lab = labels[s]
+        order = np.lexsort((lab, d))
+        dd, ll = d[order], lab[order]
+        boundary = np.ones(len(dd), dtype=bool)
+        boundary[1:] = (dd[1:] != dd[:-1]) | (ll[1:] != ll[:-1])
+        group = np.cumsum(boundary) - 1
+        cnt = np.bincount(group).astype(np.int64)
+        mi, ml = dd[boundary], ll[boundary]
+        order2 = np.lexsort((-ml, cnt, mi))
+        mi2, ml2 = mi[order2], ml[order2]
+        last = np.ones(len(mi2), dtype=bool)
+        last[:-1] = mi2[1:] != mi2[:-1]
+        new = labels.copy()
+        new[mi2[last]] = ml2[last]
+        if (new == labels).all():
+            break
+        labels = new
+    return pa.table({"vid": pa.array(np.arange(n, dtype=np.int64)),
+                     "label": pa.array(labels)})
+
+
+def label_propagation_ds(edges_ds, max_iter: int = 10,
+                         num_owners: int = 4,
+                         small_threshold: int = 2_000_000):
+    """Dataset-level LP convenience with the adaptive small path: the
+    input must already be the canonical UNDIRECTED simple edge set (as
+    ``triangles.canonical_undirected`` emits, renamed to src/dst).  At
+    or below ``small_threshold`` rows the whole fixpoint runs as one
+    vectorized task (the mesh build + per-sweep task waves dominate at
+    small scale); above it the sharded mesh runs.  Labels are identical
+    either way (integer argmax/min merge, partitioning-independent)."""
+    edges_ds = edges_ds.materialize()
+    if edges_ds.count() <= small_threshold:
+        small = ray.remote(_lp_small_fn)
+        ref = small.remote(max_iter, *edges_ds.to_arrow_refs())
+        return ray.data.from_arrow_refs([ref])
+    g = ShardedGraph.build(edges_ds, num_owners=num_owners,
+                           undirected=True)
+    try:
+        labels, _ = label_propagation(g, max_iter=max_iter)
+        return labels.materialize()
+    finally:
+        g.shutdown()
+
+
 def _checkpoint(graph: ShardedGraph, ckpt_dir: str, it: int, kind: str,
                 extra: dict):
     """Write all owner parts into ``it=<k>.tmp``, then atomically publish by

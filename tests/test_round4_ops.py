@@ -399,3 +399,22 @@ def test_bowtie_small_path_matches_mesh():
         mesh = bowtie_regions(ds, num_owners=2, small_threshold=0) \
             .to_pandas().sort_values("region").reset_index(drop=True)
         assert small.equals(mesh), (seed, small, mesh)
+
+
+def test_lp_small_path_matches_mesh():
+    from hackathon_pagerank_ray.graph.engine import label_propagation_ds
+    from hackathon_pagerank_ray.graph.triangles import canonical_undirected
+
+    src, dst = _hub_graph(seed=23)
+    und = canonical_undirected(
+        rd.from_arrow(pa.table({"src": src, "dst": dst})), 4).map_batches(
+        lambda t: pa.Table.from_arrays(
+            [t["u"].combine_chunks(), t["v"].combine_chunks()],
+            names=["src", "dst"]),
+        batch_format="pyarrow")
+    small = label_propagation_ds(und, max_iter=10, num_owners=2) \
+        .to_pandas().sort_values("vid").reset_index(drop=True)
+    mesh = label_propagation_ds(und, max_iter=10, num_owners=2,
+                                small_threshold=0).to_pandas() \
+        .sort_values("vid").reset_index(drop=True)
+    assert small.equals(mesh)
