@@ -418,3 +418,98 @@ def test_lp_small_path_matches_mesh():
                                 small_threshold=0).to_pandas() \
         .sort_values("vid").reset_index(drop=True)
     assert small.equals(mesh)
+
+
+def test_apply_edge_delta_weighted_and_repeated(tmp_path):
+    """Weighted meshes patch w alongside src/dst, and two SEQUENTIAL
+    deltas still solve bit-identically to a cold build of the final
+    edge set (the recrawl loop applies deltas every cycle)."""
+    import pyarrow.parquet as pq
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+
+    rng = np.random.default_rng(77)
+    n, E = 5_000, 3
+    key = np.unique(rng.integers(0, n, (60_000, 2)).astype(np.int64) @
+                    np.array([n, 1], dtype=np.int64))
+    edges = np.stack([key // n, key % n], axis=1)
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    key = edges[:, 0] * n + edges[:, 1]
+    w = (rng.integers(1, 8, len(edges))).astype(np.float64)
+    edges_w = np.column_stack([edges, w]).astype(np.float64)
+    order = np.argsort(edges[:, 0], kind="stable")
+    edges, w, key = edges[order], w[order], key[order]
+
+    # value-boundary range files with a w column
+    per = (len(edges) + E - 1) // E
+    cuts = [0]
+    for e in range(1, E):
+        c = min(e * per, len(edges))
+        while c < len(edges) and edges[c, 0] == edges[c - 1, 0]:
+            c += 1
+        cuts.append(c)
+    cuts.append(len(edges))
+    paths, mins = [], []
+    for e in range(E):
+        ch = slice(cuts[e], cuts[e + 1])
+        p = str(tmp_path / f"w-{e:02d}.parquet")
+        pq.write_table(pa.table({"src": edges[ch, 0], "dst": edges[ch, 1],
+                                 "w": w[ch]}), p)
+        paths.append(p)
+        mins.append(int(edges[cuts[e], 0]))
+    bounds = np.array(mins[1:], dtype=np.int64)
+
+    g = ShardedGraph.build(paths, n=n, num_owners=E, num_edge_shards=E,
+                           canonical_scatter=True, weight_col="w")
+
+    import ray.data as rd2
+
+    def _delta(seed):
+        r = np.random.default_rng(seed)
+        k = len(edges) // 25
+        rem_i = r.choice(len(edges), k, replace=False)
+        cand = r.integers(0, n, (3 * k, 2)).astype(np.int64)
+        cand = cand[cand[:, 0] != cand[:, 1]]
+        fresh = cand[~np.isin(cand[:, 0] * n + cand[:, 1], key)][:k]
+        aw = r.integers(1, 8, len(fresh)).astype(np.float64)
+        return edges[rem_i], fresh, aw
+
+    cur_key = key.copy()
+    cur_w = dict(zip(key.tolist(), w.tolist()))
+    for seed in (1, 2):
+        rem, add, aw = _delta(seed)
+        g.apply_edge_delta(
+            added=rd2.from_arrow(pa.table(
+                {"src": add[:, 0], "dst": add[:, 1], "w": aw})),
+            removed=rd2.from_arrow(pa.table(
+                {"src": rem[:, 0], "dst": rem[:, 1]})),
+            n=n)
+        rk = rem[:, 0] * n + rem[:, 1]
+        for x in rk.tolist():
+            cur_w.pop(x, None)
+        ak = add[:, 0] * n + add[:, 1]
+        for x, ww in zip(ak.tolist(), aw.tolist()):
+            cur_w[x] = ww
+        cur_key = np.array(sorted(cur_w), dtype=np.int64)
+    ranks_d, _ = pagerank(g, tol=0.0, max_iter=8)
+    ranks_d = ranks_d.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g.shutdown()
+
+    # cold twin of the FINAL edge set, same boundaries
+    b_edges = np.stack([cur_key // n, cur_key % n], axis=1)
+    b_w = np.array([cur_w[int(x)] for x in cur_key], dtype=np.float64)
+    route = np.searchsorted(bounds, b_edges[:, 0], side="right")
+    b_paths = []
+    for e in range(E):
+        m = route == e
+        p = str(tmp_path / f"wb-{e:02d}.parquet")
+        pq.write_table(pa.table({"src": b_edges[m, 0],
+                                 "dst": b_edges[m, 1], "w": b_w[m]}), p)
+        b_paths.append(p)
+    g2 = ShardedGraph.build(b_paths, n=n, num_owners=E, num_edge_shards=E,
+                            canonical_scatter=True, weight_col="w")
+    ranks_c, _ = pagerank(g2, tol=0.0, max_iter=8)
+    ranks_c = ranks_c.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g2.shutdown()
+    assert (ranks_d == ranks_c).all(), \
+        "two sequential weighted deltas must equal the cold rebuild"
