@@ -1229,9 +1229,25 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
+_OBJ_CACHE: dict = {}
+
+
+def _cached_obj(ref):
+    """Worker-process-global deserialization cache for a broadcast
+    ObjectRef: ``ray.get`` of a pickled dict re-deserializes on every
+    call, and map_groups invokes its UDF once per group."""
+    key = ref.hex()
+    got = _OBJ_CACHE.get(key)
+    if got is None:
+        import ray
+        got = _OBJ_CACHE[key] = ray.get(ref)
+    return got
+
+
 def title_edit_pairs(docs_ds, id_col: str = "doc_id",
                      text_col: str = "text", prefix_len: int = 32,
-                     num_partitions: int = 8):
+                     num_partitions: int = 8,
+                     broadcast_max_docs: int = 5_000_000):
     """Typo-level near-duplicate pairs: ``(doc_a, doc_b)`` with doc_a <
     doc_b whose first ``prefix_len`` characters (the "title" — on a real
     crawl this runs over the url or title column) are within Levenshtein
@@ -1247,23 +1263,49 @@ def title_edit_pairs(docs_ds, id_col: str = "doc_id",
     del_i(v)``.  Sharing a key only bounds ED ≤ 2, so every candidate
     is verified with the exact O(prefix_len) ≤1 check before emission.
 
-    Scale shape: each doc emits ``prefix_len + 1`` (variant, id, title)
-    rows — O(prefix_len²) bytes per doc — into ONE ``groupby(variant)``
-    shuffle; pairs are generated and verified inside each group, then
-    deduped by one distinct exchange (the same pair is found under every
-    shared variant).  Skew note: an m-doc identical-title cluster meets
-    in every variant bucket and IS m·(m−1)/2 result rows — inherent to
-    exactness; at corpus scale collapse exact duplicates first
-    (:func:`exact_text_dedup`) and feed representatives.
+    Scale shape: each doc emits ``prefix_len + 1`` candidate rows into
+    ONE hashed-variant groupby shuffle; pairs are generated and verified
+    inside each group, then deduped by one distinct exchange (the same
+    pair is found under every shared variant).  Below
+    ``broadcast_max_docs`` the id→prefix map is broadcast (built in a
+    worker task) and the shuffle carries only ``(vkey, id)`` int64 rows
+    — O(prefix_len · 16) bytes per doc instead of O(prefix_len²); above
+    it the title column rides the shuffle (the at-scale plan, no
+    broadcast of an unbounded map).  Skew note: an m-doc
+    identical-title cluster meets in every variant bucket and IS
+    m·(m−1)/2 result rows — inherent to exactness; at corpus scale
+    collapse exact duplicates first (:func:`exact_text_dedup`) and feed
+    representatives.
 
     Reference scope note: the reference has no near-dup surface at all
     (SURVEY.md §2 addenda — training-data dedup family); this adds the
     edit-distance member alongside MinHash/SimHash/set-similarity.
     """
+    import ray
+
     from .relational import distinct
     from .schema_util import drop_empty_blocks, enforce_schema
 
+    base = docs_ds.select_columns([id_col, text_col]).materialize()
+    broadcast = base.count() <= broadcast_max_docs
+    tmap_ref = None
+    if broadcast:
+        # id → prefix map assembled worker-side; the shuffle then
+        # carries only two int64 columns
+        @ray.remote
+        def _build_tmap(*parts):
+            out = {}
+            for p in parts:
+                if p.num_rows:
+                    for i, txt in zip(p[id_col].to_pylist(),
+                                      p[text_col].to_pylist()):
+                        out[i] = (txt or "")[:prefix_len]
+            return out
+
+        tmap_ref = _build_tmap.remote(*base.to_arrow_refs())
+
     def _variants(batch: pd.DataFrame) -> pd.DataFrame:
+        from .stats import _bulk_md5_upper_be
         keys, ids, titles = [], [], []
         for doc_id, text in zip(batch[id_col], batch[text_col]):
             t = (text or "")[:prefix_len]
@@ -1279,12 +1321,24 @@ def title_edit_pairs(docs_ds, id_col: str = "doc_id",
                 keys.append(v)
                 ids.append(doc_id)
                 titles.append(t)
-        return pd.DataFrame({"variant": pd.Series(keys, dtype="object"),
-                             id_col: pd.Series(ids, dtype="int64"),
-                             "title": pd.Series(titles, dtype="object")})
+        # group key = 64-bit md5 of the variant: the groupby shuffle
+        # sorts int64 instead of strings, and a hash collision can only
+        # MERGE two candidate buckets — every emitted pair is
+        # exact-verified, so merged buckets add verification work,
+        # never wrong pairs
+        if keys:
+            vkey = _bulk_md5_upper_be(
+                np.asarray(keys, dtype=object).astype(str),
+                [""])[0].astype(np.int64)
+        else:
+            vkey = np.empty(0, dtype=np.int64)
+        cols = {"vkey": pd.Series(vkey, dtype="int64"),
+                id_col: pd.Series(ids, dtype="int64")}
+        if not broadcast:
+            cols["title"] = pd.Series(titles, dtype="object")
+        return pd.DataFrame(cols)
 
-    rows = docs_ds.select_columns([id_col, text_col]).map_batches(
-        _variants, batch_format="pandas")
+    rows = base.map_batches(_variants, batch_format="pandas")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop_duplicates(subset=[id_col])
@@ -1293,7 +1347,11 @@ def title_edit_pairs(docs_ds, id_col: str = "doc_id",
             return pd.DataFrame({"doc_a": e64, "doc_b": e64})
         order = np.argsort(g[id_col].to_numpy(), kind="stable")
         ids = g[id_col].to_numpy()[order]
-        titles = g["title"].to_numpy()[order]
+        if broadcast:
+            tmap = _cached_obj(tmap_ref)
+            titles = [tmap[int(i)] for i in ids]
+        else:
+            titles = g["title"].to_numpy()[order]
         out_a, out_b = [], []
         for i in range(len(ids)):
             ti = titles[i]
@@ -1306,7 +1364,7 @@ def title_edit_pairs(docs_ds, id_col: str = "doc_id",
 
     pair_schema = pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
     verified = enforce_schema(
-        rows.groupby("variant").map_groups(_pairs, batch_format="pandas"),
+        rows.groupby("vkey").map_groups(_pairs, batch_format="pandas"),
         pair_schema)
     return drop_empty_blocks(
         distinct(verified, ["doc_a", "doc_b"], num_partitions))

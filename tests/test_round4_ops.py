@@ -513,3 +513,18 @@ def test_apply_edge_delta_weighted_and_repeated(tmp_path):
     g2.shutdown()
     assert (ranks_d == ranks_c).all(), \
         "two sequential weighted deltas must equal the cold rebuild"
+
+
+def test_title_edit_pairs_broadcast_and_shuffle_plans_agree():
+    from hackathon_pagerank_ray.stages.dedup_near import title_edit_pairs
+    docs = pa.table({
+        "doc_id": pa.array(list(range(8)), pa.int64()),
+        "text": pa.array(["alpha beta", "alpha betz", "alpha beta",
+                          "gamma delta", "gamma delt", "epsilon",
+                          "epsilo", "zeta"], pa.string())})
+    ds = rd.from_arrow(docs)
+    a = title_edit_pairs(ds, prefix_len=16).to_pandas() \
+        .sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    b = title_edit_pairs(ds, prefix_len=16, broadcast_max_docs=0) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    assert a.equals(b) and len(a) >= 4
