@@ -18,20 +18,51 @@ from __future__ import annotations
 
 def prep_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
                 min_tokens: int = 5, min_stopword_ratio: float = 0.05,
-                num_partitions: int = 8):
+                num_partitions: int = 8,
+                broadcast_max_docs: int = 5_000_000):
     """Returns a dataset ``(doc_id, n_tokens, stopword_ratio,
     text_redacted)`` of the documents that survive exact dedup and the
-    quality gate, with PII scrubbed from the surviving text."""
+    quality gate, with PII scrubbed from the surviving text.
+
+    Below ``broadcast_max_docs`` survivors the keep-id set is broadcast
+    (sorted int64 array built in a worker task — a numpy plasma object,
+    zero-copy per batch) and the dedup survivor filter is a local
+    binary-search membership test instead of the hash semi-join; the
+    join stays as the at-scale plan."""
+    import numpy as np
+    import pyarrow as pa
+    import ray
+
     from ..stages.dedup_near import exact_text_dedup
     from ..stages.relational import semi_join
     from ..stages.schema_util import drop_empty_blocks
     from ..stages.text_ops import add_quality_scores, add_redaction
 
-    base = docs_ds.select_columns([id_col, text_col])
+    base = docs_ds.select_columns([id_col, text_col]).materialize()
     keep = exact_text_dedup(base, id_col, text_col).select_columns(
         ["keep_id"])
-    kept = semi_join(base, keep, on=id_col, right_on="keep_id",
-                     num_partitions=num_partitions)
+    if base.count() <= broadcast_max_docs:
+        @ray.remote
+        def _keep_ids(*parts):
+            arrs = [np.asarray(p["keep_id"], dtype=np.int64)
+                    for p in parts if p.num_rows]
+            return (np.sort(np.concatenate(arrs)) if arrs
+                    else np.empty(0, dtype=np.int64))
+
+        kref = _keep_ids.remote(*keep.materialize().to_arrow_refs())
+
+        def _filter(t: pa.Table) -> pa.Table:
+            ks = ray.get(kref)
+            if not len(ks) or not t.num_rows:
+                return t.slice(0, 0)
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            idx = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            return t.filter(pa.array(ks[idx] == ids))
+
+        kept = base.map_batches(_filter, batch_format="pyarrow")
+    else:
+        kept = semi_join(base, keep, on=id_col, right_on="keep_id",
+                         num_partitions=num_partitions)
     scored = add_quality_scores(kept, text_col)
 
     def _gate(t):

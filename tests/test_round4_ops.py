@@ -528,3 +528,22 @@ def test_title_edit_pairs_broadcast_and_shuffle_plans_agree():
     b = title_edit_pairs(ds, prefix_len=16, broadcast_max_docs=0) \
         .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
     assert a.equals(b) and len(a) >= 4
+
+
+def test_dataprep_broadcast_and_join_plans_agree():
+    from hackathon_pagerank_ray.pipelines.dataprep import prep_corpus
+    docs = pa.table({
+        "doc_id": pa.array(list(range(6)), pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog again and again",
+            "the quick brown fox jumps over the lazy dog again and again",
+            "a different document with enough words and the stopwords in it",
+            "short",
+            "email me at a.b@c.org and the rest of this text is long enough",
+            "xxxxx yyyyy zzzzz qqqqq wwwww"], pa.string())})
+    ds = rd.from_arrow(docs)
+    a = prep_corpus(ds).to_pandas().sort_values("doc_id") \
+        .reset_index(drop=True)
+    b = prep_corpus(ds, broadcast_max_docs=0).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b) and len(a) >= 2
