@@ -63,9 +63,18 @@ class ExtractPages:
                 html_str = html.decode("utf-8", errors="replace")
             except Exception:
                 continue
-            lang, text, links, indexed = parse_page(
-                html_str, url, target_lang=self.target_lang
-            )
+            try:
+                lang, text, links, indexed = parse_page(
+                    html_str, url, target_lang=self.target_lang
+                )
+            except Exception:
+                # the stdlib tokenizer hard-rejects some malformed
+                # markup (e.g. unknown marked-section keywords raise
+                # AssertionError from _markupbase) — at web scale such
+                # pages exist and must be SKIPPED like failed fetches
+                # (crawler/core.py:260-261 drops failed pages), never
+                # allowed to kill the batch task
+                continue
             out_url.append(self._normalize_url(url))
             out_text.append(text)
             out_lang.append(lang)

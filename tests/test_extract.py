@@ -555,4 +555,46 @@ def test_fast_lexer_fuzz_mutations():
         else:
             a, b = sorted((rng.randrange(len(s)), rng.randrange(len(s))))
             s = s[:a] + s[b:]
-        assert _tree_eq(parse_html(s), parse_html_slow(s)), s[:120]
+        # the stdlib tokenizer hard-rejects some malformed markup
+        # (AssertionError from _markupbase on unknown marked-section
+        # keywords); agreement then means BOTH paths raise — the
+        # extract STAGE skips such pages like failed fetches
+        try:
+            slow = parse_html_slow(s)
+        except Exception as e:
+            try:
+                parse_html(s)
+            except Exception as e2:
+                assert type(e2) is type(e), s[:120]
+                continue
+            raise AssertionError(f"fast parsed what stdlib rejects: "
+                                 f"{s[:120]!r}")
+        assert _tree_eq(parse_html(s), slow), s[:120]
+
+
+def test_stage_skips_parser_rejected_pages():
+    """A page whose markup the stdlib tokenizer hard-rejects (unknown
+    marked-section keyword raises AssertionError) must be SKIPPED by the
+    extract stage — dropped like a failed fetch — never allowed to kill
+    the batch."""
+    import datetime
+
+    import pyarrow as pa
+    import pytest as _pytest
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.stages.extract_stage import parse_pages
+
+    bad = "<html><body>x<![DATA[boom]]></body></html>"
+    good = "<html><body>fine page text</body></html>"
+    with _pytest.raises(Exception):
+        parse_page(bad, "https://ex.org/bad")      # library API: raises
+    ts = datetime.datetime(2024, 1, 1)
+    pages = pa.table({
+        "url": pa.array(["https://ex.org/bad", "https://ex.org/good"]),
+        "warc_ts": pa.array([ts, ts],
+                            pa.timestamp("us")),
+        "html": pa.array([bad.encode(), good.encode()], pa.binary())})
+    out = parse_pages(rd.from_arrow(pages)).to_pandas()
+    assert list(out["url"]) == ["https://ex.org/good"]
+    assert out["text"].iloc[0] == "fine page text"
