@@ -246,11 +246,17 @@ def _iter_anchor_targets(doc: Document, page_url: str, base_domain: str):
         hit = cache.get(href)
         if hit is None:
             # one parse serves normalize + same-domain (the target's
-            # netloc is already lowercased by the normalization)
-            target, netloc = _norm_parts(urljoin(page_url, href))
-            passes = (get_base_domain(netloc) == base_domain
-                      and not target.startswith("mailto:")
-                      and not target.startswith("javascript:"))
+            # netloc is already lowercased by the normalization); a
+            # hostile href (e.g. a malformed IPv6 authority makes
+            # urlparse raise ValueError) is dropped like an off-domain
+            # link instead of poisoning the whole page
+            try:
+                target, netloc = _norm_parts(urljoin(page_url, href))
+                passes = (get_base_domain(netloc) == base_domain
+                          and not target.startswith("mailto:")
+                          and not target.startswith("javascript:"))
+            except ValueError:
+                target, passes = "", False
             hit = cache[href] = (target, passes)
         if hit[1]:
             yield a, hit[0]

@@ -598,3 +598,14 @@ def test_stage_skips_parser_rejected_pages():
     out = parse_pages(rd.from_arrow(pages)).to_pandas()
     assert list(out["url"]) == ["https://ex.org/good"]
     assert out["text"].iloc[0] == "fine page text"
+
+
+def test_hostile_href_dropped_not_fatal():
+    """A malformed-authority href (urlparse raises ValueError) drops
+    like an off-domain link; the rest of the page still extracts."""
+    html = ("<html><body><main>"
+            "<a href='http://[::1'>bad</a>"
+            "<a href='/ok'>good</a>t</main></body></html>")
+    _, text, links, _ = parse_page(html, "https://e.org/p")
+    assert links == ["https://e.org/ok"]
+    assert text == "bad good t"
