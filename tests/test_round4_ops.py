@@ -547,3 +547,26 @@ def test_dataprep_broadcast_and_join_plans_agree():
     b = prep_corpus(ds, broadcast_max_docs=0).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b) and len(a) >= 2
+
+
+def test_redact_linear_on_hostile_text():
+    """The unbounded email regex was quadratic-to-catastrophic under
+    Python re's backtracking (a 100 KB dot-run took >15 s); the
+    RFC-bounded pattern must stay fast on hostile runs."""
+    import time
+
+    from hackathon_pagerank_ray.stages.text_ops import Redact
+
+    hostile = pd.DataFrame({"text": [
+        "a@" + "a." * 20000 + "!",
+        "." * 100000,
+        "a." * 50000,
+        "@" + "." * 100000,
+        "real contact: a.b-c_d%e+f@mail.example.co.uk ok",
+    ]})
+    r = Redact()
+    t0 = time.perf_counter()
+    out = r(hostile.copy())
+    assert time.perf_counter() - t0 < 2.0, "redaction not linear-safe"
+    assert out["n_emails"].iloc[4] == 1
+    assert "<EMAIL>" in out["text_redacted"].iloc[4]
