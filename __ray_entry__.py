@@ -4360,12 +4360,12 @@ FROM lines l LEFT JOIN bga ON l.doc_id = bga.doc_id
         "pii_redaction": r"""
 SELECT doc_id,
   regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9-]{1,63}(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}', '<EMAIL>', 'g'),
+    '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{1,63}(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}', '\1<EMAIL>', 'g'),
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
     AS text_redacted,
   CAST(len(regexp_extract_all(text,
-    '[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9-]{1,63}(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}')) AS BIGINT)
+    '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{1,63}(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}')) AS BIGINT)
     AS n_emails,
   CAST(len(regexp_extract_all(text,
     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
@@ -4389,7 +4389,7 @@ q AS (SELECT doc_id, text, len(toks) AS n_tokens,
       FROM tok)
 SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio,
   regexp_replace(regexp_replace(regexp_replace(text,
-    '[A-Za-z0-9._%+-]{{1,64}}@[A-Za-z0-9-]{{1,63}}(?:\.[A-Za-z0-9-]{{1,63}}){{0,8}}\.[A-Za-z]{{2,24}}', '<EMAIL>', 'g'),
+    '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{{1,63}}(?:\.[A-Za-z0-9-]{{1,63}}){{0,8}}\.[A-Za-z]{{2,24}}', '\1<EMAIL>', 'g'),
     '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
     '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g')
     AS text_redacted

@@ -28,6 +28,8 @@ import pandas as pd
 
 import pyarrow as pa
 
+from ..stages.broadcast import cached_get
+
 from ..stages.relational import inner_join, rename
 from ..stages.schema_util import drop_empty_blocks, enforce_schema
 from .tfidf import term_freq_table
@@ -64,7 +66,7 @@ def unigram_logprob(docs_ds, id_col="doc_id", text_col="text",
         from ..stages.text_ops import tokenize
 
         def _score_docs(batch: pd.DataFrame) -> pd.DataFrame:
-            lp = ray.get(lp_ref)
+            lp = cached_get(lp_ref)
             ids, scores = [], []
             for doc_id, text in zip(batch[id_col], batch[text_col]):
                 toks = tokenize(text)

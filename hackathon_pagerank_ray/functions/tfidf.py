@@ -20,6 +20,7 @@ from collections import Counter
 import numpy as np
 import pandas as pd
 
+from ..stages.broadcast import cached_get
 from ..stages.schema_util import drop_empty_blocks
 from ..stages.text_ops import tokenize
 
@@ -127,7 +128,7 @@ def build_tfidf_tables(docs_ds, id_col="doc_id", text_col="text",
         iref = _build_map.remote(*idf_ds.materialize().to_arrow_refs())
 
         def _weight_bc(t: pa.Table) -> pa.Table:
-            w = ray.get(iref)
+            w = cached_get(iref)
             tfv = t["tf"].to_numpy(zero_copy_only=False)
             terms = t["term"].to_pylist()
             idfv = np.fromiter((w[x] for x in terms), dtype=np.float64,
@@ -211,7 +212,7 @@ def search(postings_ds, norms_ds, df_ds, N, query: str, top_k: int = 10,
     wref = ray.put(weights)
 
     def _dot(t: pa.Table) -> pa.Table:
-        w = ray.get(wref)
+        w = cached_get(wref)
         sub = t.filter(pc.is_in(
             t["term"], value_set=pa.array(sorted(w), pa.string())))
         terms = sub["term"].to_pylist()
@@ -375,7 +376,7 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
         dref = _build_dmap.remote(*dl.to_arrow_refs())
 
         def _with_dl(t: pa.Table) -> pa.Table:
-            dm = ray.get(dref)
+            dm = cached_get(dref)
             ids = t[id_col].to_pylist()
             return t.append_column("dl", pa.array(
                 np.fromiter((dm[i] for i in ids), dtype=np.float64,
@@ -387,7 +388,7 @@ def bm25_search(docs_ds, query: str, top_k: int = 10, k1: float = 1.2,
                             num_partitions=num_partitions)
 
     def _score(batch: pd.DataFrame) -> pd.DataFrame:
-        w = ray.get(iref)
+        w = cached_get(iref)
         tfv = batch["tf"].to_numpy(dtype=np.float64)
         dlv = batch["dl"].to_numpy(dtype=np.float64)
         iv = batch["term"].map(w).to_numpy(dtype=np.float64)

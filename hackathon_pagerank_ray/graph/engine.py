@@ -449,7 +449,7 @@ def pagerank(graph: ShardedGraph, alpha: float = 0.85, tol: float = 1e-8,
         if checkpoint_dir and (it % checkpoint_every == 0 or residual < tol):
             _checkpoint(graph, checkpoint_dir, it, "ranks", {
                 "residual_l1": residual, "dangling_mass": dangling_mass,
-                "alpha": alpha, "tol": tol,
+                "alpha": alpha, "tol": tol, "op": "pagerank",
                 "personalized": personalization is not None,
                 "num_owners": graph.P, "n": graph.n})
         if residual < tol:
@@ -823,7 +823,16 @@ def _validate_resume(graph: ShardedGraph, manifest: dict, alpha: float,
                      personalized: bool = False):
     """Fail fast when a checkpoint was written by a differently-shaped run —
     ``load_state_part`` loads per-owner part files, so a mesh/n/alpha
-    mismatch would silently assign wrong vertex state (ADVICE r1)."""
+    mismatch would silently assign wrong vertex state (ADVICE r1).  The
+    ``op`` guard (ADVICE r4) rejects a checkpoint written by a different
+    operator — sssp also stores its state under kind "ranks", so without
+    it a same-shape sssp checkpoint would silently load distances as
+    ranks (and vice versa)."""
+    rec_op = manifest.get("op")
+    if rec_op is not None and rec_op != "pagerank":
+        raise ValueError(
+            f"checkpoint/resume mismatch: manifest written by op={rec_op!r}"
+            f" but this run is 'pagerank'")
     for key, current in (("num_owners", graph.P), ("n", graph.n),
                          ("alpha", alpha), ("personalized", personalized)):
         recorded = manifest.get(key)
@@ -1181,9 +1190,15 @@ def label_propagation(graph: ShardedGraph, max_iter: int = 10,
         return graph.labels_dataset(), {"sweeps": 0}
     start_it = 0
     if resume and checkpoint_dir:
-        # max_iter is a sweep BUDGET, not a shape param: a killed-at-k
-        # run resumed with the same budget executes sweeps k..max_iter-1,
-        # reproducing the uninterrupted run exactly
+        # max_iter is a sweep BUDGET, not a shape param, and is
+        # deliberately NOT validated against the manifest (ADVICE r4
+        # considered it): each LP sweep is a deterministic function of
+        # the label state alone — the budget only decides how many
+        # sweeps run.  Resuming a killed-at-k checkpoint under budget B
+        # executes sweeps k..B-1 on state identical to what an
+        # uninterrupted budget-B run holds at sweep k, so parity with
+        # the uninterrupted run at the RESUMED budget holds for any B
+        # (a too-small B is the already-handled early-return below).
         loaded = _resume_fixpoint(graph, checkpoint_dir, "labels", "lp")
         if loaded is not None:
             start_it, manifest = loaded

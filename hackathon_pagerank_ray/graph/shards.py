@@ -1087,6 +1087,29 @@ class EdgeShard:
             aorder = np.argsort(akey, kind="stable")
             a_s, a_d, akey = a_s[aorder], a_d[aorder], akey[aorder]
             pos = np.searchsorted(key, akey)
+            if weighted:
+                # bit-exact guard (ADVICE r4): on a weighted mesh,
+                # duplicate (src, dst) rows with different weights tie
+                # under the canonical key, and the cold build's STABLE
+                # sort orders ties by input row order — which a merge
+                # patch cannot reproduce.  Unweighted duplicate rows are
+                # byte-identical either way; weighted duplicate-key adds
+                # are rejected so the documented cold-rebuild parity
+                # guarantee never silently degrades to last-ulp drift.
+                dup_existing = (pos < len(key)) & (key[np.minimum(
+                    pos, len(key) - 1)] == akey) if len(key) else \
+                    np.zeros(len(akey), dtype=bool)
+                dup_within = np.zeros(len(akey), dtype=bool)
+                dup_within[1:] = akey[1:] == akey[:-1]
+                if dup_existing.any() or dup_within.any():
+                    raise ValueError(
+                        "apply_delta on a weighted mesh requires distinct "
+                        "(src, dst) keys among added edges and vs the "
+                        "existing edge set: duplicate keys tie under the "
+                        "canonical scatter order, breaking bit-exact "
+                        "parity with a cold rebuild. Pre-aggregate "
+                        "duplicate weighted edges (e.g. sum w per "
+                        "(src, dst)) or remove the old row first.")
             src = np.insert(src, pos, a_s)
             dst = np.insert(dst, pos, a_d)
             if weighted:

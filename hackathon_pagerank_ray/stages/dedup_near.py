@@ -15,6 +15,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from .broadcast import cached_get
 from .text_ops import shingle_hashes, tokenize, _fnv1a_bytes
 
 _MERSENNE = (1 << 61) - 1
@@ -203,7 +204,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, id_col="doc_id", text_col="text",
         lookup_ref = ray.put(dict(zip(texts[id_col], texts[text_col])))
 
         def _verify_bc(batch: pd.DataFrame) -> pd.DataFrame:
-            lut = ray.get(lookup_ref)
+            lut = cached_get(lookup_ref)
             jac = [_jaccard(lut.get(x, ""), lut.get(y, ""), k)
                    for x, y in zip(batch["a"], batch["b"])]
             out = batch[["a", "b"]].copy()
@@ -1229,19 +1230,11 @@ def _ed_le1(a: str, b: str) -> bool:
     return a[i:] == b[i + 1:]
 
 
-_OBJ_CACHE: dict = {}
-
-
-def _cached_obj(ref):
-    """Worker-process-global deserialization cache for a broadcast
-    ObjectRef: ``ray.get`` of a pickled dict re-deserializes on every
-    call, and map_groups invokes its UDF once per group."""
-    key = ref.hex()
-    got = _OBJ_CACHE.get(key)
-    if got is None:
-        import ray
-        got = _OBJ_CACHE[key] = ray.get(ref)
-    return got
+# worker-process-global deserialization cache for broadcast ObjectRefs —
+# shared repo-wide via stages.broadcast (map_groups invokes its UDF once
+# per group, map_batches once per batch; either way the pickled-dict
+# unpickle must happen once per worker, not once per call)
+_cached_obj = cached_get
 
 
 def title_edit_pairs(docs_ds, id_col: str = "doc_id",

@@ -174,19 +174,22 @@ class Fingerprint:
 
 
 #: PII-style scrub patterns — written to the common subset of Python ``re``
-#: and RE2 (no lookaround, no backrefs) so a DuckDB ``regexp_replace`` /
+#: and RE2 (no lookaround, no backrefs; ``\1`` group refs in the
+#: REPLACEMENT are fine in both) so a DuckDB ``regexp_replace`` /
 #: ``regexp_extract_all`` oracle computes the identical result.
-#: The email pattern uses RFC-bounded quantifiers (local ≤64, labels
-#: ≤63×9, TLD ≤24) deliberately: the unbounded ``D+\.L{2,}`` form is
-#: quadratic-to-catastrophic under Python re's backtracking on hostile
-#: text (a 100 KB dot-run took >15 s; RE2 is linear but the ENGINE side
-#: must be too).  Bounded repeats cap per-start work at a constant, and
-#: matching differs from the unbounded form only on degenerate inputs
-#: (>64-char locals, empty domain labels like ``b..cd``).
+#: The email pattern anchors the LOCAL PART at a left boundary
+#: (``(^|[^local-char])`` captured and re-emitted by the replacement):
+#: a hostile 100 KB local-char run then has exactly ONE viable start
+#: position, so Python re stays linear even with the unbounded ``+`` on
+#: the local part — and, unlike the r4 bounded ``{1,64}`` form, a
+#: >64-char local is redacted IN FULL instead of leaving its head in
+#: clear next to the placeholder (ADVICE r4).  Domain quantifiers stay
+#: RFC-bounded (labels ≤63×9, TLD ≤24) to cap per-start domain
+#: backtracking at a constant.
 _REDACT_PATTERNS = (
     ("email",
-     r"[A-Za-z0-9._%+-]{1,64}@[A-Za-z0-9-]{1,63}"
-     r"(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}", "<EMAIL>"),
+     r"(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{1,63}"
+     r"(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}", "\\1<EMAIL>"),
     ("phone", r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "<PHONE>"),
     ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
 )

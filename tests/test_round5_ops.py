@@ -1,0 +1,122 @@
+"""Round-5 regression tests: checkpoint op guards, weighted-delta
+duplicate-key rejection, boundary-anchored email redaction."""
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+
+def _digraph(seed=11, n=300, m=1400):
+    rng = np.random.default_rng(seed)
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    keep = src != dst
+    return rd.from_arrow(pa.table({"src": src[keep], "dst": dst[keep]}))
+
+
+def test_checkpoint_op_guard_both_directions(tmp_path):
+    """pagerank and sssp both store state under kind 'ranks': a resume
+    pointed at the OTHER operator's checkpoint dir (same mesh shape) must
+    fail fast instead of silently loading wrong state (ADVICE r4)."""
+    import pytest
+
+    from hackathon_pagerank_ray.graph.engine import (ShardedGraph, pagerank,
+                                                     sssp_distances)
+    ds = _digraph()
+    pr_dir = str(tmp_path / "pr")
+    sp_dir = str(tmp_path / "sp")
+
+    g = ShardedGraph.build(ds, num_owners=2)
+    pagerank(g, max_iter=3, checkpoint_dir=pr_dir, checkpoint_every=1)
+    g.shutdown()
+    g = ShardedGraph.build(ds, num_owners=2, weight_col=None)
+    sssp_distances(g, 0, max_iter=3, checkpoint_dir=sp_dir,
+                   checkpoint_every=1)
+    g.shutdown()
+
+    # sssp resume pointed at a pagerank checkpoint → rejected
+    g = ShardedGraph.build(ds, num_owners=2)
+    with pytest.raises(ValueError, match="op='pagerank'"):
+        sssp_distances(g, 0, checkpoint_dir=pr_dir, resume=True)
+    g.shutdown()
+
+    # pagerank resume pointed at an sssp checkpoint → rejected
+    g = ShardedGraph.build(ds, num_owners=2)
+    with pytest.raises(ValueError, match="op='sssp'"):
+        pagerank(g, checkpoint_dir=sp_dir, resume=True)
+    g.shutdown()
+
+
+def test_weighted_delta_rejects_duplicate_keys(tmp_path):
+    """Duplicate (src, dst) keys on a WEIGHTED mesh tie under the
+    canonical scatter order, so the merge patch cannot reproduce the
+    cold build's stable input-order tie-break — apply_edge_delta must
+    reject them rather than silently break bit-exactness (ADVICE r4)."""
+    import pyarrow.parquet as pq
+    import pytest
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph
+
+    edges = np.array([[0, 1], [0, 2], [3, 4], [5, 6]], dtype=np.int64)
+    w = np.array([1.0, 2.0, 3.0, 4.0])
+    p0 = str(tmp_path / "d0.parquet")
+    p1 = str(tmp_path / "d1.parquet")
+    pq.write_table(pa.table({"src": edges[:2, 0], "dst": edges[:2, 1],
+                             "w": w[:2]}), p0)
+    pq.write_table(pa.table({"src": edges[2:, 0], "dst": edges[2:, 1],
+                             "w": w[2:]}), p1)
+
+    # added edge duplicating an EXISTING key → rejected
+    g = ShardedGraph.build([p0, p1], n=7, num_owners=2, num_edge_shards=2,
+                           canonical_scatter=True, weight_col="w")
+    with pytest.raises(ValueError, match="distinct"):
+        g.apply_edge_delta(added=rd.from_arrow(pa.table(
+            {"src": pa.array([0], pa.int64()),
+             "dst": pa.array([1], pa.int64()),
+             "w": pa.array([9.0], pa.float64())})), n=7)
+    g.shutdown()
+
+    # duplicate keys WITHIN the added set → rejected
+    g = ShardedGraph.build([p0, p1], n=7, num_owners=2, num_edge_shards=2,
+                           canonical_scatter=True, weight_col="w")
+    with pytest.raises(ValueError, match="distinct"):
+        g.apply_edge_delta(added=rd.from_arrow(pa.table(
+            {"src": pa.array([1, 1], pa.int64()),
+             "dst": pa.array([5, 5], pa.int64()),
+             "w": pa.array([1.0, 2.0], pa.float64())})), n=7)
+    g.shutdown()
+
+    # distinct added keys still apply fine (and remove-then-re-add of an
+    # existing key is the sanctioned way to change a weight)
+    g = ShardedGraph.build([p0, p1], n=7, num_owners=2, num_edge_shards=2,
+                           canonical_scatter=True, weight_col="w")
+    info = g.apply_edge_delta(
+        added=rd.from_arrow(pa.table(
+            {"src": pa.array([0], pa.int64()),
+             "dst": pa.array([1], pa.int64()),
+             "w": pa.array([9.0], pa.float64())})),
+        removed=rd.from_arrow(pa.table(
+            {"src": pa.array([0], pa.int64()),
+             "dst": pa.array([1], pa.int64())})),
+        n=7)
+    assert info["m"] == 4
+    g.shutdown()
+
+
+def test_redact_overlong_local_fully_redacted():
+    """A >64-char local part must be redacted in full — the r4 bounded
+    pattern left its head in clear next to the placeholder (ADVICE r4)."""
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.text_ops import Redact
+
+    long_local = "secret.person" + "x" * 60
+    batch = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": [f"contact {long_local}@corp.example.com now",
+                 "plain a@b.co here",
+                 "no emails at all"]})
+    out = Redact()(batch)
+    assert out["text_redacted"].tolist() == [
+        "contact <EMAIL> now", "plain <EMAIL> here", "no emails at all"]
+    assert out["n_emails"].tolist() == [1, 1, 0]
+    assert "secret" not in out["text_redacted"][0]

@@ -614,6 +614,10 @@ def test_redaction_matches_duckdb_regexes():
         "1.2.3.4.5 overlong dotted run",
         "edge@x.io.",            # trailing dot after TLD
         "v1.2.3 not an ip",
+        # >64-char local part: must be redacted IN FULL (ADVICE r4 — the
+        # bounded pattern left the head of the run in clear)
+        "x" * 70 + "@leak.example.com tail",
+        "mid-text boundary: see foo+bar@baz.org, thanks",
     ]
     ds = rd.from_arrow(pa.Table.from_pydict(
         {"doc_id": list(range(len(texts))), "text": texts}))
@@ -625,7 +629,7 @@ def test_redaction_matches_duckdb_regexes():
     want = con.execute(r"""
         SELECT doc_id,
           regexp_replace(regexp_replace(regexp_replace(text,
-            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+            '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{1,63}(?:\.[A-Za-z0-9-]{1,63}){0,8}\.[A-Za-z]{2,24}', '\1<EMAIL>', 'g'),
             '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g'),
             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
             AS text_redacted
