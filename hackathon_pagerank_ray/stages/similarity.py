@@ -157,20 +157,61 @@ def _normalize_rows(mat: np.ndarray) -> np.ndarray:
 
 def train_centroids(emb_ds, n_centroids: int = 16,
                     id_col: str = "vec_id", emb_col: str = "embedding",
-                    sample_mod: int = 1, iters: int = 10,
-                    seed: int = 5) -> np.ndarray:
+                    sample_mod: int | None = None, iters: int = 10,
+                    seed: int = 5,
+                    max_train_vectors: int = 262_144) -> np.ndarray:
     """Seeded spherical k-means coarse quantizer for :func:`ivf_topk`.
 
-    Trains on the deterministic sample ``id % sample_mod == 0`` (callers
-    size ``sample_mod`` so the driver pull stays bounded — e.g. ~256k
-    vectors at corpus scale; training never touches the full dataset).
+    The driver pull is bounded BY CONSTRUCTION (ADVICE r4 — the old
+    ``sample_mod=1`` default collected the full embedding table into the
+    driver heap): when the streamed row count exceeds
+    ``max_train_vectors``, training selects exactly that many rows by
+    md5-rank — the globally smallest ``md5(f"{seed}:{id}")`` buckets,
+    the repo's deterministic key-stable sampling rule — via a NARROW
+    top-k over (bucket, id) columns only (embeddings never enter the
+    shuffle), then a broadcast-membership second pass fetches just the
+    winning rows.  Deterministic for a given (seed, id set, bound),
+    independent of partitioning and row order.
+
+    ``sample_mod`` is the legacy explicit knob (``id % sample_mod == 0``)
+    and bypasses the bound for callers that size it themselves.
     Assignment is by max cosine on unit vectors; empty clusters keep
     their previous centroid, so the result is deterministic for a given
     (seed, sample, n_centroids).
     """
-    sample = emb_ds.map_batches(
-        lambda b, _m=sample_mod: b[b[id_col] % _m == 0] if _m > 1 else b,
-        batch_format="pandas").take_all()
+    if sample_mod is not None and sample_mod > 1:
+        sample_ds = emb_ds.map_batches(
+            lambda b, _m=sample_mod: b[b[id_col] % _m == 0],
+            batch_format="pandas")
+    elif sample_mod is None and emb_ds.count() > max_train_vectors:
+        import pyarrow as pa
+
+        from .relational import topk
+        from .sampling import _bucket32
+
+        def _buckets(t: pa.Table) -> pa.Table:
+            ids = t[id_col].to_numpy(zero_copy_only=False)
+            return pa.table({
+                id_col: t[id_col].combine_chunks(),
+                "_b": pa.array(_bucket32(seed, ids), pa.int64())})
+
+        win = topk(emb_ds.select_columns([id_col]).map_batches(
+            _buckets, batch_format="pyarrow"),
+            ["_b", id_col], max_train_vectors,
+            descending=[False, False]).to_pandas()
+        want = np.sort(win[id_col].to_numpy())
+        want_ref = ray.put(want)
+
+        def _members(b: pd.DataFrame) -> pd.DataFrame:
+            w = ray.get(want_ref)            # zero-copy plasma read
+            ids = b[id_col].to_numpy()
+            pos = np.minimum(np.searchsorted(w, ids), len(w) - 1)
+            return b[w[pos] == ids]
+
+        sample_ds = emb_ds.map_batches(_members, batch_format="pandas")
+    else:
+        sample_ds = emb_ds
+    sample = sample_ds.take_all()
     # Block arrival order is not deterministic under streaming execution
     # (preserve_order is off); sort by id so training is reproducible.
     sample.sort(key=lambda r: r[id_col])
@@ -196,8 +237,9 @@ def train_centroids(emb_ds, n_centroids: int = 16,
 def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
              id_col: str = "vec_id", emb_col: str = "embedding",
              n_centroids: int = 16, nprobe: int = 4, seed: int = 5,
-             sample_mod: int = 1, train_iters: int = 10,
-             centroids: np.ndarray | None = None, concurrency=None):
+             sample_mod: int | None = None, train_iters: int = 10,
+             centroids: np.ndarray | None = None, concurrency=None,
+             max_train_vectors: int = 262_144):
     """IVF approximate top-k: restrict the exact search to the union of
     each query's ``nprobe`` nearest centroid cells (coarse quantizer =
     :func:`train_centroids`).  Scans ~``nprobe / n_centroids`` of the
@@ -207,7 +249,8 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
     queries = np.asarray(queries, dtype=np.float64)
     if centroids is None:
         centroids = train_centroids(emb_ds, n_centroids, id_col, emb_col,
-                                    sample_mod, train_iters, seed)
+                                    sample_mod, train_iters, seed,
+                                    max_train_vectors=max_train_vectors)
     cents = _normalize_rows(np.asarray(centroids, dtype=np.float64))
     nprobe = min(nprobe, len(cents))
     qn = _normalize_rows(queries)

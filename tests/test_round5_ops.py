@@ -120,3 +120,46 @@ def test_redact_overlong_local_fully_redacted():
         "contact <EMAIL> now", "plain <EMAIL> here", "no emails at all"]
     assert out["n_emails"].tolist() == [1, 1, 0]
     assert "secret" not in out["text_redacted"][0]
+
+
+def test_train_centroids_driver_pull_bounded():
+    """On a dataset LARGER than max_train_vectors, training must select
+    exactly the bound (md5-rank rule), stay deterministic under
+    re-partitioning, and keep ivf_topk recall intact (ADVICE r4: the old
+    default pulled the full table into the driver heap)."""
+    from hackathon_pagerank_ray.stages import similarity as SIM
+
+    rng = np.random.default_rng(9)
+    n, d, bound = 3000, 16, 500
+    mat = rng.normal(size=(n, d))
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(mat.tolist(),
+                                          pa.list_(pa.float64()))})
+
+    pulls = []
+    orig_take_all = rd.Dataset.take_all
+
+    def _spy(self, *a, **kw):
+        rows = orig_take_all(self, *a, **kw)
+        pulls.append(len(rows))
+        return rows
+
+    rd.Dataset.take_all = _spy
+    try:
+        c1 = SIM.train_centroids(rd.from_arrow(tbl), n_centroids=8,
+                                 max_train_vectors=bound)
+        c2 = SIM.train_centroids(rd.from_arrow(tbl).repartition(7),
+                                 n_centroids=8, max_train_vectors=bound)
+    finally:
+        rd.Dataset.take_all = orig_take_all
+    # the embedding-row pull is exactly the bound; no full-table collect
+    assert max(pulls) == bound, pulls
+    assert (c1 == c2).all(), "md5-rank sample must be partition-stable"
+
+    # bounded training still answers ivf queries correctly at full probe
+    # depth (== brute force regardless of centroid quality)
+    got = SIM.ivf_topk(rd.from_arrow(tbl), mat[:1], k=5, n_centroids=8,
+                       nprobe=8, max_train_vectors=bound).to_pandas()
+    brute = SIM.brute_force_topk(rd.from_arrow(tbl), mat[:1],
+                                 k=5).to_pandas()
+    assert sorted(got["vec_id"]) == sorted(brute["vec_id"])
