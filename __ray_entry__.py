@@ -487,6 +487,36 @@ def _q_pack_offsets(sf_dir):
     return cum.map_batches(_pack, batch_format="pyarrow")
 
 
+def _q_pack_sequences(sf_dir):
+    """Greedy ATOMIC sequence packing (stages/aggregates.pack_sequences):
+    docs in deterministic-shuffle order, greedy fill at 2048 tokens
+    inside contiguous 256-doc groups; per-doc pack assignment."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import pack_sequences
+    from hackathon_pagerank_ray.stages.text_ops import add_token_counts
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    counted = add_token_counts(docs, concurrency=4).select_columns(
+        ["doc_id", "n_tokens"])
+    return pack_sequences(counted, capacity=_PACK_TOKENS,
+                          group_size=256).select_columns(
+        ["doc_id", "n_tokens", "pack_id", "pack_pos"])
+
+
+def _q_pack_fill(sf_dir):
+    """Per-pack fill view of pack_sequences: (pack_id, n_docs,
+    pack_tokens, fill_frac)."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.aggregates import (pack_sequences,
+                                                          pack_summary)
+    from hackathon_pagerank_ray.stages.text_ops import add_token_counts
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    counted = add_token_counts(docs, concurrency=4).select_columns(
+        ["doc_id", "n_tokens"])
+    packed = pack_sequences(counted, capacity=_PACK_TOKENS, group_size=256)
+    return pack_summary(packed, capacity=_PACK_TOKENS).select_columns(
+        ["pack_id", "n_docs", "pack_tokens", "fill_frac"])
+
+
 def _q_repetition_stats(sf_dir):
     _quiet()
     from hackathon_pagerank_ray.stages.text_ops import add_repetition_stats
@@ -2546,6 +2576,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": _q_pricing_summary,
         "token_counts": _q_token_counts,
         "pack_offsets": _q_pack_offsets,
+        "pack_sequences": _q_pack_sequences,
+        "pack_fill": _q_pack_fill,
         "repetition_stats": _q_repetition_stats,
         "pii_redaction": _q_pii_redaction,
         "dataprep_corpus": _q_dataprep_corpus,
@@ -4315,6 +4347,72 @@ GROUP BY l_returnflag, l_linestatus
             r"AS BIGINT) AS n_tokens FROM documents",
         # distributed prefix-sum scan + sequence packing (aggregates.
         # prefix_sum): SUM OVER (ORDER BY) is integer-exact both sides
+        # greedy atomic sequence packing (stages/aggregates.
+        # pack_sequences): deterministic-shuffle order, greedy fill
+        # at 2048 inside contiguous 256-doc groups — the sequential
+        # recurrence unrolled as a recursive CTE over rank-within-group
+        "pack_sequences": r"""
+WITH RECURSIVE k AS (SELECT doc_id,
+  (list_sum(list_transform(range(1, 9), i ->
+    CAST((strpos('0123456789abcdef',
+                 substr(md5('7:' || CAST(doc_id AS VARCHAR)), i, 1))
+          - 1) AS BIGINT)
+    * CAST(POWER(16, 8 - i) AS BIGINT))) % 2147483648) * 4294967296
+  + doc_id AS skey
+  FROM documents),
+p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey) AS pos FROM k),
+tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+'))
+                            AS BIGINT) AS n FROM documents),
+t AS (SELECT p.doc_id, CAST((p.pos - 1) // 256 AS BIGINT) AS grp,
+             CAST((p.pos - 1) % 256 + 1 AS BIGINT) AS rwg, tok.n
+      FROM p JOIN tok USING (doc_id)),
+r AS (
+  SELECT grp, rwg, doc_id, n, CAST(0 AS BIGINT) AS lp,
+         n AS fill, CAST(1 AS BIGINT) AS pack_pos
+  FROM t WHERE rwg = 1
+  UNION ALL
+  SELECT t.grp, t.rwg, t.doc_id, t.n,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.lp ELSE r.lp + 1 END,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.fill + t.n ELSE t.n END,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.pack_pos + 1
+              ELSE CAST(1 AS BIGINT) END
+  FROM r JOIN t ON t.grp = r.grp AND t.rwg = r.rwg + 1)
+SELECT doc_id, n AS n_tokens,
+       CAST(grp * 256 + lp AS BIGINT) AS pack_id, pack_pos
+FROM r
+""",
+        "pack_fill": r"""
+WITH RECURSIVE k AS (SELECT doc_id,
+  (list_sum(list_transform(range(1, 9), i ->
+    CAST((strpos('0123456789abcdef',
+                 substr(md5('7:' || CAST(doc_id AS VARCHAR)), i, 1))
+          - 1) AS BIGINT)
+    * CAST(POWER(16, 8 - i) AS BIGINT))) % 2147483648) * 4294967296
+  + doc_id AS skey
+  FROM documents),
+p AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY skey) AS pos FROM k),
+tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+'))
+                            AS BIGINT) AS n FROM documents),
+t AS (SELECT p.doc_id, CAST((p.pos - 1) // 256 AS BIGINT) AS grp,
+             CAST((p.pos - 1) % 256 + 1 AS BIGINT) AS rwg, tok.n
+      FROM p JOIN tok USING (doc_id)),
+r AS (
+  SELECT grp, rwg, doc_id, n, CAST(0 AS BIGINT) AS lp,
+         n AS fill, CAST(1 AS BIGINT) AS pack_pos
+  FROM t WHERE rwg = 1
+  UNION ALL
+  SELECT t.grp, t.rwg, t.doc_id, t.n,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.lp ELSE r.lp + 1 END,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.fill + t.n ELSE t.n END,
+         CASE WHEN r.fill + t.n <= 2048 THEN r.pack_pos + 1
+              ELSE CAST(1 AS BIGINT) END
+  FROM r JOIN t ON t.grp = r.grp AND t.rwg = r.rwg + 1)
+SELECT CAST(grp * 256 + lp AS BIGINT) AS pack_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS pack_tokens,
+       CAST(SUM(n) AS DOUBLE) / 2048.0 AS fill_frac
+FROM r GROUP BY grp * 256 + lp
+""",
         "pack_offsets": r"""
 WITH tok AS (SELECT doc_id, CAST(len(regexp_extract_all(text, '\w+'))
                             AS BIGINT) AS n_tokens FROM documents)

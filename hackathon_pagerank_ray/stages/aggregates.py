@@ -530,3 +530,90 @@ def regr_slope_by(ds, by: str, x_col: str, y_col: str, scale: int = 100,
 
     return (ds.map_batches(_partial, batch_format="pyarrow")
             .groupby(by).map_groups(_solve, batch_format="pandas"))
+
+
+def pack_sequences(counted_ds, id_col: str = "doc_id",
+                   count_col: str = "n_tokens", capacity: int = 2048,
+                   group_size: int = 256, seed: int = 7,
+                   num_partitions: int = 8):
+    """Greedy ATOMIC sequence packing — the materialization step after
+    :func:`prefix_sum`-based ``pack_offsets``: documents are never split;
+    each goes whole into the current pack, and a pack closes when the
+    next document would overflow ``capacity`` tokens (a document alone
+    larger than ``capacity`` still gets its own pack, honestly recorded
+    with ``fill > capacity``).
+
+    Greedy fill is inherently a sequential recurrence, so exact global
+    greedy cannot stream.  The distributed contract instead fixes a
+    deterministic document order (the :func:`..sampling.
+    deterministic_shuffle` md5 skey — partition/retry-stable) and runs
+    the recurrence independently inside contiguous ``group_size``-doc
+    groups: packs never cross group boundaries, every group is a
+    bounded sequential kernel (≤ ``group_size`` rows), and the whole
+    assignment is a pure function of (id set, token counts, seed,
+    group_size, capacity) — reproducible by a recursive-CTE SQL twin.
+    ``pack_id = grp * group_size + pack_within_group`` (unique: a group
+    opens at most ``group_size`` packs).
+
+    Input must carry ``(id_col, count_col)``; emits per-document rows
+    ``(id_col, count_col, pack_id, pack_pos)``.  Aggregate with
+    :func:`pack_summary` for the per-pack view.
+    """
+    from .relational import inner_join
+    from .sampling import deterministic_shuffle
+
+    pos = deterministic_shuffle(
+        counted_ds.select_columns([id_col]), id_col, seed=seed)
+
+    def _grp(t: pa.Table) -> pa.Table:
+        p = t["pos"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            id_col: t[id_col].combine_chunks(),
+            "grp": pa.array((p - 1) // group_size, pa.int64()),
+            "rwg": pa.array((p - 1) % group_size + 1, pa.int64())})
+
+    ranked = pos.map_batches(_grp, batch_format="pyarrow")
+    joined = inner_join(ranked, counted_ds.select_columns(
+        [id_col, count_col]), on=id_col, num_partitions=num_partitions)
+
+    import pandas as pd
+
+    def _fill(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("rwg")
+        n = g[count_col].to_numpy().astype(np.int64)
+        grp = int(g["grp"].iloc[0])
+        lp = np.zeros(len(g), dtype=np.int64)   # pack index within group
+        pp = np.zeros(len(g), dtype=np.int64)   # position within pack
+        cur, fill, ppos = 0, 0, 0
+        for i in range(len(n)):                  # ≤ group_size iterations
+            if i > 0 and fill + n[i] > capacity:
+                cur, fill, ppos = cur + 1, 0, 0
+            fill += n[i]
+            ppos += 1
+            lp[i], pp[i] = cur, ppos
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            count_col: n,
+            "pack_id": grp * group_size + lp,
+            "pack_pos": pp})
+
+    return joined.groupby("grp").map_groups(_fill, batch_format="pandas")
+
+
+def pack_summary(packed_ds, count_col: str = "n_tokens",
+                 capacity: int = 2048):
+    """Per-pack view of :func:`pack_sequences` output: ``(pack_id,
+    n_docs, pack_tokens, fill_frac)``.  ``fill_frac`` can exceed 1.0
+    only for a single oversized document in its own pack."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+    agg = (packed_ds.groupby("pack_id")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum(count_col, alias_name="pack_tokens")))
+
+    def _frac(t: pa.Table) -> pa.Table:
+        return t.append_column("fill_frac", pc.divide(
+            pc.cast(t["pack_tokens"], pa.float64()), float(capacity)))
+
+    return agg.map_batches(_frac, batch_format="pyarrow")

@@ -163,3 +163,47 @@ def test_train_centroids_driver_pull_bounded():
     brute = SIM.brute_force_topk(rd.from_arrow(tbl), mat[:1],
                                  k=5).to_pandas()
     assert sorted(got["vec_id"]) == sorted(brute["vec_id"])
+
+
+def test_pack_sequences_properties():
+    """Every doc in exactly one pack; multi-doc packs fill ≤ capacity; an
+    oversized doc sits alone; greedy = no doc could have joined the
+    previous pack of its group; deterministic under re-partitioning."""
+    from hackathon_pagerank_ray.stages.aggregates import (pack_sequences,
+                                                          pack_summary)
+
+    rng = np.random.default_rng(3)
+    n, cap = 900, 2048
+    counts = rng.integers(1, 1200, n).astype(np.int64)
+    counts[17] = 4000          # oversized: own pack, fill > capacity
+    tbl = pa.table({"doc_id": pa.array(range(n), pa.int64()),
+                    "n_tokens": pa.array(counts)})
+    packed = pack_sequences(rd.from_arrow(tbl), capacity=cap,
+                            group_size=64).to_pandas()
+    assert sorted(packed["doc_id"]) == list(range(n))      # exactly once
+
+    summ = pack_summary(rd.from_arrow(pa.Table.from_pandas(
+        packed, preserve_index=False)), capacity=cap).to_pandas()
+    multi = summ[summ["n_docs"] > 1]
+    assert (multi["pack_tokens"] <= cap).all()
+    over = summ[summ["pack_tokens"] > cap]
+    assert (over["n_docs"] == 1).all() and len(over) == 1
+    assert np.isclose(over["fill_frac"].iloc[0], 4000 / cap)
+
+    # greedy: within a group, a pack opens only when the previous pack
+    # could not take the doc
+    packed["grp"] = packed["pack_id"] // 64
+    for _, g in packed.groupby("grp"):
+        g = g.sort_values(["pack_id", "pack_pos"])
+        fills = g.groupby("pack_id")["n_tokens"].sum()
+        firsts = g[g["pack_pos"] == 1].set_index("pack_id")["n_tokens"]
+        packs = list(fills.index)
+        for prev, cur in zip(packs, packs[1:]):
+            assert fills[prev] + firsts[cur] > cap, \
+                "doc should have joined the previous pack"
+
+    again = pack_sequences(rd.from_arrow(tbl).repartition(7), capacity=cap,
+                           group_size=64).to_pandas()
+    key = ["doc_id", "n_tokens", "pack_id", "pack_pos"]
+    assert again.sort_values("doc_id")[key].reset_index(drop=True).equals(
+        packed.sort_values("doc_id")[key].reset_index(drop=True))
