@@ -547,6 +547,54 @@ def _q_dataprep_corpus(sf_dir):
     return prep_corpus(_docs_ds(sf_dir, ["doc_id", "text"]))
 
 
+def _q_delta_dataprep(sf_dir):
+    """Incremental recrawl dataprep (pipelines/incremental): init the
+    persisted prep state on a deterministic 90% of documents, then
+    remove a md5-keyed 3% of that base and delta-add it back together
+    with the held-out 10%.  The post-delta corpus IS the full documents
+    table, so the oracle is the same one-CTE prep chain as
+    dataprep_corpus — driver-gated evidence the partition patch
+    (hash-index keep-set diff + per-doc recompute of newly-kept rows)
+    reproduces the cold rebuild exactly."""
+    _quiet()
+    import tempfile
+
+    import numpy as np
+
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        apply_page_delta, init_prep_state, read_prep)
+    from hackathon_pagerank_ray.stages.sampling import (_bucket32,
+                                                        rate_threshold_hex)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"]).materialize()
+    thr90 = int(rate_threshold_hex(0.90), 16)
+    thr03 = int(rate_threshold_hex(0.03), 16)
+
+    def _sel(t, lo_seed, thr, keep):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = _bucket32(lo_seed, ids) < thr
+        return t.filter(pa.array(m if keep else ~m))
+
+    base = docs.map_batches(
+        lambda t: _sel(t, 91, thr90, True), batch_format="pyarrow")
+    held = docs.map_batches(
+        lambda t: _sel(t, 91, thr90, False), batch_format="pyarrow")
+
+    state = tempfile.mkdtemp(prefix="graft_prep_state_")
+    init_prep_state(base, state, num_partitions=32)
+
+    import ray as _raym
+    churn = base.map_batches(
+        lambda t: _sel(t, 17, thr03, True),
+        batch_format="pyarrow").materialize()
+    churn_ids = (np.concatenate(
+        [r["doc_id"].to_numpy(zero_copy_only=False)
+         for r in _raym.get(churn.to_arrow_refs())])
+        if churn.count() else np.empty(0, np.int64))
+    apply_page_delta(state, removed_ids=churn_ids)
+    apply_page_delta(state, added_docs_ds=churn.union(held))
+    return read_prep(state).materialize()
+
+
 def _q_hash_sample_orders(sf_dir):
     """Deterministic key-stable Bernoulli sample (~10%) of orders: the
     keep decision is md5('{seed}:{key}') < threshold, so it is
@@ -2581,6 +2629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "pii_redaction": _q_pii_redaction,
         "dataprep_corpus": _q_dataprep_corpus,
+        "delta_dataprep": _q_delta_dataprep,
         "hash_sample_orders": _q_hash_sample_orders,
         "hash_split_docs": _q_hash_split_docs,
         "source_mix": _q_source_mix,
@@ -4474,6 +4523,29 @@ FROM documents
         # end-to-end prep chain (pipelines/dataprep.prep_corpus): exact
         # dedup -> token/stopword gate -> PII scrub, one composed CTE
         "dataprep_corpus": rf"""
+WITH keep AS (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text),
+d AS (SELECT doc_id, text FROM documents
+      WHERE doc_id IN (SELECT kid FROM keep)),
+tok AS (SELECT doc_id, text,
+               regexp_extract_all(lower(text), '\w+') AS toks FROM d),
+q AS (SELECT doc_id, text, len(toks) AS n_tokens,
+        CASE WHEN len(toks) = 0 THEN 0.0
+             ELSE CAST(len(list_filter(toks,
+                    x -> list_contains({STOP}, x))) AS DOUBLE) / len(toks)
+        END AS stopword_ratio
+      FROM tok)
+SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, stopword_ratio,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '(^|[^A-Za-z0-9._%+-])[A-Za-z0-9._%+-]+@[A-Za-z0-9-]{{1,63}}(?:\.[A-Za-z0-9-]{{1,63}}){{0,8}}\.[A-Za-z]{{2,24}}', '\1<EMAIL>', 'g'),
+    '\b\d{{3}}[-.]\d{{3}}[-.]\d{{4}}\b', '<PHONE>', 'g'),
+    '\b\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\.\d{{1,3}}\b', '<IP>', 'g')
+    AS text_redacted
+FROM q WHERE n_tokens >= 5 AND stopword_ratio >= 0.05
+""",
+        # incremental prep (pipelines/incremental.apply_page_delta):
+        # post-delta corpus == full documents, oracle identical to
+        # dataprep_corpus
+"delta_dataprep": rf"""
 WITH keep AS (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text),
 d AS (SELECT doc_id, text FROM documents
       WHERE doc_id IN (SELECT kid FROM keep)),

@@ -35,8 +35,6 @@ def prep_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
 
     from ..stages.dedup_near import exact_text_dedup
     from ..stages.relational import semi_join
-    from ..stages.schema_util import drop_empty_blocks
-    from ..stages.text_ops import add_quality_scores, add_redaction
 
     base = docs_ds.select_columns([id_col, text_col]).materialize()
     keep = exact_text_dedup(base, id_col, text_col).select_columns(
@@ -63,7 +61,22 @@ def prep_corpus(docs_ds, id_col: str = "doc_id", text_col: str = "text",
     else:
         kept = semi_join(base, keep, on=id_col, right_on="keep_id",
                          num_partitions=num_partitions)
-    scored = add_quality_scores(kept, text_col)
+    return quality_redact(kept, id_col, text_col, min_tokens,
+                          min_stopword_ratio)
+
+
+def quality_redact(kept_ds, id_col: str = "doc_id",
+                   text_col: str = "text", min_tokens: int = 5,
+                   min_stopword_ratio: float = 0.05):
+    """The post-dedup tail of :func:`prep_corpus` — quality gate + PII
+    scrub — factored out so the incremental path
+    (:mod:`.incremental`) computes delta rows with the IDENTICAL
+    kernels (bit-exactness of the patched output depends on it).
+    Per-document pure: no shuffle, no cross-doc state."""
+    from ..stages.schema_util import drop_empty_blocks
+    from ..stages.text_ops import add_quality_scores, add_redaction
+
+    scored = add_quality_scores(kept_ds, text_col)
 
     def _gate(t):
         # Arrow filter: a pandas batch here would copy the text column

@@ -207,3 +207,58 @@ def test_pack_sequences_properties():
     key = ["doc_id", "n_tokens", "pack_id", "pack_pos"]
     assert again.sort_values("doc_id")[key].reset_index(drop=True).equals(
         packed.sort_values("doc_id")[key].reset_index(drop=True))
+
+
+def test_apply_page_delta_matches_cold_rebuild(tmp_path):
+    """Incremental prep state: removal-only delta (exercises keeper
+    promotion), then an add-back delta, each bit-exact vs a cold
+    prep_corpus of the post-churn corpus; patches touch only affected
+    partitions and the driver holds churn-sized arrays only."""
+    from hackathon_pagerank_ray.pipelines.dataprep import prep_corpus
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        apply_page_delta, init_prep_state, read_prep)
+
+    rng = np.random.default_rng(4)
+    words = ("the a of and to in quick brown fox jumps over lazy dog "
+             "document content with some words again").split()
+    n = 400
+    texts = [" ".join(rng.choice(words, rng.integers(6, 40)))
+             for _ in range(n)]
+    for i in range(12, n):                    # plant ~25% duplicates
+        if rng.random() < 0.25:
+            texts[i] = texts[rng.integers(0, i)]
+    ids = np.arange(n, dtype=np.int64)
+
+    def docs(sel):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array(sel, pa.int64()),
+             "text": pa.array([texts[i] for i in sel])}))
+
+    base = ids[ids % 10 != 0]
+    state = str(tmp_path / "prep_state")
+    init_prep_state(docs(base), state, num_partitions=16)
+
+    rem = base[rng.choice(len(base), 30, replace=False)]
+    info = apply_page_delta(state, removed_ids=rem)
+    assert info["removed"] == 30
+    assert info["newly_kept"] > 0, "test corpus should exercise promotion"
+    cur = np.setdiff1d(base, rem)
+    got = read_prep(state).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = prep_corpus(docs(cur)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got.equals(want), "removal delta must equal cold rebuild"
+
+    back = np.union1d(rem, ids[ids % 10 == 0])
+    info2 = apply_page_delta(state, added_docs_ds=docs(back))
+    assert info2["added"] == len(back)
+    got = read_prep(state).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    want = prep_corpus(docs(ids)).to_pandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    assert got.equals(want), "add delta must equal cold rebuild"
+
+    # duplicate-id guard: adding an id that is already present raises
+    import pytest
+    with pytest.raises(ValueError, match="already present"):
+        apply_page_delta(state, added_docs_ds=docs(ids[:1]))
