@@ -183,7 +183,8 @@ def run_queries(sf_dir: str) -> dict:
              "maximal_matching", "vertex_cover", "bpe_pairs",
              "densest_subgraph", "rectangle_count", "clique4_census",
              "copurchase_topk", "textrank_keywords", "transitivity",
-             "closeness_sharded", "delta_pagerank"]
+             "closeness_sharded", "delta_pagerank", "pack_sequences",
+             "pack_fill", "delta_dataprep", "ivf_topk"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
@@ -721,6 +722,68 @@ def delta_bench():
     ray.shutdown()
 
 
+def delta_prep_bench():
+    """Corpus-side incremental-recrawl evidence (r5): full
+    init_prep_state vs apply_page_delta at ~3% churn on the sf
+    documents table — delta wall time must be churn-proportional and
+    the patched output identical to the cold rebuild (the parity
+    itself is driver-gated via the delta_dataprep query; here we time
+    the two paths)."""
+    import shutil
+    import tempfile
+
+    import numpy as np
+    import pyarrow as pa
+
+    ray = _init_ray(NUM_CPUS)
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        apply_page_delta, init_prep_state, read_prep)
+    from hackathon_pagerank_ray.stages.sampling import (_bucket32,
+                                                        rate_threshold_hex)
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    state = tempfile.mkdtemp(prefix="graft_prep_bench_")
+    t0 = time.perf_counter()
+    init_prep_state(docs, state, num_partitions=64)
+    full_sec = time.perf_counter() - t0
+
+    thr = int(rate_threshold_hex(0.03), 16)
+    churn = docs.map_batches(
+        lambda t: t.filter(pa.array(_bucket32(
+            17, t["doc_id"].to_numpy(zero_copy_only=False)) < thr)),
+        batch_format="pyarrow").materialize()
+    import ray as _raym
+    churn_ids = np.concatenate(
+        [r["doc_id"].to_numpy(zero_copy_only=False)
+         for r in _raym.get(churn.to_arrow_refs()) if r.num_rows])
+    t0 = time.perf_counter()
+    info_rm = apply_page_delta(state, removed_ids=churn_ids)
+    info_add = apply_page_delta(state, added_docs_ds=churn)
+    delta_sec = time.perf_counter() - t0
+    rows = read_prep(state).count()
+    shutil.rmtree(state, ignore_errors=True)
+    print(json.dumps({
+        "metric": "prep_delta_vs_full",
+        "value": round(full_sec / delta_sec, 2),
+        "unit": "speedup",
+        "docs": n_docs, "churn_docs": int(len(churn_ids)),
+        "churn_frac": round(len(churn_ids) / n_docs, 4),
+        "full_init_sec": round(full_sec, 2),
+        "delta_sec_remove_plus_readd": round(delta_sec, 2),
+        "prep_rows": rows,
+        "partitions_touched": {
+            "remove": {k: v for k, v in info_rm.items()
+                       if k.endswith("touched")},
+            "readd": {k: v for k, v in info_add.items()
+                      if k.endswith("touched")}},
+        "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 def pagerank_only():
     ray = _init_ray(NUM_CPUS)
     pr = run_pagerank_bench(
@@ -790,6 +853,8 @@ if __name__ == "__main__":
         skew_bench()
     elif "--delta" in sys.argv:
         delta_bench()
+    elif "--delta-prep" in sys.argv:
+        delta_prep_bench()
     elif "--pagerank-only" in sys.argv:
         pagerank_only()
     elif "--extract-only" in sys.argv:
