@@ -2194,6 +2194,36 @@ def _q_bm25_search(sf_dir):
                        num_partitions=8)
 
 
+def _q_tfidf_search_indexed(sf_dir):
+    """Cosine TF-IDF through the PERSISTED term-partitioned index
+    (functions/search_index): build once to /tmp, then answer from a
+    pruned read of only the query terms' partitions — same scores as
+    tfidf_search, same oracle."""
+    _quiet()
+    import tempfile
+
+    from hackathon_pagerank_ray.functions.search_index import (
+        build_search_index, tfidf_query)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"]).materialize()
+    idx = tempfile.mkdtemp(prefix="graft_searchidx_")
+    build_search_index(docs, idx, num_partitions=64)
+    return tfidf_query(idx, "data table query fast", top_k=10)
+
+
+def _q_bm25_search_indexed(sf_dir):
+    """Okapi BM25 through the persisted index — same scores as
+    bm25_search, same oracle."""
+    _quiet()
+    import tempfile
+
+    from hackathon_pagerank_ray.functions.search_index import (
+        bm25_query, build_search_index)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"]).materialize()
+    idx = tempfile.mkdtemp(prefix="graft_searchidx_")
+    build_search_index(docs, idx, num_partitions=64)
+    return bm25_query(idx, "data table query fast", top_k=10)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2755,6 +2785,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anchor_text": _q_anchor_text,
         "tfidf_search": _q_tfidf_search,
         "bm25_search": _q_bm25_search,
+        "tfidf_search_indexed": _q_tfidf_search_indexed,
+        "bm25_search_indexed": _q_bm25_search_indexed,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4184,10 +4216,38 @@ FROM vol v LEFT JOIN inside i ON i.label = v.label
         "language_id": _LANG_ORACLE_SQL,
         "fingerprints": _FP_ORACLE_SQL,
         "tfidf_search": _TFIDF_ORACLE_SQL,
+        # persisted-index twins: identical scores by construction, so
+        # the same oracles check the warm path
+        "tfidf_search_indexed": _TFIDF_ORACLE_SQL,
         # Okapi BM25 (functions/tfidf.bm25_search): Lucene idf, every
         # float expression parenthesized exactly as the numpy kernel;
         # N/avgdl are exact integer token counts in both engines
         "bm25_search": r"""
+WITH tok AS (SELECT doc_id, unnest(list_transform(
+    regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
+  FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+av AS (SELECT CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+              n FROM stats),
+qterms AS (SELECT unnest(['data', 'fast', 'query', 'table']) AS term),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN qterms USING (term) GROUP BY term),
+idf AS (SELECT term,
+    ln(1.0 + ((SELECT n FROM av) - df + 0.5) / (df + 0.5)) AS idf
+  FROM df),
+sc AS (SELECT tf.doc_id,
+    idf.idf * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (SELECT avgdl FROM av))) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+SELECT doc_id, SUM(s) AS bm25_score FROM sc GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id LIMIT 10
+""",
+"bm25_search_indexed": r"""
 WITH tok AS (SELECT doc_id, unnest(list_transform(
     regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
   FROM documents),

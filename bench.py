@@ -722,6 +722,72 @@ def delta_bench():
     ray.shutdown()
 
 
+def search_index_bench():
+    """Persisted-index serving evidence (r5): one index build, then
+    warm tfidf/bm25 queries answered from a pruned read of only the
+    query terms' partitions — vs the rebuild-per-query cold path."""
+    import tempfile
+
+    ray = _init_ray(NUM_CPUS)
+    import ray.data as rd
+
+    from hackathon_pagerank_ray.functions.search_index import (
+        bm25_query, build_search_index, tfidf_query)
+    from hackathon_pagerank_ray.functions.tfidf import (bm25_search,
+                                                        build_tfidf_tables,
+                                                        search)
+    docs = rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                           columns=["doc_id", "text"]).materialize()
+    idx = tempfile.mkdtemp(prefix="graft_searchidx_bench_")
+    t0 = time.perf_counter()
+    build_search_index(docs, idx, num_partitions=64)
+    build_sec = time.perf_counter() - t0
+
+    # warm queries must hit the real vocabulary — sample terms from
+    # the corpus itself so every query does full scoring work
+    sample = " ".join(r["text"] for r in docs.take(3))
+    vocab = [w for w in dict.fromkeys(sample.lower().split()) if w.isalpha()]
+    queries = ["data table query fast",
+               " ".join(vocab[0:4]), " ".join(vocab[4:8]),
+               " ".join(vocab[8:12])]
+    warm_t, warm_b = [], []
+    for q in queries:
+        t0 = time.perf_counter()
+        r = tfidf_query(idx, q, top_k=10)
+        if r is not None:
+            r.materialize()
+        warm_t.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        r = bm25_query(idx, q, top_k=10)
+        if r is not None:
+            r.materialize()
+        warm_b.append(time.perf_counter() - t0)
+
+    t0 = time.perf_counter()
+    postings, norms, df_ds, N = build_tfidf_tables(docs, num_partitions=8)
+    search(postings, norms, df_ds, N, queries[0], top_k=10).materialize()
+    cold_tfidf = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    bm25_search(docs, queries[0], top_k=10).materialize()
+    cold_bm25 = time.perf_counter() - t0
+
+    import shutil
+    shutil.rmtree(idx, ignore_errors=True)
+    med = sorted(warm_t)[len(warm_t) // 2]
+    print(json.dumps({
+        "metric": "warm_query_vs_cold_rebuild",
+        "value": round(cold_tfidf / med, 2),
+        "unit": "speedup",
+        "build_sec": round(build_sec, 2),
+        "warm_tfidf_sec": [round(x, 3) for x in warm_t],
+        "warm_bm25_sec": [round(x, 3) for x in warm_b],
+        "cold_tfidf_sec": round(cold_tfidf, 2),
+        "cold_bm25_sec": round(cold_bm25, 2),
+        "queries": len(queries), "num_cpus": NUM_CPUS,
+    }))
+    ray.shutdown()
+
+
 def delta_prep_bench():
     """Corpus-side incremental-recrawl evidence (r5): full
     init_prep_state vs apply_page_delta at ~3% churn on the sf
@@ -855,6 +921,8 @@ if __name__ == "__main__":
         delta_bench()
     elif "--delta-prep" in sys.argv:
         delta_prep_bench()
+    elif "--search-index" in sys.argv:
+        search_index_bench()
     elif "--pagerank-only" in sys.argv:
         pagerank_only()
     elif "--extract-only" in sys.argv:

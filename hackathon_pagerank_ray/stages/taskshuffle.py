@@ -227,3 +227,86 @@ def densify_ref(ds, key_col: str, val_col: str, fill: int = 0):
         return arr
 
     return _dense.remote(*ds.materialize().to_arrow_refs())
+
+
+def grouped_fsum_int64key(ds, key_col: str, val_col: str,
+                          num_reducers: int | None = None,
+                          out_val: str = "agg",
+                          carry_col: str | None = None):
+    """``SELECT key, SUM(val) GROUP BY key`` for an int64 key and a
+    FLOAT64 value — the same two-wave task shuffle as
+    :func:`grouped_agg_int64`, avoiding the Ray sort-groupby's
+    multi-second fixed floor on small-but-wide candidate sets (the warm
+    search-query path).  Per-key float sums fold in partition order, so
+    results can differ from the sort-groupby by summation-order ulps —
+    same tolerance class as any distributed float sum here.
+    ``carry_col``: optional float64 column aggregated as per-key MAX and
+    emitted alongside — for values constant within a key (e.g. a doc's
+    cosine norm riding its posting rows), max IS the value and no second
+    shuffle or join is needed."""
+    import ray
+
+    mat = ds.materialize()
+    refs = mat.to_arrow_refs()
+    cpus = int(ray.cluster_resources().get("CPU", 8))
+    R = num_reducers or max(1, min(len(refs), cpus // 4))
+
+    @ray.remote
+    def _split(block):
+        t = _block_table(block)
+        if t.num_rows:
+            k = np.asarray(t[key_col], dtype=np.int64)
+            v = np.asarray(t[val_col], dtype=np.float64)
+            uniq, inv = np.unique(k, return_inverse=True)
+            agg = np.bincount(inv, weights=v, minlength=len(uniq))
+            if carry_col is not None:
+                cv = np.asarray(t[carry_col], dtype=np.float64)
+                car = np.full(len(uniq), -np.inf)
+                np.maximum.at(car, inv, cv)
+            else:
+                car = None
+        else:
+            uniq = np.empty(0, dtype=np.int64)
+            agg = np.empty(0, dtype=np.float64)
+            car = np.empty(0, dtype=np.float64) \
+                if carry_col is not None else None
+        part = uniq % R
+        outs = []
+        for r in range(R):
+            m = part == r
+            cols = {"k": pa.array(uniq[m], pa.int64()),
+                    "v": pa.array(agg[m], pa.float64())}
+            if car is not None:
+                cols["c"] = pa.array(car[m], pa.float64())
+            outs.append(pa.table(cols))
+        return tuple(outs) if R > 1 else outs[0]
+
+    @ray.remote
+    def _reduce(*parts):
+        cols = {key_col: pa.array([], pa.int64()),
+                out_val: pa.array([], pa.float64())}
+        if carry_col is not None:
+            cols[carry_col] = pa.array([], pa.float64())
+        if not parts:
+            return pa.table(cols)
+        k = np.concatenate([np.asarray(p["k"]) for p in parts])
+        v = np.concatenate([np.asarray(p["v"], dtype=np.float64)
+                            for p in parts])
+        uniq, inv = np.unique(k, return_inverse=True)
+        agg = np.bincount(inv, weights=v, minlength=len(uniq))
+        cols = {key_col: pa.array(uniq, pa.int64()),
+                out_val: pa.array(agg, pa.float64())}
+        if carry_col is not None:
+            cv = np.concatenate([np.asarray(p["c"], dtype=np.float64)
+                                 for p in parts])
+            car = np.full(len(uniq), -np.inf)
+            np.maximum.at(car, inv, cv)
+            cols[carry_col] = pa.array(car, pa.float64())
+        return pa.table(cols)
+
+    splits = [_split.options(num_returns=R).remote(r) for r in refs]
+    if R == 1:
+        red = [_reduce.remote(*splits)]
+    else:
+        red = [_reduce.remote(*[s[r] for s in splits]) for r in range(R)]
+    return ray.data.from_arrow_refs(red)

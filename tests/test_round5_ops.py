@@ -262,3 +262,47 @@ def test_apply_page_delta_matches_cold_rebuild(tmp_path):
     import pytest
     with pytest.raises(ValueError, match="already present"):
         apply_page_delta(state, added_docs_ds=docs(ids[:1]))
+
+
+def test_search_index_matches_rebuild_path(tmp_path):
+    """Persisted term-partitioned index: warm tfidf/bm25 queries must
+    reproduce the rebuild-per-query results (ids exact, scores to
+    summation-order ulps), and the per-query read must touch only the
+    query terms' partitions."""
+    from hackathon_pagerank_ray.functions.search_index import (
+        _part_files, _tpart, bm25_query, build_search_index, tfidf_query)
+    from hackathon_pagerank_ray.functions.tfidf import (bm25_search,
+                                                        build_tfidf_tables,
+                                                        search)
+
+    rng = np.random.default_rng(6)
+    words = ("alpha beta gamma delta epsilon zeta eta theta data table "
+             "query fast graph rank web page the of and").split()
+    texts = [" ".join(rng.choice(words, rng.integers(8, 30)))
+             for _ in range(300)]
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(300), pa.int64()),
+         "text": pa.array(texts)}))
+    idx = str(tmp_path / "idx")
+    build_search_index(docs, idx, num_partitions=32)
+
+    q = "data table query fast"
+    got_t = tfidf_query(idx, q, top_k=10).to_pandas()
+    got_b = bm25_query(idx, q, top_k=10).to_pandas()
+    postings, norms, df_ds, N = build_tfidf_tables(docs)
+    want_t = search(postings, norms, df_ds, N, q, top_k=10).to_pandas()
+    want_b = bm25_search(docs, q, top_k=10).to_pandas()
+    assert got_t["doc_id"].tolist() == want_t["doc_id"].tolist()
+    assert np.allclose(got_t["tfidf_score"], want_t["tfidf_score"],
+                       rtol=0, atol=1e-12)
+    assert got_b["doc_id"].tolist() == want_b["doc_id"].tolist()
+    assert np.allclose(got_b["bm25_score"], want_b["bm25_score"],
+                       rtol=0, atol=1e-12)
+
+    # pruned read: 4 query terms -> at most 4 partitions of each table
+    files = _part_files(idx, "postings", _tpart(sorted(set(q.split())), 32))
+    parts = {f.split("tpart=")[1].split("/")[0] for f in files}
+    assert len(parts) <= 4
+
+    # unknown-vocabulary query degrades to None, not an error
+    assert tfidf_query(idx, "zzz qqq") is None
