@@ -2224,6 +2224,21 @@ def _q_bm25_search_indexed(sf_dir):
     return bm25_query(idx, "data table query fast", top_k=10)
 
 
+def _q_media_stats(sf_dir):
+    """Multimodal plumbing profile over the deterministic media table
+    DERIVED from documents (stages/multimodal.media_from_documents:
+    payload = utf-8 text bytes, mime by id parity, duration a pure
+    function of byte length): per-media frame/window cardinalities are
+    counted from the ACTUAL actor-pool stage outputs, so the oracle
+    checks frame_sample + audio_windows emission logic end to end."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.multimodal import (
+        media_from_documents, media_stats)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    media = media_from_documents(docs).materialize()
+    return media_stats(media, every_ms=1000, window_ms=400, hop_ms=200)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2787,6 +2802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search": _q_bm25_search,
         "tfidf_search_indexed": _q_tfidf_search_indexed,
         "bm25_search_indexed": _q_bm25_search_indexed,
+        "media_stats": _q_media_stats,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4460,6 +4476,25 @@ GROUP BY l_returnflag, l_linestatus
         # pack_sequences): deterministic-shuffle order, greedy fill
         # at 2048 inside contiguous 256-doc groups — the sequential
         # recurrence unrolled as a recursive CTE over rank-within-group
+        # multimodal plumbing profile (stages/multimodal.media_stats over
+        # media_from_documents): duration = 500 + (bytes*13) % 8000;
+        # n_frames = max(1, dur // 1000); n_windows = 1 when dur < 400
+        # else 1 + (dur - 400) // 200 — pure arithmetic of the derived
+        # media table, mirroring the stage emission rules exactly
+        "media_stats": r"""
+WITH m AS (SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/fake'
+            ELSE 'audio/fake' END AS mime,
+       CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+       CAST(500 + (octet_length(encode(text)) * 13) % 8000 AS BIGINT)
+         AS dur
+  FROM documents)
+SELECT media_id, mime, payload_bytes,
+       GREATEST(1, dur // 1000) AS n_frames,
+       CASE WHEN dur < 400 THEN CAST(1 AS BIGINT)
+            ELSE 1 + (dur - 400) // 200 END AS n_windows
+FROM m
+""",
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,
   (list_sum(list_transform(range(1, 9), i ->

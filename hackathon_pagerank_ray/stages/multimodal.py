@@ -47,10 +47,20 @@ class DecodeMedia:
 
     def _decode(self, payload: bytes, mime: str, h: int, w: int) -> np.ndarray:
         if self.decoder == "real":
-            # STUB: no codec libraries in this container (PIL/ffmpeg absent).
-            raise NotImplementedError(
-                "real media decode requires codec libs not present here; "
-                "swap this call for PIL/av in a full environment")
+            # probe-and-use (r5): PIL decodes when the environment has
+            # it; this container does not (see probe_codecs), so the
+            # documented stub error remains the honest behavior here
+            try:
+                import io
+
+                from PIL import Image
+            except ImportError:
+                raise NotImplementedError(
+                    "real media decode requires codec libs not present "
+                    "here (probe_codecs() lists what was found); swap "
+                    "environments or use decoder='fake'") from None
+            return np.asarray(Image.open(io.BytesIO(payload))
+                              .convert("RGB"))
         return _fake_pixels(payload, max(h, 1), max(w, 1))
 
     def _resize(self, img: np.ndarray) -> np.ndarray:
@@ -113,3 +123,146 @@ def synthetic_media_table(n: int = 32, seed: int = 3) -> pa.Table:
          pa.array(rng.randint(16, 64, n).astype(np.int32)),
          pa.array(rng.randint(1000, 9000, n).astype(np.int32))],
         schema=MEDIA_SCHEMA)
+
+
+def probe_codecs() -> dict:
+    """Which real codec backends exist in this environment.  The r5
+    probe found none in the evaluation container (PIL / av / cv2 /
+    soundfile / imageio all absent) — ``DecodeMedia(decoder="real")``
+    uses PIL when present and raises the documented stub error when
+    not, so the same code is real-decode-ready elsewhere."""
+    out = {}
+    for mod in ("PIL", "av", "cv2", "soundfile", "imageio"):
+        try:
+            __import__(mod)
+            out[mod] = True
+        except ImportError:
+            out[mod] = False
+    return out
+
+
+def _fake_samples(payload: bytes, n: int) -> np.ndarray:
+    """Deterministic fake PCM derived from the payload hash — the audio
+    twin of :func:`_fake_pixels` (same contract: plumbing exercised for
+    real, codec call swapped in a full environment)."""
+    seed = int.from_bytes((payload or b"\0")[:8].ljust(8, b"\0"), "little")
+    rng = np.random.RandomState(seed % (2 ** 32))
+    return rng.uniform(-1.0, 1.0, size=n).astype(np.float32)
+
+
+class AudioWindows:
+    """(media_id, payload, duration_ms) → one row per analysis window
+    ``(media_id, win_ms, rms)``: windows start at 0 and advance by
+    ``hop_ms`` while a full ``window_ms`` fits (a clip shorter than one
+    window yields a single truncated window) — n_windows =
+    ``1 + max(0, duration_ms - window_ms) // hop_ms`` when
+    duration ≥ window, else 1.
+
+    Actor-pool stage under the module's small-batch memory rule
+    (megabyte-scale payload rows: batch × concurrency must fit a worker
+    heap).  The sample decode is the deterministic fake; RMS is then a
+    pure function of (payload, window), so the stage is
+    retry/partition-stable.
+    """
+
+    #: fake sample rate — 16 samples/ms keeps the fake PCM small
+    SAMPLES_PER_MS = 16
+
+    def __init__(self, window_ms: int = 400, hop_ms: int = 200):
+        if window_ms <= 0 or hop_ms <= 0:
+            raise ValueError((window_ms, hop_ms))
+        self.window_ms = window_ms
+        self.hop_ms = hop_ms
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        ids, starts, rms = [], [], []
+        for mid, payload, dur in zip(batch["media_id"], batch["payload"],
+                                     batch["duration_ms"]):
+            dur = int(dur)
+            if dur >= self.window_ms:
+                n = 1 + (dur - self.window_ms) // self.hop_ms
+            else:
+                n = 1
+            pcm = _fake_samples(payload, dur * self.SAMPLES_PER_MS)
+            for i in range(n):
+                lo = i * self.hop_ms * self.SAMPLES_PER_MS
+                hi = min(lo + self.window_ms * self.SAMPLES_PER_MS,
+                         len(pcm))
+                w = pcm[lo:hi]
+                ids.append(mid)
+                starts.append(i * self.hop_ms)
+                rms.append(float(np.sqrt(np.mean(w * w))) if len(w)
+                           else 0.0)
+        return pd.DataFrame({
+            "media_id": np.asarray(ids, dtype=np.int64),
+            "win_ms": np.asarray(starts, dtype=np.int64),
+            "rms": np.asarray(rms, dtype=np.float64)})
+
+
+def audio_windows(media_ds, window_ms: int = 400, hop_ms: int = 200,
+                  batch_size: int = 16, concurrency=2):
+    """Actor-pool audio windowing stage (see :class:`AudioWindows`)."""
+    return media_ds.map_batches(
+        AudioWindows,
+        fn_constructor_kwargs=dict(window_ms=window_ms, hop_ms=hop_ms),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)
+
+
+def media_from_documents(docs_ds, id_col: str = "doc_id",
+                         text_col: str = "text"):
+    """Deterministic media table DERIVED from the documents table (no
+    external data): payload = utf-8 text bytes, mime alternates
+    image/audio by id parity, dims/duration are pure arithmetic of
+    (id, payload length) — so media pipelines over it have exact SQL
+    twins on ``documents``."""
+    def _mk(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = t[text_col].to_pylist()
+        payloads = [(x or "").encode("utf-8") for x in texts]
+        nb = np.array([len(p) for p in payloads], dtype=np.int64)
+        return pa.Table.from_arrays(
+            [pa.array(ids),
+             pa.array(payloads, pa.binary()),
+             pa.array(np.where(ids % 2 == 0, "image/fake",
+                               "audio/fake")),
+             pa.array((16 + ids % 48).astype(np.int32)),
+             pa.array((16 + (ids * 7) % 48).astype(np.int32)),
+             pa.array((500 + (nb * 13) % 8000).astype(np.int32))],
+            schema=MEDIA_SCHEMA)
+
+    return docs_ds.map_batches(_mk, batch_format="pyarrow")
+
+
+def media_stats(media_ds, every_ms: int = 1000, window_ms: int = 400,
+                hop_ms: int = 200, batch_size: int = 16, concurrency=2):
+    """Per-media plumbing profile ``(media_id, mime, payload_bytes,
+    n_frames, n_windows)``: frame and window cardinalities are counted
+    from the ACTUAL stage outputs (frame_sample / audio_windows), not
+    recomputed formulas — so the driver oracle checks the stages'
+    emission logic end to end."""
+    import pyarrow.compute as pc  # noqa: F401
+
+    from ray.data.aggregate import Count
+
+    from .relational import inner_join
+
+    def _base(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "media_id": t["media_id"].combine_chunks(),
+            "mime": t["mime"].combine_chunks(),
+            "payload_bytes": pa.array(
+                [len(p) for p in t["payload"].to_pylist()], pa.int64())})
+
+    base = media_ds.map_batches(_base, batch_format="pyarrow")
+    frames = frame_sample(media_ds, every_ms=every_ms,
+                          batch_size=batch_size, concurrency=concurrency) \
+        .groupby("media_id").aggregate(Count(alias_name="n_frames"))
+    wins = audio_windows(media_ds, window_ms=window_ms, hop_ms=hop_ms,
+                         batch_size=batch_size, concurrency=concurrency) \
+        .groupby("media_id").aggregate(Count(alias_name="n_windows"))
+    out = inner_join(inner_join(base, frames, on="media_id",
+                                num_partitions=4),
+                     wins, on="media_id", num_partitions=4)
+    return out.select_columns(["media_id", "mime", "payload_bytes",
+                               "n_frames", "n_windows"])

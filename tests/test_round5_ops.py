@@ -306,3 +306,45 @@ def test_search_index_matches_rebuild_path(tmp_path):
 
     # unknown-vocabulary query degrades to None, not an error
     assert tfidf_query(idx, "zzz qqq") is None
+
+
+def test_audio_windows_and_media_stats():
+    """Audio windowing emits the documented cardinality (1 truncated
+    window below window_ms; 1 + (dur-w)//hop above), RMS is
+    deterministic, and media_stats counts come from the actual stage
+    outputs."""
+    from hackathon_pagerank_ray.stages import multimodal as MM
+
+    tbl = MM.synthetic_media_table(n=24, seed=3)
+    ds = rd.from_arrow(tbl)
+    wins = MM.audio_windows(ds, window_ms=400, hop_ms=200).to_pandas()
+    durs = dict(zip(tbl["media_id"].to_pylist(),
+                    tbl["duration_ms"].to_pylist()))
+    counts = wins.groupby("media_id").size()
+    for mid, dur in durs.items():
+        want = 1 + (dur - 400) // 200 if dur >= 400 else 1
+        assert counts[mid] == want, (mid, dur)
+    assert (wins["rms"] >= 0).all() and (wins["rms"] <= 1).all()
+    again = MM.audio_windows(rd.from_arrow(tbl).repartition(3),
+                             window_ms=400, hop_ms=200).to_pandas()
+    key = ["media_id", "win_ms"]
+    assert again.sort_values(key).reset_index(drop=True).equals(
+        wins.sort_values(key).reset_index(drop=True))
+
+    stats = MM.media_stats(ds).to_pandas().sort_values("media_id")
+    assert len(stats) == 24
+    for _, r in stats.iterrows():
+        dur = durs[r["media_id"]]
+        assert r["n_frames"] == max(1, dur // 1000)
+        assert r["n_windows"] == (1 + (dur - 400) // 200
+                                  if dur >= 400 else 1)
+
+    # derived media table is a pure function of documents
+    docs = rd.from_arrow(pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["hello", "héllo"])}))
+    med = MM.media_from_documents(docs).to_pandas()
+    assert med["payload_bytes" if "payload_bytes" in med else "payload"] \
+        .map(len).tolist() == [5, 6]
+    assert med["mime"].tolist() == ["image/fake", "audio/fake"]
+    assert med["duration_ms"].tolist() == [500 + 5 * 13, 500 + 6 * 13]
