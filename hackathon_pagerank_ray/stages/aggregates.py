@@ -131,6 +131,48 @@ def pivot_counts(ds, row_key: str, col_key: str, values: list[str],
     return merged.rename_columns({f"sum({c})": c for c in cols})
 
 
+def _grouping_sets_small(finest, keys, sets, total_label):
+    """Fold ALL coarser grouping sets of a small finest aggregate in ONE
+    worker task (adaptive small path, r5): every Ray groupby above the
+    finest level pays the sort-groupby's multi-second fixed floor just
+    to re-aggregate a group-cardinality-sized table — below the gate the
+    whole lattice is a handful of vectorized Arrow ``group_by`` calls on
+    one concatenated table.  Scaled-int sums make the fold bit-identical
+    to the per-level exchange path."""
+    import ray
+
+    @ray.remote
+    def _fold(*parts):
+        parts = [p for p in parts if p.num_rows]
+        if not parts:
+            return pa.table({k: pa.array([], pa.string()) for k in keys}
+                            | {"v100": pa.array([], pa.int64()),
+                               "n": pa.array([], pa.int64())})
+        t = pa.concat_tables(parts)
+        outs = [t]
+        for kept in sets:
+            kept = list(kept)
+            if kept:
+                g = t.group_by(kept).aggregate(
+                    [("v100", "sum"), ("n", "sum")])
+                g = g.rename_columns(kept + ["v100", "n"])
+            else:
+                g = pa.table({"v100": pa.array(
+                    [pc.sum(t["v100"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0],
+                                  pa.int64())})
+            n = g.num_rows
+            outs.append(pa.table(
+                {k: (g[k] if k in kept
+                     else pa.array([total_label] * n, pa.string()))
+                 for k in keys}
+                | {"v100": g["v100"], "n": g["n"]}))
+        return pa.concat_tables(outs)
+
+    import ray.data as rd
+    return rd.from_arrow_refs([_fold.remote(*finest.to_arrow_refs())])
+
+
 def rollup_counts(ds, keys: list[str], agg_col: str,
                   total_label: str = "ALL"):
     """GROUP BY ROLLUP over ``keys``: sums of ``agg_col`` (scaled-cent
@@ -153,37 +195,46 @@ def rollup_counts(ds, keys: list[str], agg_col: str,
               .rename_columns({"sum(v100)": "v100", "sum(n)": "n"})
               .materialize())
 
-    levels = [finest]
-    for depth in range(len(keys) - 1, -1, -1):
-        kept, rolled = keys[:depth], keys[depth:]
+    sets = [tuple(keys[:depth]) for depth in range(len(keys) - 1, -1, -1)]
+    if finest.count() <= 200_000:
+        # the whole prefix ladder folds in one task (bit-identical —
+        # exact scaled-int sums)
+        out = _grouping_sets_small(finest, keys, sets, total_label)
+    else:
+        levels = [finest]
+        for kept_t in sets:
+            kept = list(kept_t)
+            rolled = keys[len(kept):]
 
-        def _fold(t: pa.Table, kept=kept, rolled=rolled) -> pa.Table:
-            n = t.num_rows
-            arrays = {k: t[k] for k in kept}
-            arrays |= {k: pa.array([total_label] * n, pa.string())
-                       for k in rolled}
-            arrays |= {"v100": t["v100"], "n": t["n"]}
-            return pa.table(arrays)
+            def _fold(t: pa.Table, kept=kept, rolled=rolled) -> pa.Table:
+                n = t.num_rows
+                arrays = {k: t[k] for k in kept}
+                arrays |= {k: pa.array([total_label] * n, pa.string())
+                           for k in rolled}
+                arrays |= {"v100": t["v100"], "n": t["n"]}
+                return pa.table(arrays)
 
-        lvl = finest.map_batches(_fold, batch_format="pyarrow")
-        if kept:
-            lvl = (lvl.groupby(kept).sum(["v100", "n"])
-                   .rename_columns({"sum(v100)": "v100", "sum(n)": "n"}))
-            lvl = lvl.map_batches(
-                lambda t, kept=kept, rolled=rolled: pa.table(
-                    {k: t[k] for k in kept}
-                    | {k: pa.array([total_label] * t.num_rows, pa.string())
-                       for k in rolled}
-                    | {"v100": t["v100"], "n": t["n"]}),
-                batch_format="pyarrow")
-        else:
-            lvl = (lvl.groupby(rolled).sum(["v100", "n"])
-                   .rename_columns({"sum(v100)": "v100", "sum(n)": "n"}))
-        levels.append(lvl)
+            lvl = finest.map_batches(_fold, batch_format="pyarrow")
+            if kept:
+                lvl = (lvl.groupby(kept).sum(["v100", "n"])
+                       .rename_columns({"sum(v100)": "v100",
+                                        "sum(n)": "n"}))
+                lvl = lvl.map_batches(
+                    lambda t, kept=kept, rolled=rolled: pa.table(
+                        {k: t[k] for k in kept}
+                        | {k: pa.array([total_label] * t.num_rows,
+                                       pa.string()) for k in rolled}
+                        | {"v100": t["v100"], "n": t["n"]}),
+                    batch_format="pyarrow")
+            else:
+                lvl = (lvl.groupby(rolled).sum(["v100", "n"])
+                       .rename_columns({"sum(v100)": "v100",
+                                        "sum(n)": "n"}))
+            levels.append(lvl)
 
-    out = levels[0]
-    for lvl in levels[1:]:
-        out = out.union(lvl)
+        out = levels[0]
+        for lvl in levels[1:]:
+            out = out.union(lvl)
 
     def _final(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -193,6 +244,16 @@ def rollup_counts(ds, keys: list[str], agg_col: str,
                "n": pc.cast(t["n"], pa.int64())})
 
     return out.map_batches(_final, batch_format="pyarrow")
+
+
+def _cube_final(keys):
+    def _final(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {k: t[k] for k in keys}
+            | {"total": pc.divide(pc.cast(t["v100"], pa.float64()),
+                                  pa.scalar(100.0)),
+               "n": pc.cast(t["n"], pa.int64())})
+    return _final
 
 
 def cube_counts(ds, keys: list[str], agg_col: str,
@@ -231,6 +292,14 @@ def cube_counts(ds, keys: list[str], agg_col: str,
              for k in keys}
             | {"v100": t["v100"], "n": t["n"]})
 
+    sets = [kept for r in range(len(keys) - 1, -1, -1)
+            for kept in combinations(keys, r)]
+    if finest.count() <= 200_000:
+        # whole 2^k lattice folded in one task (bit-identical — exact
+        # scaled-int sums); the per-set Ray groupby path remains for
+        # high-cardinality finest levels
+        out = _grouping_sets_small(finest, keys, sets, total_label)
+        return out.map_batches(_cube_final(keys), batch_format="pyarrow")
     levels = [finest]
     for r in range(len(keys) - 1, -1, -1):
         for kept in combinations(keys, r):

@@ -89,10 +89,79 @@ def sessionize(events_ds, user_col: str = "user_id", ts_col: str = "ts",
             "end_us": t[ends - 1],
         })
 
-    return (events_ds
-            .map_batches(_to_us, batch_format="pyarrow")
-            .groupby(user_col)
-            .map_groups(_sess, batch_format="pandas"))
+    rows = events_ds.map_batches(_to_us, batch_format="pyarrow")
+    try:
+        id_is_int = rows.schema().base_schema.field(user_col).type \
+            == pa.int64()
+    except Exception:
+        id_is_int = False
+    if id_is_int:
+        # r5 fast path: two-wave task shuffle on user hash, then ONE
+        # vectorized kernel per reducer covering ALL its users — a
+        # lexsort + diff computes every session boundary at once,
+        # replacing the per-group pandas UDF invocation (and the Ray
+        # sort-groupby floor).  Output rows are bit-identical: same
+        # per-user time sort, same gap rule, same int fields.
+        import ray
+
+        mat = rows.materialize()
+        refs = mat.to_arrow_refs()
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+        R = max(1, min(len(refs), cpus // 4))
+
+        @ray.remote
+        def _split(block):
+            t = block if isinstance(block, pa.Table) else \
+                pa.Table.from_pandas(block, preserve_index=False)
+            u = (np.asarray(t[user_col], dtype=np.int64) if t.num_rows
+                 else np.empty(0, np.int64))
+            part = u % R
+            outs = [t.filter(pa.array(part == r)) for r in range(R)]
+            return tuple(outs) if R > 1 else outs[0]
+
+        @ray.remote
+        def _reduce(*parts):
+            parts = [p for p in parts if p.num_rows]
+            if not parts:
+                return pa.table({
+                    user_col: pa.array([], pa.int64()),
+                    "session_idx": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "start_us": pa.array([], pa.int64()),
+                    "end_us": pa.array([], pa.int64())})
+            t = pa.concat_tables(parts)
+            u = np.asarray(t[user_col], dtype=np.int64)
+            ts = np.asarray(t["t_us"], dtype=np.int64)
+            order = np.lexsort((ts, u))
+            u, ts = u[order], ts[order]
+            new = np.ones(len(u), dtype=bool)
+            new[1:] = (u[1:] != u[:-1]) | (ts[1:] - ts[:-1] > gap_us)
+            starts = np.flatnonzero(new)
+            ends = np.concatenate([starts[1:], [len(u)]])
+            su = u[starts]
+            # 1-based session index within each user: session ordinal
+            # minus the ordinal of the user's first session
+            ufirst = np.ones(len(su), dtype=bool)
+            ufirst[1:] = su[1:] != su[:-1]
+            base = np.arange(len(su)) - \
+                np.maximum.accumulate(np.where(
+                    ufirst, np.arange(len(su)), 0))
+            return pa.table({
+                user_col: pa.array(su),
+                "session_idx": pa.array(base + 1),
+                "n_events": pa.array((ends - starts).astype(np.int64)),
+                "start_us": pa.array(ts[starts]),
+                "end_us": pa.array(ts[ends - 1])})
+
+        splits = [_split.options(num_returns=R).remote(r) for r in refs]
+        if R == 1:
+            red = [_reduce.remote(*splits)]
+        else:
+            red = [_reduce.remote(*[s[r] for s in splits])
+                   for r in range(R)]
+        import ray.data as rd
+        return rd.from_arrow_refs(red)
+    return rows.groupby(user_col).map_groups(_sess, batch_format="pandas")
 
 
 def asof_join(left_ds, right_ds, by: str, on: str,
