@@ -98,6 +98,21 @@ class RankOwner:
         local_idx, counts = contrib
         np.add.at(self.outdeg, local_idx, counts)
 
+    def get_metrics(self) -> dict:
+        return {"owner": self.j, **self.metrics}
+
+    def exchange_profile(self) -> dict:
+        """Wire-volume introspection (r5 rehearsal): bytes of each
+        per-shard gather slice this owner emits per subscribe-mode
+        sweep, plus the raylet hosting this actor."""
+        import ray as _r
+        E = len(self.subscriptions)
+        return {"owner": self.j,
+                "node": _r.get_runtime_context().get_node_id(),
+                "slice_bytes_to_shard": [
+                    int(len(self.subscriptions[e]) * 8)
+                    for e in range(E)]}
+
     def subscribe(self, edge_shard_id: int, sub) -> None:
         """``sub`` = (gather local_idx, scatter dst_local_idx) from
         ``EdgeShard.subscription`` — passed by ObjectRef, no driver copy."""
@@ -1129,6 +1144,19 @@ class EdgeShard:
 
     def get_metrics(self) -> dict:
         return {"shard": self.e, **self.metrics}
+
+    def exchange_profile(self) -> dict:
+        """Wire-volume introspection for the multi-raylet rehearsal
+        (r5): the exact bytes this shard EMITS per sweep — one partial
+        array per destination owner, sized by that owner's unique-dst
+        footprint in this shard — plus the raylet this actor landed on,
+        so cross-node bytes are attributable pair by pair."""
+        import ray as _r
+        return {"shard": self.e,
+                "node": _r.get_runtime_context().get_node_id(),
+                "partial_bytes_to_owner": [
+                    int(len(self.uniq_dst_local[j]) * 8)
+                    for j in range(self.P)]}
 
     # -- sweeps -------------------------------------------------------------
     def _gathered(self, value_slices) -> np.ndarray:

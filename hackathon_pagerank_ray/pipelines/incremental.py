@@ -360,3 +360,251 @@ def apply_page_delta(state_dir: str, added_docs_ds=None,
             "docs_partitions_touched": int(len(affected_docs)),
             "hash_partitions_touched": int(len(affected_hp)),
             "prep_partitions_touched": int(len(affected_prep))}
+
+
+# ---------------------------------------------------------------------------
+# Crawl-side delta: pages → docs/edges/vertices patches + id-space edge
+# delta for ShardedGraph.apply_edge_delta (the bridge VERDICT r4 asked
+# for: "re-extract only churned pages, patch docs/edges_url, feed the
+# existing apply_edge_delta")
+# ---------------------------------------------------------------------------
+
+def _url_part(urls, P: int) -> np.ndarray:
+    return np.array([int(np.uint64(_fnv1a_bytes(
+        (u or "").encode("utf-8"))) % np.uint64(P)) for u in urls],
+        dtype=np.int64)
+
+
+_CDOCS_SCHEMA = pa.schema([("url", pa.string()), ("warc_ts", pa.int64()),
+                           ("text", pa.string()), ("lang", pa.string())])
+_CEDGE_SCHEMA = pa.schema([("src_url", pa.string()),
+                           ("dst_url", pa.string())])
+_VERT_SCHEMA = pa.schema([("url", pa.string()), ("vid", pa.int64())])
+
+
+def init_crawl_state(pages_ds, state_dir: str, num_partitions: int = 64,
+                     target_lang: str | None = None):
+    """Full extract run that persists the flagship tables as url-hash
+    partitioned state: ``docs`` (post longer-text dedup), ``edges_url``
+    (distinct, partitioned by SRC url — every edge's provenance is its
+    source page, so a page removal touches exactly its partition) and
+    ``vertices`` (url → dense vid, APPEND-ONLY across deltas: a
+    recrawl's vertex universe only grows; ``n`` lives in the
+    manifest)."""
+    import ray
+    import ray.data as rd
+
+    from ..sources.part_writer import write_partitioned
+    from ..stages.dedup import dedup_edges, dedup_pages_longer_text
+    from ..stages.extract_stage import (explode_links, indexed_docs,
+                                        parse_pages)
+    from ..stages.ids import assign_vertex_ids
+
+    P = int(num_partitions)
+    os.makedirs(state_dir, exist_ok=True)
+    parsed = parse_pages(pages_ds, target_lang=target_lang).materialize()
+    docs = dedup_pages_longer_text(indexed_docs(parsed)).materialize()
+    edges = dedup_edges(explode_links(parsed)).materialize()
+
+    def _dpart(t: pa.Table) -> pa.Table:
+        return t.select(["url", "warc_ts", "text", "lang"]).append_column(
+            "dpart", pa.array(_url_part(t["url"].to_pylist(), P)))
+
+    write_partitioned(docs.map_batches(_dpart, batch_format="pyarrow"),
+                      os.path.join(state_dir, "docs"), "dpart")
+
+    def _epart(t: pa.Table) -> pa.Table:
+        return t.select(["src_url", "dst_url"]).append_column(
+            "epart", pa.array(_url_part(t["src_url"].to_pylist(), P)))
+
+    write_partitioned(edges.map_batches(_epart, batch_format="pyarrow"),
+                      os.path.join(state_dir, "edges_url"), "epart")
+
+    def _just(col):
+        def inner(t: pa.Table) -> pa.Table:
+            c = t[col].combine_chunks()
+            return pa.Table.from_arrays([c], names=["url"])
+        return inner
+
+    universe = (edges.map_batches(_just("src_url"), batch_format="pyarrow")
+                .union(edges.map_batches(_just("dst_url"),
+                                         batch_format="pyarrow"))
+                .union(docs.map_batches(_just("url"),
+                                        batch_format="pyarrow")))
+    vertices = assign_vertex_ids(universe).materialize()
+    n = vertices.count()
+
+    def _vpart(t: pa.Table) -> pa.Table:
+        return t.select(["url", "vid"]).append_column(
+            "vpart", pa.array(_url_part(t["url"].to_pylist(), P)))
+
+    write_partitioned(vertices.map_batches(_vpart,
+                                           batch_format="pyarrow"),
+                      os.path.join(state_dir, "vertices"), "vpart")
+    with open(os.path.join(state_dir, "crawl_manifest.json"), "w") as f:
+        json.dump({"num_partitions": P, "n": n,
+                   "target_lang": target_lang}, f)
+    return {"n": n, "docs": docs.count(), "edges": edges.count()}
+
+
+def apply_crawl_delta(state_dir: str, added_pages_ds=None,
+                      removed_urls=None):
+    """Patch the crawl state for a recrawl delta: ONLY the churned pages
+    are re-extracted; docs/edges_url/vertices partitions containing
+    churned urls are rewritten; returns the id-space edge delta
+    ``{"added": pa.Table(src,dst), "removed": pa.Table(src,dst),
+    "n": int}`` ready for ``ShardedGraph.apply_edge_delta`` (a changed
+    page is removed-then-added under the same url).
+
+    Vertex ids are append-only: urls newly referenced get ids
+    ``n .. n+k-1`` in sorted-url order (deterministic); removed pages'
+    urls KEEP their vid — a recrawl's universe only grows, and PageRank
+    over the grown universe uses the manifest ``n``.
+    """
+    import ray
+
+    from ..stages.dedup import dedup_edges, dedup_pages_longer_text
+    from ..stages.extract_stage import (explode_links, indexed_docs,
+                                        parse_pages)
+
+    with open(os.path.join(state_dir, "crawl_manifest.json")) as f:
+        man = json.load(f)
+    P, n0 = man["num_partitions"], man["n"]
+    removed = sorted(set(removed_urls or []))
+
+    if added_pages_ds is not None:
+        parsed = parse_pages(added_pages_ds,
+                             target_lang=man["target_lang"]).materialize()
+        add_docs = pa.concat_tables(
+            [t.cast(_CDOCS_SCHEMA) for t in ray.get(
+                dedup_pages_longer_text(indexed_docs(parsed))
+                .materialize().to_arrow_refs()) if t.num_rows]
+            or [_CDOCS_SCHEMA.empty_table()])
+        add_edges = pa.concat_tables(
+            [t.cast(_CEDGE_SCHEMA) for t in ray.get(
+                dedup_edges(explode_links(parsed))
+                .materialize().to_arrow_refs()) if t.num_rows]
+            or [_CEDGE_SCHEMA.empty_table()])
+    else:
+        add_docs = _CDOCS_SCHEMA.empty_table()
+        add_edges = _CEDGE_SCHEMA.empty_table()
+
+    rem_ref = ray.put(np.array(removed, dtype=object))
+    add_docs_ref = ray.put(add_docs)
+    add_edges_ref = ray.put(add_edges)
+
+    # ---- docs partitions ------------------------------------------------
+    @ray.remote
+    def _patch_docs(p: int, add_idx: np.ndarray):
+        path = _part_file(state_dir, "docs", "dpart", p)
+        t = _read_part(path, _CDOCS_SCHEMA)
+        rem = set(ray.get(rem_ref).tolist())
+        keep = t.filter(pa.array(
+            [u not in rem for u in t["url"].to_pylist()]))
+        add = ray.get(add_docs_ref).take(add_idx)
+        if add.num_rows:
+            dup = set(keep["url"].to_pylist()) & set(
+                add["url"].to_pylist())
+            if dup:
+                raise ValueError(
+                    f"apply_crawl_delta: added urls already present "
+                    f"(and not removed): {sorted(dup)[:3]}")
+        out = pa.concat_tables([keep.select(_CDOCS_SCHEMA.names), add]) \
+            .sort_by("url")
+        _write_part(path, out)
+        return out.num_rows
+
+    ad_parts = _url_part(add_docs["url"].to_pylist(), P)
+    aff_d = np.unique(np.concatenate(
+        [_url_part(removed, P), ad_parts])) \
+        if (removed or add_docs.num_rows) else np.empty(0, np.int64)
+    ray.get([_patch_docs.remote(int(p), np.flatnonzero(ad_parts == p))
+             for p in aff_d])
+
+    # ---- edge partitions (keyed by src url): capture removed rows ------
+    @ray.remote
+    def _patch_edges(p: int, add_idx: np.ndarray):
+        path = _part_file(state_dir, "edges_url", "epart", p)
+        t = _read_part(path, _CEDGE_SCHEMA)
+        rem = set(ray.get(rem_ref).tolist())
+        gone_mask = pa.array([u in rem for u in t["src_url"].to_pylist()])
+        gone = t.filter(gone_mask)
+        keep = t.filter(pc.invert(gone_mask))
+        add = ray.get(add_edges_ref).take(add_idx)
+        out = pa.concat_tables([keep.select(_CEDGE_SCHEMA.names), add]) \
+            .sort_by([("src_url", "ascending"), ("dst_url", "ascending")])
+        _write_part(path, out)
+        return gone.select(_CEDGE_SCHEMA.names)
+
+    import pyarrow.compute as pc
+    ae_parts = _url_part(add_edges["src_url"].to_pylist(), P)
+    aff_e = np.unique(np.concatenate(
+        [_url_part(removed, P), ae_parts])) \
+        if (removed or add_edges.num_rows) else np.empty(0, np.int64)
+    gone_tables = ray.get([
+        _patch_edges.remote(int(p), np.flatnonzero(ae_parts == p))
+        for p in aff_e])
+    rem_edges = pa.concat_tables(
+        [t for t in gone_tables if t.num_rows]
+        or [_CEDGE_SCHEMA.empty_table()])
+
+    # ---- vertex ids: lookup churn urls, append-only assignment ---------
+    want_urls = sorted(set(add_edges["src_url"].to_pylist())
+                       | set(add_edges["dst_url"].to_pylist())
+                       | set(add_docs["url"].to_pylist())
+                       | set(rem_edges["src_url"].to_pylist())
+                       | set(rem_edges["dst_url"].to_pylist()))
+    want_ref = ray.put(np.array(want_urls, dtype=object))
+
+    @ray.remote
+    def _lookup(p: int):
+        t = _read_part(_part_file(state_dir, "vertices", "vpart", p),
+                       _VERT_SCHEMA)
+        want = set(ray.get(want_ref).tolist())
+        return t.filter(pa.array(
+            [u in want for u in t["url"].to_pylist()]))
+
+    w_parts = np.unique(_url_part(want_urls, P)) if want_urls \
+        else np.empty(0, np.int64)
+    found = pa.concat_tables(
+        [t for t in ray.get([_lookup.remote(int(p)) for p in w_parts])
+         if t.num_rows] or [_VERT_SCHEMA.empty_table()])
+    vid_map = dict(zip(found["url"].to_pylist(),
+                       found["vid"].to_pylist()))
+    new_urls = sorted(u for u in want_urls if u not in vid_map)
+    for i, u in enumerate(new_urls):
+        vid_map[u] = n0 + i
+    n1 = n0 + len(new_urls)
+
+    if new_urls:
+        nv_parts = _url_part(new_urls, P)
+        nv_ids = np.array([vid_map[u] for u in new_urls], np.int64)
+
+        @ray.remote
+        def _patch_verts(p: int, urls, vids):
+            path = _part_file(state_dir, "vertices", "vpart", p)
+            t = _read_part(path, _VERT_SCHEMA)
+            add = pa.table({"url": pa.array(list(urls), pa.string()),
+                            "vid": pa.array(vids, pa.int64())})
+            _write_part(path, pa.concat_tables(
+                [t.select(_VERT_SCHEMA.names), add]).sort_by("url"))
+            return len(urls)
+
+        ray.get([_patch_verts.remote(
+            int(p),
+            [u for u, q in zip(new_urls, nv_parts) if q == p],
+            nv_ids[nv_parts == p]) for p in np.unique(nv_parts)])
+
+    def _to_ids(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.array([vid_map[u] for u in
+                             t["src_url"].to_pylist()], pa.int64()),
+            "dst": pa.array([vid_map[u] for u in
+                             t["dst_url"].to_pylist()], pa.int64())})
+
+    with open(os.path.join(state_dir, "crawl_manifest.json"), "w") as f:
+        json.dump({**man, "n": n1}, f)
+    return {"added": _to_ids(add_edges), "removed": _to_ids(rem_edges),
+            "n": n1, "new_vertices": len(new_urls),
+            "docs_partitions_touched": int(len(aff_d)),
+            "edge_partitions_touched": int(len(aff_e))}
