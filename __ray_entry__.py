@@ -2239,6 +2239,39 @@ def _q_media_stats(sf_dir):
     return media_stats(media, every_ms=1000, window_ms=400, hop_ms=200)
 
 
+def _q_bm25_search_delta(sf_dir):
+    """BM25 through a DELTA-MAINTAINED persisted index: build on a
+    deterministic 90% of documents, apply_index_delta the held-out 10%
+    (raw tf/dl rows + df patch + meta counters — idf derives at query
+    time), then query.  Post-delta index == full corpus, so the
+    bm25_search oracle checks the patch end to end."""
+    _quiet()
+    import tempfile
+
+    from hackathon_pagerank_ray.functions.search_index import (
+        apply_index_delta, bm25_query, build_search_index,
+        enable_index_deltas)
+    from hackathon_pagerank_ray.stages.sampling import (_bucket32,
+                                                        rate_threshold_hex)
+    docs = _docs_ds(sf_dir, ["doc_id", "text"]).materialize()
+    thr = int(rate_threshold_hex(0.90), 16)
+
+    def _sel(t, keep):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        m = _bucket32(91, ids) < thr
+        return t.filter(pa.array(m if keep else ~m))
+
+    base = docs.map_batches(lambda t: _sel(t, True),
+                            batch_format="pyarrow")
+    held = docs.map_batches(lambda t: _sel(t, False),
+                            batch_format="pyarrow")
+    idx = tempfile.mkdtemp(prefix="graft_idxdelta_")
+    build_search_index(base, idx, num_partitions=64)
+    enable_index_deltas(idx, base)
+    apply_index_delta(idx, added_docs_ds=held)
+    return bm25_query(idx, "data table query fast", top_k=10)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2803,6 +2836,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_search_indexed": _q_tfidf_search_indexed,
         "bm25_search_indexed": _q_bm25_search_indexed,
         "media_stats": _q_media_stats,
+        "bm25_search_delta": _q_bm25_search_delta,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4264,6 +4298,31 @@ SELECT doc_id, SUM(s) AS bm25_score FROM sc GROUP BY doc_id
 ORDER BY bm25_score DESC, doc_id LIMIT 10
 """,
 "bm25_search_indexed": r"""
+WITH tok AS (SELECT doc_id, unnest(list_transform(
+    regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
+  FROM documents),
+tf AS MATERIALIZED (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+  FROM tok GROUP BY doc_id, term),
+dl AS MATERIALIZED (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS BIGINT) AS tot FROM dl),
+av AS (SELECT CAST(tot AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+              n FROM stats),
+qterms AS (SELECT unnest(['data', 'fast', 'query', 'table']) AS term),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df
+  FROM tf JOIN qterms USING (term) GROUP BY term),
+idf AS (SELECT term,
+    ln(1.0 + ((SELECT n FROM av) - df + 0.5) / (df + 0.5)) AS idf
+  FROM df),
+sc AS (SELECT tf.doc_id,
+    idf.idf * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * (1.0 - 0.75
+                        + 0.75 * dl.dl / (SELECT avgdl FROM av))) AS s
+  FROM tf JOIN idf USING (term) JOIN dl USING (doc_id))
+SELECT doc_id, SUM(s) AS bm25_score FROM sc GROUP BY doc_id
+ORDER BY bm25_score DESC, doc_id LIMIT 10
+""",
+"bm25_search_delta": r"""
 WITH tok AS (SELECT doc_id, unnest(list_transform(
     regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
   FROM documents),

@@ -163,6 +163,12 @@ def tfidf_query(index_dir: str, query: str, top_k: int = 10,
     from ..stages.relational import topk
 
     meta = _meta(index_dir)
+    if meta.get("tfidf_stale"):
+        raise ValueError(
+            "tfidf tables are stale after apply_index_delta: cosine "
+            "weights/norms bake in global idf(N, df), so a corpus delta "
+            "invalidates them — rebuild with build_search_index "
+            "(bm25_query stays exact; see module note)")
     P, N = meta["num_partitions"], meta["N"]
     q_terms = sorted(set(tokenize(query)))
     if not q_terms:
@@ -271,3 +277,259 @@ def bm25_query(index_dir: str, query: str, top_k: int = 10,
                      {"sum(s)": "bm25_score"})
     return topk(out, ["bm25_score", "doc_id"], top_k,
                 descending=[True, False])
+
+
+# ---------------------------------------------------------------------------
+# Incremental index maintenance (r5): BM25 is delta-friendly — its rows
+# store RAW (tf, dl) and idf/avgdl derive from (df, N, total_tokens) at
+# query time, so a corpus delta patches only the term partitions of the
+# churned docs' terms plus the tiny meta.  Cosine TF-IDF is NOT: every
+# posting's weight and every doc's norm bake in global idf(N, df), so a
+# churn invalidates the whole weights table — rebuild it (the classic
+# engine asymmetry; Lucene-family systems recompute per segment for the
+# same reason).
+# ---------------------------------------------------------------------------
+
+_DTERMS_SCHEMA = pa.schema([("doc_id", pa.int64()), ("term", pa.string()),
+                            ("tf", pa.float64()), ("dl", pa.float64())])
+
+
+def _doc_part(ids, P: int) -> np.ndarray:
+    return (np.asarray(ids, dtype=np.int64) % P)
+
+
+def _state_file(index_dir: str, table: str, by: str, p: int) -> str:
+    return os.path.join(index_dir, table, f"{by}={p}", "part-0.parquet")
+
+
+def _read_state(path: str, schema: pa.Schema) -> pa.Table:
+    import pyarrow.parquet as pq
+    if os.path.exists(path):
+        return pq.read_table(path).select(schema.names)
+    return schema.empty_table()
+
+
+def _write_state(path: str, table: pa.Table) -> None:
+    import pyarrow.parquet as pq
+    d = os.path.dirname(path)
+    os.makedirs(d, exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, path)
+    with open(os.path.join(d, "_SUCCESS"), "w") as f:
+        f.write("")
+
+
+def enable_index_deltas(index_dir: str, docs_ds, id_col: str = "doc_id",
+                        text_col: str = "text"):
+    """Persist the doc-partitioned twin of the bm25 rows
+    (``doc_terms/dpart={id % P}``) so a later removal can find a doc's
+    term list by reading ONE partition instead of scanning every term
+    partition.  Call once after :func:`build_search_index` (separate so
+    read-only indexes don't pay the extra table)."""
+    from ..sources.part_writer import write_partitioned
+    from ..stages.relational import inner_join, rename
+    from .tfidf import term_freq_table
+
+    meta = _meta(index_dir)
+    P = meta["num_partitions"]
+    tf = drop_empty_blocks(
+        term_freq_table(docs_ds, id_col, text_col)).materialize()
+    dl = rename(tf.groupby(id_col).sum("tf"), {"sum(tf)": "dl"})
+    bm = inner_join(tf, dl, on=id_col, num_partitions=8)
+
+    def _rows(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "term": t["term"].combine_chunks(),
+            "tf": t["tf"].combine_chunks(),
+            "dl": t["dl"].combine_chunks(),
+            "dpart": pa.array(_doc_part(ids, P))})
+
+    write_partitioned(bm.map_batches(_rows, batch_format="pyarrow"),
+                      os.path.join(index_dir, "doc_terms"), "dpart")
+    return index_dir
+
+
+def apply_index_delta(index_dir: str, added_docs_ds=None,
+                      removed_ids=None, id_col: str = "doc_id",
+                      text_col: str = "text"):
+    """Patch the BM25 side of a persisted index for a corpus delta:
+    only the term partitions containing the churned docs' terms (plus
+    their doc partitions and the meta counters) are rewritten.  After
+    the patch, :func:`bm25_query` equals a cold rebuild of the
+    post-churn corpus exactly (same raw rows, same df table, same
+    N/avgdl — idf is derived at query time).  Requires
+    :func:`enable_index_deltas` to have been run.  The cosine-TF-IDF
+    tables are NOT patched (see module note) — ``tfidf_stale`` is set
+    in the meta and :func:`tfidf_query` refuses until a rebuild."""
+    import ray
+
+    from collections import Counter
+
+    from .tfidf import tokenize as _tok  # re-exported reference rule
+
+    meta = _meta(index_dir)
+    P = meta["num_partitions"]
+    removed = (np.unique(np.asarray(removed_ids, dtype=np.int64))
+               if removed_ids is not None and len(removed_ids)
+               else np.empty(0, np.int64))
+
+    # churn-sized tf rows of the ADDED docs (computed here — churn only)
+    if added_docs_ds is not None:
+        parts = [t for t in ray.get(
+            added_docs_ds.select_columns([id_col, text_col])
+            .materialize().to_arrow_refs()) if t.num_rows]
+        add_rows = {"doc_id": [], "term": [], "tf": [], "dl": []}
+        for t in parts:
+            for did, text in zip(
+                    t[id_col].to_numpy(zero_copy_only=False),
+                    t[text_col].to_pylist()):
+                c = Counter(_tok(text))
+                dl = float(sum(c.values()))
+                for term, f in c.items():
+                    add_rows["doc_id"].append(int(did))
+                    add_rows["term"].append(term)
+                    add_rows["tf"].append(float(f))
+                    add_rows["dl"].append(dl)
+        add_tbl = pa.table({
+            "doc_id": pa.array(add_rows["doc_id"], pa.int64()),
+            "term": pa.array(add_rows["term"], pa.string()),
+            "tf": pa.array(add_rows["tf"], pa.float64()),
+            "dl": pa.array(add_rows["dl"], pa.float64())})
+    else:
+        add_tbl = _DTERMS_SCHEMA.empty_table()
+    add_ids = np.unique(add_tbl["doc_id"].to_numpy(zero_copy_only=False))
+
+    # removed docs' rows from their doc partitions (one read each)
+    rem_ref = ray.put(removed)
+
+    @ray.remote
+    def _pull_removed(p: int):
+        t = _read_state(_state_file(index_dir, "doc_terms", "dpart", p),
+                        _DTERMS_SCHEMA)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(np.isin(ids, ray.get(rem_ref))))
+
+    rp = np.unique(_doc_part(removed, P)) if len(removed) \
+        else np.empty(0, np.int64)
+    rem_tbl = pa.concat_tables(
+        [t for t in ray.get([_pull_removed.remote(int(p)) for p in rp])
+         if t.num_rows] or [_DTERMS_SCHEMA.empty_table()])
+
+    # patch doc partitions (drop removed, add new; dup-id guard)
+    add_ref = ray.put(add_tbl)
+
+    @ray.remote
+    def _patch_docterms(p: int, add_idx: np.ndarray):
+        path = _state_file(index_dir, "doc_terms", "dpart", p)
+        t = _read_state(path, _DTERMS_SCHEMA)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        keep = t.filter(pa.array(~np.isin(ids, ray.get(rem_ref))))
+        add = ray.get(add_ref).take(add_idx)
+        if add.num_rows:
+            dup = np.intersect1d(
+                np.unique(keep["doc_id"].to_numpy(zero_copy_only=False)),
+                np.unique(add["doc_id"].to_numpy(zero_copy_only=False)))
+            if len(dup):
+                raise ValueError(
+                    f"apply_index_delta: added ids already present: "
+                    f"{dup[:5].tolist()}")
+        _write_state(path, pa.concat_tables(
+            [keep, add]).sort_by([("doc_id", "ascending"),
+                                  ("term", "ascending")]))
+        return None
+
+    a_dparts = _doc_part(add_tbl["doc_id"].to_numpy(zero_copy_only=False),
+                         P)
+    aff_dp = np.unique(np.concatenate([rp, np.unique(a_dparts)])) \
+        if (len(rp) or len(a_dparts)) else np.empty(0, np.int64)
+    ray.get([_patch_docterms.remote(int(p), np.flatnonzero(a_dparts == p))
+             for p in aff_dp])
+
+    # per-term df deltas from the churn rows (each (doc, term) row is
+    # one df unit — term_freq_table emits distinct terms per doc)
+    df_delta = Counter()
+    for term in add_tbl["term"].to_pylist():
+        df_delta[term] += 1
+    for term in rem_tbl["term"].to_pylist():
+        df_delta[term] -= 1
+    aff_terms = sorted(set(add_tbl["term"].to_pylist())
+                       | set(rem_tbl["term"].to_pylist()))
+    rem_tbl_ref = ray.put(rem_tbl)
+    dfd_ref = ray.put(dict(df_delta))
+
+    @ray.remote
+    def _patch_term_part(p: int, add_idx: np.ndarray, terms_p):
+        terms_p = set(terms_p)
+        # bm25 rows: drop removed docs' rows, insert added rows
+        bpath = _state_file(index_dir, "bm25", "tpart", p)
+        bt = _read_state(bpath, pa.schema(
+            [("doc_id", pa.int64()), ("term", pa.string()),
+             ("tf", pa.float64()), ("dl", pa.float64())]))
+        rem_docs = np.unique(ray.get(rem_tbl_ref)["doc_id"]
+                             .to_numpy(zero_copy_only=False)) \
+            if ray.get(rem_tbl_ref).num_rows else np.empty(0, np.int64)
+        ids = bt["doc_id"].to_numpy(zero_copy_only=False)
+        keep = bt.filter(pa.array(~np.isin(ids, rem_docs)))
+        add = ray.get(add_ref).take(add_idx)
+        _write_state(bpath, pa.concat_tables([keep, add]).sort_by(
+            [("term", "ascending"), ("doc_id", "ascending")]))
+        # df rows: apply the per-term deltas for this partition's terms
+        dpath = _state_file(index_dir, "df", "tpart", p)
+        dt = _read_state(dpath, pa.schema(
+            [("term", pa.string()), ("df", pa.int64())]))
+        dmap = dict(zip(dt["term"].to_pylist(),
+                        (int(x) for x in dt["df"].to_pylist())))
+        for term, dd in ray.get(dfd_ref).items():
+            if term in terms_p and dd:
+                dmap[term] = dmap.get(term, 0) + dd
+                if dmap[term] <= 0:
+                    del dmap[term]
+        terms_sorted = sorted(dmap)
+        _write_state(dpath, pa.table({
+            "term": pa.array(terms_sorted, pa.string()),
+            "df": pa.array([dmap[t] for t in terms_sorted],
+                           pa.int64())}))
+        return None
+
+    a_tparts = _tpart(add_tbl["term"].to_pylist(), P)
+    aff_tp = np.unique(np.concatenate(
+        [_tpart(aff_terms, P) if aff_terms else np.empty(0, np.int64),
+         np.unique(a_tparts) if len(a_tparts) else np.empty(0, np.int64)])) \
+        if (aff_terms or len(a_tparts)) else np.empty(0, np.int64)
+    term_part_of = dict(zip(aff_terms, _tpart(aff_terms, P))) \
+        if aff_terms else {}
+    ray.get([_patch_term_part.remote(
+        int(p), np.flatnonzero(a_tparts == p),
+        [t for t, q in term_part_of.items() if q == p])
+        for p in aff_tp])
+
+    # meta counters: N counts docs with ≥1 token; dl is constant within
+    # a doc so one row per doc suffices for the token totals
+    def _doc_tokens(tbl):
+        if not tbl.num_rows:
+            return {}
+        ids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+        dls = tbl["dl"].to_numpy(zero_copy_only=False)
+        first = np.unique(ids, return_index=True)[1]
+        return dict(zip(ids[first].tolist(),
+                        (int(round(x)) for x in dls[first])))
+
+    rm_tok = _doc_tokens(rem_tbl)
+    ad_tok = _doc_tokens(add_tbl)
+    meta["N"] = meta["N"] - len(rm_tok) + len(ad_tok)
+    meta["total_tokens"] = (meta["total_tokens"] - sum(rm_tok.values())
+                            + sum(ad_tok.values()))
+    meta["avgdl"] = (meta["total_tokens"] / meta["N"]) if meta["N"] \
+        else 0.0
+    meta["tfidf_stale"] = True
+    with open(os.path.join(index_dir, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return {"added_docs": int(len(add_ids)),
+            "removed_docs": int(len(removed)),
+            "affected_terms": len(aff_terms),
+            "term_partitions_touched": int(len(aff_tp)),
+            "doc_partitions_touched": int(len(aff_dp)),
+            "N": meta["N"], "avgdl": meta["avgdl"]}

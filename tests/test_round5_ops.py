@@ -523,3 +523,51 @@ def test_crawl_delta_feeds_apply_edge_delta(tmp_path):
     g2.shutdown()
     assert len(rd_d) == len(rd_c) == n1
     assert (rd_d == rd_c).all(), "crawl delta -> edge delta not bit-exact"
+
+
+def test_apply_index_delta_bm25_parity(tmp_path):
+    """Delta-maintained BM25 index: remove-then-re-add churn must leave
+    bm25_query identical to a search over the full corpus (raw tf/dl
+    rows are patched, idf/avgdl derive from the patched df/meta at
+    query time); tfidf_query must refuse on the stale index."""
+    import pytest
+
+    from hackathon_pagerank_ray.functions.search_index import (
+        apply_index_delta, bm25_query, build_search_index,
+        enable_index_deltas, tfidf_query)
+    from hackathon_pagerank_ray.functions.tfidf import bm25_search
+
+    rng = np.random.default_rng(12)
+    words = ("alpha beta gamma delta data table query fast web page "
+             "rank the of and").split()
+    texts = [" ".join(rng.choice(words, rng.integers(5, 25)))
+             for _ in range(400)]
+    ids = np.arange(400, dtype=np.int64)
+
+    def docs(sel):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array(sel, pa.int64()),
+             "text": pa.array([texts[i] for i in sel])}))
+
+    base = ids[ids % 10 != 0]
+    idx = str(tmp_path / "idx")
+    build_search_index(docs(base), idx, num_partitions=32)
+    enable_index_deltas(idx, docs(base))
+
+    rem = base[::7][:20]
+    info = apply_index_delta(idx, removed_ids=rem)
+    assert info["removed_docs"] == 20 and info["N"] == len(base) - 20
+    back = np.union1d(rem, ids[ids % 10 == 0])
+    apply_index_delta(idx, added_docs_ds=docs(back))
+
+    q = "data table query fast"
+    got = bm25_query(idx, q, top_k=10).to_pandas()
+    want = bm25_search(docs(ids), q, top_k=10).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(got["bm25_score"], want["bm25_score"],
+                       rtol=0, atol=1e-12)
+
+    with pytest.raises(ValueError, match="stale"):
+        tfidf_query(idx, q)
+    with pytest.raises(ValueError, match="already present"):
+        apply_index_delta(idx, added_docs_ds=docs(ids[:1]))
