@@ -62,6 +62,12 @@ def build_search_index(docs_ds, index_dir: str, id_col: str = "doc_id",
 
     P = int(num_partitions)
     os.makedirs(index_dir, exist_ok=True)
+    # a rebuild must not leave orphan partitions whose keys vanished
+    # from the new corpus — wipe the table dirs first (resume=False
+    # below only overwrites partitions that receive rows)
+    import shutil
+    for tbl in ("postings", "df", "bm25", "doc_terms"):
+        shutil.rmtree(os.path.join(index_dir, tbl), ignore_errors=True)
 
     postings, norms, df_ds, N = build_tfidf_tables(
         docs_ds, id_col=id_col, text_col=text_col,
@@ -81,8 +87,11 @@ def build_search_index(docs_ds, index_dir: str, id_col: str = "doc_id",
             "norm": t["norm"].combine_chunks(),
             "tpart": pa.array(_tpart(terms, P))})
 
+    # resume=False: a REBUILD (the documented recovery from
+    # tfidf_stale) must overwrite committed partitions, not skip them
     write_partitioned(dec.map_batches(_post_rows, batch_format="pyarrow"),
-                      os.path.join(index_dir, "postings"), "tpart")
+                      os.path.join(index_dir, "postings"), "tpart",
+                      resume=False)
 
     def _df_rows(t: pa.Table) -> pa.Table:
         terms = t["term"].to_pylist()
@@ -91,7 +100,8 @@ def build_search_index(docs_ds, index_dir: str, id_col: str = "doc_id",
                          "tpart": pa.array(_tpart(terms, P))})
 
     write_partitioned(df_ds.map_batches(_df_rows, batch_format="pyarrow"),
-                      os.path.join(index_dir, "df"), "tpart")
+                      os.path.join(index_dir, "df"), "tpart",
+                      resume=False)
 
     # bm25 side: raw tf explode + per-doc length (Σ tf), denormalized
     tf = drop_empty_blocks(
@@ -110,7 +120,8 @@ def build_search_index(docs_ds, index_dir: str, id_col: str = "doc_id",
             "tpart": pa.array(_tpart(terms, P))})
 
     write_partitioned(bm.map_batches(_bm_rows, batch_format="pyarrow"),
-                      os.path.join(index_dir, "bm25"), "tpart")
+                      os.path.join(index_dir, "bm25"), "tpart",
+                      resume=False)
 
     # avgdl over docs with ≥1 token — exact integer total / N
     tot = int(sum(r["dl"] for r in dl.map_batches(
@@ -348,7 +359,8 @@ def enable_index_deltas(index_dir: str, docs_ds, id_col: str = "doc_id",
             "dpart": pa.array(_doc_part(ids, P))})
 
     write_partitioned(bm.map_batches(_rows, batch_format="pyarrow"),
-                      os.path.join(index_dir, "doc_terms"), "dpart")
+                      os.path.join(index_dir, "doc_terms"), "dpart",
+                      resume=False)
     return index_dir
 
 

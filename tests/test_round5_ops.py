@@ -571,3 +571,37 @@ def test_apply_index_delta_bm25_parity(tmp_path):
         tfidf_query(idx, q)
     with pytest.raises(ValueError, match="already present"):
         apply_index_delta(idx, added_docs_ds=docs(ids[:1]))
+
+
+def test_search_index_rebuild_clears_stale(tmp_path):
+    """The documented recovery from tfidf_stale — rebuild — must
+    actually refresh every partition (resume-skip would silently keep
+    stale postings) and clear the stale flag."""
+    from hackathon_pagerank_ray.functions.search_index import (
+        apply_index_delta, build_search_index, enable_index_deltas,
+        tfidf_query)
+    from hackathon_pagerank_ray.functions.tfidf import (build_tfidf_tables,
+                                                        search)
+
+    texts = ["data table fast", "query data", "table query data fast",
+             "other words here", "data data data"]
+
+    def docs(sel):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array(sel, pa.int64()),
+             "text": pa.array([texts[i] for i in sel])}))
+
+    idx = str(tmp_path / "idx")
+    build_search_index(docs([0, 1, 2, 3]), idx, num_partitions=8)
+    enable_index_deltas(idx, docs([0, 1, 2, 3]))
+    apply_index_delta(idx, added_docs_ds=docs([4]))
+
+    # rebuild over the same dir with the post-churn corpus
+    build_search_index(docs([0, 1, 2, 3, 4]), idx, num_partitions=8)
+    got = tfidf_query(idx, "data table", top_k=5).to_pandas()
+    postings, norms, df_ds, N = build_tfidf_tables(docs([0, 1, 2, 3, 4]))
+    want = search(postings, norms, df_ds, N, "data table",
+                  top_k=5).to_pandas()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    assert np.allclose(got["tfidf_score"], want["tfidf_score"],
+                       rtol=0, atol=1e-12)
