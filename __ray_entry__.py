@@ -2272,6 +2272,20 @@ def _q_bm25_search_delta(sf_dir):
     return bm25_query(idx, "data table query fast", top_k=10)
 
 
+def _q_bpe_merges(sf_dir):
+    """Distributed BPE merge training (functions/bpe.bpe_train): 30
+    merges over the documents corpus, deterministic count-then-lex
+    tie-break.  Iterative string surgery — no SQL twin (the driver
+    records the rows-only check); exactness vs a transparent
+    sequential learn_bpe reference is pinned in
+    tests/test_round5_ops.py on both the small and distributed
+    paths."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.bpe import bpe_train
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return bpe_train(docs, num_merges=30)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2837,6 +2851,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_search_indexed": _q_bm25_search_indexed,
         "media_stats": _q_media_stats,
         "bm25_search_delta": _q_bm25_search_delta,
+        "bpe_merges": _q_bpe_merges,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 

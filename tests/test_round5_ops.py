@@ -605,3 +605,57 @@ def test_search_index_rebuild_clears_stale(tmp_path):
     assert got["doc_id"].tolist() == want["doc_id"].tolist()
     assert np.allclose(got["tfidf_score"], want["tfidf_score"],
                        rtol=0, atol=1e-12)
+
+
+def test_bpe_train_matches_sequential_reference():
+    """Distributed BPE rounds must learn the exact merge list of a
+    transparent sequential implementation (deterministic tie-break:
+    highest count, then lexicographically smallest pair), on both the
+    small path and the forced distributed path."""
+    from collections import Counter
+
+    from hackathon_pagerank_ray.functions.bpe import bpe_train
+    from hackathon_pagerank_ray.stages.text_ops import tokenize
+
+    texts = ["low lower lowest", "new newer newest news",
+             "low low low new new widest wide wide",
+             "the lowest newest widest low"] * 3
+    docs = rd.from_arrow(pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()),
+         "text": pa.array(texts)}))
+
+    # independent sequential reference (classic learn_bpe)
+    wc = Counter()
+    for t in texts:
+        wc.update(tokenize(t))
+
+    def ref_merges(wc, k):
+        enc = {w: list(w) for w in wc}
+        out = []
+        for _ in range(k):
+            stats = Counter()
+            for w, n in wc.items():
+                s = enc[w]
+                for a, b in zip(s, s[1:]):
+                    stats[(a, b)] += n
+            if not stats:
+                break
+            (l, r), f = min(stats.items(), key=lambda kv: (-kv[1], kv[0]))
+            out.append((l, r, f))
+            for w in wc:
+                s, res, i = enc[w], [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == l and s[i + 1] == r:
+                        res.append(l + r)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                enc[w] = res
+        return out
+
+    want = ref_merges(wc, 12)
+    got_small = bpe_train(docs, num_merges=12)
+    got_dist = bpe_train(docs, num_merges=12, small_threshold=0)
+    for got in (got_small, got_dist):
+        assert list(zip(got["left"], got["right"], got["freq"])) == want
