@@ -2286,6 +2286,43 @@ def _q_bpe_merges(sf_dir):
     return bpe_train(docs, num_merges=30)
 
 
+def _q_emb_covariance(sf_dir):
+    """Distributed embedding covariance (stages/similarity.
+    embedding_covariance): per-block (n, Σx, ΣxxT) partials fold to one
+    (d, d) matrix on the driver — d² floats, never rows; upper triangle
+    rounded to 6dp so the SQL twin's summation order lands on identical
+    bytes."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.similarity import \
+        embedding_covariance
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+    return embedding_covariance(emb)
+
+
+def _q_pca_coords(sf_dir):
+    """Top-3 principal-component projection (stages/similarity.
+    pca_project): covariance fold + driver eigh (deterministic sign
+    convention) + broadcast matmul pass.  Eigenvectors are outside
+    SQL's reach — rows-only driver check; variance ordering and the
+    covariance input are pinned by emb_covariance and pytest."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.similarity import pca_project
+    emb = _rd().read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"]).materialize()
+
+    def _round(t: pa.Table) -> pa.Table:
+        cols = {"vec_id": t["vec_id"].combine_chunks()}
+        for c in ("pc0", "pc1", "pc2"):
+            r = pc.round(t[c], 6)
+            cols[c] = r.combine_chunks() \
+                if isinstance(r, pa.ChunkedArray) else r
+        return pa.table(cols)
+
+    return pca_project(emb, k=3).map_batches(_round,
+                                             batch_format="pyarrow")
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2852,6 +2889,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "media_stats": _q_media_stats,
         "bm25_search_delta": _q_bm25_search_delta,
         "bpe_merges": _q_bpe_merges,
+        "emb_covariance": _q_emb_covariance,
+        "pca_coords": _q_pca_coords,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4568,6 +4607,26 @@ SELECT media_id, mime, payload_bytes,
        CASE WHEN dur < 400 THEN CAST(1 AS BIGINT)
             ELSE 1 + (dur - 400) // 200 END AS n_windows
 FROM m
+""",
+        # distributed embedding covariance: population formula
+        # (Σxixj − ΣxiΣxj/n)/n mirrored exactly; 6dp rounding on both
+        # sides absorbs summation-order ulps
+        "emb_covariance": r"""
+WITH x AS (SELECT vec_id,
+                  CAST(generate_subscripts(embedding, 1) AS BIGINT) - 1
+                    AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+nn AS (SELECT COUNT(*) AS n FROM embeddings),
+s AS (SELECT i, SUM(v) AS sv FROM x GROUP BY i),
+p AS (SELECT a.i AS i, b.i AS j, SUM(a.v * b.v) AS sij
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i)
+SELECT p.i, p.j,
+       ROUND((p.sij - sa.sv * sb.sv / nn.n) / nn.n, 6) AS cov
+FROM p, nn
+JOIN s sa ON sa.i = p.i
+JOIN s sb ON sb.i = p.j
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

@@ -15,6 +15,7 @@ import heapq
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 import ray
 
 
@@ -277,3 +278,101 @@ def ivf_topk(emb_ds, queries: np.ndarray, k: int = 10,
         candidates = emb_ds.map_batches(_ivf_filter, batch_format="pandas")
     return brute_force_topk(candidates, queries, k, id_col, emb_col,
                             concurrency)
+
+
+def embedding_covariance(emb_ds, id_col: str = "vec_id",
+                         emb_col: str = "embedding",
+                         round_dp: int | None = 6):
+    """Population covariance of the embedding columns — the statistics
+    pass of embedding whitening / PCA at corpus scale.
+
+    Per-block partials ``(n, Σx, ΣxxT)`` (one vectorized matmul per
+    batch) fold to a single (d, d) matrix — the driver holds d² floats
+    regardless of corpus size, never rows.  Returns a pandas DataFrame
+    of the upper triangle ``(i, j, cov)`` with
+    ``cov = (Σxixj − ΣxiΣxj/n)/n`` rounded to ``round_dp`` (the float
+    fold is summation-order dependent at ~1e-13; rounding puts the SQL
+    twin and any partitioning on identical bytes)."""
+    import ray
+
+    def _partial(t: "pa.Table"):
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             for v in t[emb_col].to_pylist()])
+        if mat.size == 0:
+            return None
+        return len(mat), mat.sum(axis=0), mat.T @ mat
+
+    parts = [p for p in ray.get([
+        ray.remote(_partial).remote(r)
+        for r in emb_ds.select_columns([emb_col])
+        .materialize().to_arrow_refs()]) if p is not None]
+    if not parts:
+        return pd.DataFrame({"i": pd.Series(dtype="int64"),
+                             "j": pd.Series(dtype="int64"),
+                             "cov": pd.Series(dtype="float64")})
+    n = sum(p[0] for p in parts)
+    sx = np.sum([p[1] for p in parts], axis=0)
+    sxx = np.sum([p[2] for p in parts], axis=0)
+    cov = (sxx - np.outer(sx, sx) / n) / n
+    d = len(sx)
+    iu, ju = np.triu_indices(d)
+    vals = cov[iu, ju]
+    if round_dp is not None:
+        vals = np.round(vals, round_dp)
+    return pd.DataFrame({"i": iu.astype(np.int64),
+                         "j": ju.astype(np.int64), "cov": vals})
+
+
+def pca_project(emb_ds, k: int = 2, id_col: str = "vec_id",
+                emb_col: str = "embedding"):
+    """Project embeddings onto their top-``k`` principal components.
+
+    The covariance fold above gives the (d, d) matrix; ``np.linalg.eigh``
+    on the driver (d ≤ a few thousand — never corpus-sized) yields the
+    components with a deterministic sign convention (largest-|coord|
+    entry made positive), then one broadcast matmul pass projects every
+    row.  Returns a Dataset ``(id_col, pc0..pc{k-1})``."""
+    import ray
+
+    full = embedding_covariance(emb_ds, id_col, emb_col, round_dp=None)
+    d = int(full["i"].max()) + 1 if len(full) else 0
+    if d == 0:
+        import ray.data as rd
+        return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
+    cov = np.zeros((d, d))
+    cov[full["i"], full["j"]] = full["cov"]
+    cov[full["j"], full["i"]] = full["cov"]
+    mean_parts = [p for p in ray.get([
+        ray.remote(lambda t: (t.num_rows, np.asarray(
+            [np.asarray(v, dtype=np.float64)
+             for v in t[emb_col].to_pylist()]).sum(axis=0)
+            if t.num_rows else None)).remote(r)
+        for r in emb_ds.select_columns([emb_col])
+        .materialize().to_arrow_refs()]) if p[1] is not None]
+    n = sum(p[0] for p in mean_parts)
+    mu = np.sum([p[1] for p in mean_parts], axis=0) / n
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:k]
+    comps = v[:, order]                      # (d, k)
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    flip[flip == 0] = 1.0
+    comps = comps * flip
+    cref = ray.put((mu, comps))
+
+    def _proj(t: "pa.Table") -> "pa.Table":
+        m, c = ray.get(cref)                 # zero-copy plasma read
+        mat = np.asarray([np.asarray(x, dtype=np.float64)
+                          for x in t[emb_col].to_pylist()])
+        out = {id_col: t[id_col].combine_chunks()}
+        if len(mat):
+            proj = (mat - m) @ c
+            for j in range(c.shape[1]):
+                out[f"pc{j}"] = pa.array(proj[:, j], pa.float64())
+        else:
+            for j in range(c.shape[1]):
+                out[f"pc{j}"] = pa.array([], pa.float64())
+        return pa.table(out)
+
+    return emb_ds.map_batches(_proj, batch_format="pyarrow")

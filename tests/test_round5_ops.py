@@ -659,3 +659,37 @@ def test_bpe_train_matches_sequential_reference():
     got_dist = bpe_train(docs, num_merges=12, small_threshold=0)
     for got in (got_small, got_dist):
         assert list(zip(got["left"], got["right"], got["freq"])) == want
+
+
+def test_embedding_covariance_and_pca():
+    """Distributed covariance fold equals numpy's population covariance
+    exactly at the rounding contract; PCA projections are centered,
+    variance-ordered, and deterministic under re-partitioning."""
+    from hackathon_pagerank_ray.stages.similarity import (
+        embedding_covariance, pca_project)
+
+    rng = np.random.default_rng(15)
+    n, d = 600, 12
+    mat = rng.normal(size=(n, d)) @ np.diag(np.linspace(2.0, 0.3, d))
+    tbl = pa.table({"vec_id": pa.array(range(n), pa.int64()),
+                    "embedding": pa.array(mat.tolist(),
+                                          pa.list_(pa.float64()))})
+
+    cov = embedding_covariance(rd.from_arrow(tbl))
+    ref = np.cov(mat, rowvar=False, bias=True)
+    iu, ju = np.triu_indices(d)
+    assert np.abs(np.round(ref[iu, ju], 6)
+                  - cov["cov"].to_numpy()).max() <= 1e-6
+
+    proj = pca_project(rd.from_arrow(tbl), k=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    v = proj[["pc0", "pc1", "pc2"]].var(ddof=0).to_numpy()
+    assert (np.diff(v) <= 1e-9).all(), "pc variance must be descending"
+    assert np.abs(proj[["pc0", "pc1", "pc2"]].mean().to_numpy()
+                  ).max() < 1e-9, "projections must be centered"
+    again = pca_project(rd.from_arrow(tbl).repartition(7),
+                        k=3).to_pandas() \
+        .sort_values("vec_id").reset_index(drop=True)
+    assert np.allclose(proj[["pc0", "pc1", "pc2"]].to_numpy(),
+                       again[["pc0", "pc1", "pc2"]].to_numpy(),
+                       rtol=0, atol=1e-9)
