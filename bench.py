@@ -184,7 +184,9 @@ def run_queries(sf_dir: str) -> dict:
              "densest_subgraph", "rectangle_count", "clique4_census",
              "copurchase_topk", "textrank_keywords", "transitivity",
              "closeness_sharded", "delta_pagerank", "pack_sequences",
-             "pack_fill", "delta_dataprep", "ivf_topk"]
+             "pack_fill", "delta_dataprep", "ivf_topk", "media_stats",
+             "bpe_merges", "emb_covariance", "pca_coords",
+             "tfidf_search_indexed", "bm25_search_delta"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
