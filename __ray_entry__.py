@@ -2327,6 +2327,18 @@ def _q_pca_coords(sf_dir):
                                              batch_format="pyarrow")
 
 
+def _q_quality_model(sf_dir):
+    """Batched model inference (stages/text_ops.QualityModel): fixed
+    logistic weights over the six quality signals, loaded once per
+    actor, one vectorized scoring pass per batch — round(sigmoid(bias
+    + Σ w·f), 6) with the fold order mirrored in the SQL twin."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import add_quality_model
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return add_quality_model(docs).select_columns(
+        ["doc_id", "quality_score"])
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2895,6 +2907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "emb_covariance": _q_emb_covariance,
         "pca_coords": _q_pca_coords,
+        "quality_model": _q_quality_model,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4631,6 +4644,20 @@ SELECT p.i, p.j,
 FROM p, nn
 JOIN s sa ON sa.i = p.i
 JOIN s sb ON sb.i = p.j
+""",
+        # batched quality-model inference (stages/text_ops.QualityModel):
+        # logistic score over the six doc_quality signals, fold order
+        # and 6dp rounding mirrored exactly
+        "quality_model": rf"""
+WITH q AS ({_QUALITY_ORACLE_SQL.strip()})
+SELECT doc_id,
+  ROUND(1.0 / (1.0 + exp(-(-1.5
+    + 0.002 * n_tokens
+    + 0.25 * mean_token_len
+    + 3.0 * stopword_ratio
+    + 1.2 * alpha_ratio
+    + (-8.0) * punct_density))), 6) AS quality_score
+FROM q
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

@@ -441,3 +441,50 @@ def bpe_pair_counts(docs_ds, text_col: str = "text", k: int = 100):
     pairs = pairs.map_batches(
         lambda t: t.rename_columns(["pair", "n"]), batch_format="pyarrow")
     return topk(pairs, ["n", "pair"], k, descending=[True, False])
+
+
+#: fixed logistic quality-classifier weights — a deterministic stand-in
+#: for a trained fastText/regression quality model (the container has no
+#: model artifacts; the SCORING plumbing — per-actor weight load, batched
+#: vectorized inference — is the real surface).  Order matters: the
+#: score folds left-to-right exactly as the SQL twin writes it.
+_QM_BIAS = -1.5
+_QM_WEIGHTS = (
+    ("n_tokens", 0.002),
+    ("mean_token_len", 0.25),
+    ("stopword_ratio", 3.0),
+    ("alpha_ratio", 1.2),
+    ("punct_density", -8.0),
+)
+
+
+class QualityModel:
+    """Batched model inference over the six quality signals: weights are
+    "loaded" once per actor in ``__init__`` (the model-load-per-actor
+    pattern; swap the constants for a real artifact read), and
+    ``__call__`` scores a batch with one vectorized pass —
+    ``score = round(sigmoid(bias + Σ w_i·f_i), 6)``.
+    """
+
+    def __init__(self, text_col: str = "text"):
+        self.text_col = text_col
+        self.features = QualityScore(text_col)
+        self.bias = _QM_BIAS
+        self.weights = list(_QM_WEIGHTS)
+
+    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+        batch = self.features(batch)
+        z = np.full(len(batch), self.bias, dtype=np.float64)
+        for col, w in self.weights:          # fixed left-to-right fold
+            z = z + w * batch[col].to_numpy(dtype=np.float64)
+        batch["quality_score"] = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+        return batch
+
+
+def add_quality_model(ds, text_col: str = "text", batch_size: int = 256,
+                      concurrency=4):
+    """Actor-pool quality-model scoring stage (see :class:`QualityModel`)."""
+    return ds.map_batches(
+        QualityModel, fn_constructor_kwargs=dict(text_col=text_col),
+        batch_format="pandas", batch_size=batch_size,
+        concurrency=concurrency)

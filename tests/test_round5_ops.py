@@ -693,3 +693,26 @@ def test_embedding_covariance_and_pca():
     assert np.allclose(proj[["pc0", "pc1", "pc2"]].to_numpy(),
                        again[["pc0", "pc1", "pc2"]].to_numpy(),
                        rtol=0, atol=1e-9)
+
+
+def test_quality_model_scoring():
+    """Batched model-inference stage: per-actor weight load, one
+    vectorized pass; score equals the documented logistic formula over
+    the quality signals and is monotone in stopword ratio."""
+    import pandas as pd
+
+    from hackathon_pagerank_ray.stages.text_ops import (
+        _QM_BIAS, _QM_WEIGHTS, QualityModel, QualityScore)
+
+    batch = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "text": ["the quick brown fox jumps over the lazy dog and it is",
+                 "zzz qqq xxx!!!???...", ""]})
+    out = QualityModel()(batch.copy())
+    feats = QualityScore()(batch.copy())
+    z = np.full(3, _QM_BIAS)
+    for col, w in _QM_WEIGHTS:
+        z = z + w * feats[col].to_numpy(dtype=np.float64)
+    want = np.round(1.0 / (1.0 + np.exp(-z)), 6)
+    assert np.array_equal(out["quality_score"].to_numpy(), want)
+    assert out["quality_score"][0] > out["quality_score"][1]
