@@ -716,3 +716,74 @@ def test_quality_model_scoring():
     want = np.round(1.0 / (1.0 + np.exp(-z)), 6)
     assert np.array_equal(out["quality_score"].to_numpy(), want)
     assert out["quality_score"][0] > out["quality_score"][1]
+
+
+def test_repeated_page_and_index_deltas_no_drift(tmp_path):
+    """Four random churn rounds (overlapping removals/re-adds, dup-heavy
+    corpus): after EVERY round the patched prep state must equal a cold
+    prep_corpus, and the delta-maintained bm25 index must answer like a
+    cold search — repeated patching accumulates no drift."""
+    from hackathon_pagerank_ray.functions.search_index import (
+        apply_index_delta, bm25_query, build_search_index,
+        enable_index_deltas)
+    from hackathon_pagerank_ray.functions.tfidf import bm25_search
+    from hackathon_pagerank_ray.pipelines.dataprep import prep_corpus
+    from hackathon_pagerank_ray.pipelines.incremental import (
+        apply_page_delta, init_prep_state, read_prep)
+
+    rng = np.random.default_rng(31)
+    words = ("the a of and to data table query fast web page rank "
+             "quick brown fox lazy dog words content").split()
+    n = 260
+    texts = [" ".join(rng.choice(words, rng.integers(6, 30)))
+             for _ in range(n)]
+    for i in range(12, n):
+        if rng.random() < 0.3:
+            texts[i] = texts[rng.integers(0, i)]
+    ids = np.arange(n, dtype=np.int64)
+
+    def docs(sel):
+        return rd.from_arrow(pa.table(
+            {"doc_id": pa.array(sorted(sel), pa.int64()),
+             "text": pa.array([texts[i] for i in sorted(sel)])}))
+
+    live = set(ids.tolist())
+    pstate = str(tmp_path / "prep")
+    istate = str(tmp_path / "idx")
+    init_prep_state(docs(live), pstate, num_partitions=8)
+    build_search_index(docs(live), istate, num_partitions=16)
+    enable_index_deltas(istate, docs(live))
+
+    q = "data table query fast"
+    for rnd in range(4):
+        pool = sorted(live)
+        rem = set(int(x) for x in
+                  rng.choice(pool, size=min(25, len(pool) - 10),
+                             replace=False))
+        n_back = rng.integers(5, len(rem) + 1)
+        back = set(int(x) for x in
+                   rng.choice(sorted(rem), size=n_back, replace=False))
+        apply_page_delta(pstate, removed_ids=np.array(sorted(rem)))
+        apply_index_delta(istate, removed_ids=np.array(sorted(rem)))
+        live -= rem
+        if back:
+            apply_page_delta(pstate, added_docs_ds=docs(back))
+            apply_index_delta(istate, added_docs_ds=docs(back))
+            live |= back
+
+        got = read_prep(pstate).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        want = prep_corpus(docs(live)).to_pandas().sort_values(
+            "doc_id").reset_index(drop=True)
+        assert got.equals(want), f"prep drift at round {rnd}"
+
+        gb = bm25_query(istate, q, top_k=8)
+        wb = bm25_search(docs(live), q, top_k=8)
+        gb = gb.to_pandas() if gb is not None else None
+        wb = wb.to_pandas() if wb is not None else None
+        assert (gb is None) == (wb is None)
+        if gb is not None:
+            assert gb["doc_id"].tolist() == wb["doc_id"].tolist(), \
+                f"bm25 drift at round {rnd}"
+            assert np.allclose(gb["bm25_score"], wb["bm25_score"],
+                               rtol=0, atol=1e-12)
