@@ -2339,6 +2339,25 @@ def _q_quality_model(sf_dir):
         ["doc_id", "quality_score"])
 
 
+def _q_doc_length_histogram(sf_dir):
+    """Log2-bucketed token-length histogram (stages/text_ops.
+    doc_length_histogram): bucket = bit_length(n+1)-1, exact integer
+    arithmetic, per-block Counter partials."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import doc_length_histogram
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return doc_length_histogram(docs)
+
+
+def _q_doc_keywords(sf_dir):
+    """Top-3 TF-IDF terms per document (functions/tfidf.doc_keywords):
+    weight desc, lexicographic tie-break, 6dp rounding contract."""
+    _quiet()
+    from hackathon_pagerank_ray.functions.tfidf import doc_keywords
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return doc_keywords(docs, k=3)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2908,6 +2927,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_covariance": _q_emb_covariance,
         "pca_coords": _q_pca_coords,
         "quality_model": _q_quality_model,
+        "doc_length_histogram": _q_doc_length_histogram,
+        "doc_keywords": _q_doc_keywords,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4658,6 +4679,43 @@ SELECT doc_id,
     + 1.2 * alpha_ratio
     + (-8.0) * punct_density))), 6) AS quality_score
 FROM q
+""",
+        # log2 token-length histogram: floor(log2(n+1)) — exact at
+        # integer powers in both engines; lo/hi are pure integer
+        # bucket bounds
+        "doc_length_histogram": r"""
+WITH t AS (SELECT CAST(len(regexp_extract_all(text, '\w+')) AS BIGINT)
+             AS n FROM documents),
+b AS (SELECT CAST(floor(log2(n + 1)) AS BIGINT) AS bucket, n FROM t)
+SELECT bucket,
+       CAST(power(2, bucket) AS BIGINT) - 1 AS lo,
+       CAST(power(2, bucket + 1) AS BIGINT) - 2 AS hi,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS total_tokens
+FROM b GROUP BY bucket
+""",
+        # per-doc top-3 tfidf keywords: weight = tf * (ln((1+N)/(1+df))
+        # + 1) exactly as build_tfidf_tables; ROW_NUMBER with the same
+        # (weight desc, term asc) order; 6dp rounding
+        "doc_keywords": r"""
+WITH tok AS (SELECT doc_id, unnest(list_transform(
+    regexp_extract_all(text, '\w+'), x -> lower(x))) AS term
+  FROM documents),
+tf AS (SELECT doc_id, term, CAST(COUNT(*) AS DOUBLE) AS tf
+       FROM tok GROUP BY doc_id, term),
+nn AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n FROM tf),
+df AS (SELECT term, CAST(COUNT(*) AS DOUBLE) AS df FROM tf
+       GROUP BY term),
+w AS (SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((1.0 + nn.n) / (1.0 + df.df)) + 1.0) AS weight
+      FROM tf, nn JOIN df ON tf.term = df.term),
+r AS (SELECT doc_id, term, weight,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY weight DESC, term ASC) AS rank
+      FROM w)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+       ROUND(weight, 6) AS weight
+FROM r WHERE rank <= 3
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

@@ -474,3 +474,27 @@ def term_zipf_alpha(docs_ds, fmin: int = 5, id_col="doc_id",
     return rd.from_arrow(pa.table({
         "n_tail": pa.array([n], pa.int64()),
         "alpha": pa.array([alpha], pa.float64())}))
+
+
+def doc_keywords(docs_ds, k: int = 3, id_col="doc_id", text_col="text",
+                 num_partitions: int = 8):
+    """Top-``k`` TF-IDF terms per document (weight desc, term asc
+    tie-break) — per-document keyword extraction over the shared
+    postings build.  One groupby(doc) exchange; weights rounded to 6dp
+    (the idf ``ln`` can differ by an ulp across engines)."""
+    postings, _norms, _df, _N = build_tfidf_tables(
+        docs_ds, id_col=id_col, text_col=text_col,
+        num_partitions=num_partitions)
+
+    def _top(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["weight", "term"],
+                          ascending=[False, True]).head(k)
+        return pd.DataFrame({
+            id_col: g[id_col].to_numpy(),
+            "rank": np.arange(1, len(g) + 1, dtype=np.int64),
+            "term": g["term"].to_numpy(),
+            "weight": np.round(g["weight"].to_numpy(dtype=np.float64),
+                               6)})
+
+    return postings.groupby(id_col).map_groups(_top,
+                                               batch_format="pandas")

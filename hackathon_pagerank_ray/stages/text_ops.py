@@ -488,3 +488,41 @@ def add_quality_model(ds, text_col: str = "text", batch_size: int = 256,
         QualityModel, fn_constructor_kwargs=dict(text_col=text_col),
         batch_format="pandas", batch_size=batch_size,
         concurrency=concurrency)
+
+
+def doc_length_histogram(docs_ds, text_col: str = "text"):
+    """Log2-bucketed token-length histogram of the corpus — the
+    length-distribution profile a data pipeline reports before choosing
+    packing/truncation budgets.  ``bucket = (n_tokens+1).bit_length()-1``
+    (== floor(log2(n+1)) in exact integer arithmetic); per-block partial
+    Counters shrink the exchange to ≤ 64 rows per block.  Returns
+    ``(bucket, lo, hi, n_docs, total_tokens)``."""
+    import pyarrow as pa
+
+    def _partial(t: pa.Table) -> pa.Table:
+        bks, nds, tts = {}, {}, {}
+        for text in t[text_col].to_pylist():
+            n = len(TOKEN_RE.findall(text or ""))
+            b = (n + 1).bit_length() - 1
+            nds[b] = nds.get(b, 0) + 1
+            tts[b] = tts.get(b, 0) + n
+        ks = sorted(nds)
+        return pa.table({
+            "bucket": pa.array(ks, pa.int64()),
+            "n_docs": pa.array([nds[k] for k in ks], pa.int64()),
+            "total_tokens": pa.array([tts[k] for k in ks], pa.int64())})
+
+    agg = (docs_ds.map_batches(_partial, batch_format="pyarrow")
+           .groupby("bucket").sum(["n_docs", "total_tokens"]))
+
+    def _final(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array(b),
+            "lo": pa.array((1 << b.astype(np.int64)) - 1, pa.int64()),
+            "hi": pa.array((1 << (b.astype(np.int64) + 1)) - 2,
+                           pa.int64()),
+            "n_docs": t["sum(n_docs)"].combine_chunks(),
+            "total_tokens": t["sum(total_tokens)"].combine_chunks()})
+
+    return agg.map_batches(_final, batch_format="pyarrow")
