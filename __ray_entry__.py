@@ -2358,6 +2358,16 @@ def _q_doc_keywords(sf_dir):
     return doc_keywords(docs, k=3)
 
 
+def _q_dedup_savings(sf_dir):
+    """Per-source exact-dedup savings (stages/dedup_near.dedup_savings):
+    docs dropped by the min-id-per-text rule, counted + token-summed
+    per source — the dedup report a corpus pipeline publishes."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import dedup_savings
+    docs = _docs_ds(sf_dir, ["doc_id", "text", "source"])
+    return dedup_savings(docs)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2929,6 +2939,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_model": _q_quality_model,
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_keywords": _q_doc_keywords,
+        "dedup_savings": _q_dedup_savings,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4716,6 +4727,18 @@ r AS (SELECT doc_id, term, weight,
 SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
        ROUND(weight, 6) AS weight
 FROM r WHERE rank <= 3
+""",
+        # per-source exact-dedup savings: docs NOT kept by the
+        # min-id-per-text rule, token-summed per source
+        "dedup_savings": r"""
+WITH keep AS (SELECT MIN(doc_id) AS kid FROM documents GROUP BY text)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_dropped,
+       CAST(SUM(len(regexp_extract_all(text, '\w+'))) AS BIGINT)
+         AS tokens_dropped
+FROM documents
+WHERE doc_id NOT IN (SELECT kid FROM keep)
+GROUP BY source
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

@@ -1361,3 +1361,71 @@ def title_edit_pairs(docs_ds, id_col: str = "doc_id",
         pair_schema)
     return drop_empty_blocks(
         distinct(verified, ["doc_a", "doc_b"], num_partitions))
+
+
+def dedup_savings(docs_ds, id_col="doc_id", text_col="text",
+                  source_col="source",
+                  broadcast_max_docs: int = 5_000_000):
+    """Per-source exact-dedup savings report — the "how much did dedup
+    buy us" table a corpus pipeline publishes: documents DROPPED by the
+    min-id-per-text rule, counted and token-summed per source.
+
+    Keep-id membership is the broadcast sorted-array test below
+    ``broadcast_max_docs`` survivors (same adaptive rule as
+    ``prep_corpus``); the exchange above it is the hash semi-join.
+    Returns ``(source, n_dropped, tokens_dropped)``."""
+    import ray
+
+    from .text_ops import TOKEN_RE
+
+    base = docs_ds.select_columns(
+        [id_col, text_col, source_col]).materialize()
+    keep = exact_text_dedup(base, id_col, text_col) \
+        .select_columns(["keep_id"])
+
+    @ray.remote
+    def _keep_ids(*parts):
+        arrs = [np.asarray(p["keep_id"], dtype=np.int64)
+                for p in parts if p.num_rows]
+        return (np.sort(np.concatenate(arrs)) if arrs
+                else np.empty(0, dtype=np.int64))
+
+    kref = _keep_ids.remote(*keep.materialize().to_arrow_refs())
+
+    def _dropped_partial(t: pa.Table) -> pa.Table:
+        ks = cached_get(kref)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        if len(ks):
+            idx = np.minimum(np.searchsorted(ks, ids), len(ks) - 1)
+            dropped = ks[idx] != ids
+        else:
+            dropped = np.ones(len(ids), dtype=bool)
+        sub = t.filter(pa.array(dropped))
+        srcs, nd, td = {}, {}, {}
+        for s, text in zip(sub[source_col].to_pylist(),
+                           sub[text_col].to_pylist()):
+            nd[s] = nd.get(s, 0) + 1
+            td[s] = td.get(s, 0) + len(TOKEN_RE.findall(text or ""))
+        ks2 = sorted(nd)
+        return pa.table({
+            "source": pa.array(ks2, pa.string()),
+            "n_dropped": pa.array([nd[k] for k in ks2], pa.int64()),
+            "tokens_dropped": pa.array([td[k] for k in ks2],
+                                       pa.int64())})
+
+    agg = (base.map_batches(_dropped_partial, batch_format="pyarrow")
+           .groupby("source").sum(["n_dropped", "tokens_dropped"]))
+    if agg.count() == 0:
+        # a dup-free corpus legitimately reports zero rows — return a
+        # TYPED empty frame (Ray drops the schema of empty datasets all
+        # the way through to_pandas, so hand back pandas directly)
+        return pd.DataFrame({
+            "source": pd.Series(dtype="object"),
+            "n_dropped": pd.Series(dtype="int64"),
+            "tokens_dropped": pd.Series(dtype="int64")})
+    return agg.map_batches(
+        lambda t: pa.table({
+            "source": t["source"].combine_chunks(),
+            "n_dropped": t["sum(n_dropped)"].combine_chunks(),
+            "tokens_dropped": t["sum(tokens_dropped)"].combine_chunks()}),
+        batch_format="pyarrow")

@@ -787,3 +787,33 @@ def test_repeated_page_and_index_deltas_no_drift(tmp_path):
                 f"bm25 drift at round {rnd}"
             assert np.allclose(gb["bm25_score"], wb["bm25_score"],
                                rtol=0, atol=1e-12)
+
+
+def test_dedup_savings_with_planted_dups():
+    """Per-source dedup savings on a corpus WITH duplicates (the sf
+    tables are dup-free, so the driver gate only sees the empty path):
+    dropped = every non-min-id copy, token-summed per source."""
+    from hackathon_pagerank_ray.stages.dedup_near import dedup_savings
+    from hackathon_pagerank_ray.stages.text_ops import tokenize
+
+    texts = ["alpha beta gamma", "alpha beta gamma", "delta epsilon",
+             "alpha beta gamma", "zeta eta theta iota", "delta epsilon",
+             "unique text one", "unique text two"]
+    srcs = ["web", "web", "wiki", "wiki", "web", "web", "wiki", "web"]
+    tbl = pa.table({"doc_id": pa.array(range(8), pa.int64()),
+                    "text": pa.array(texts),
+                    "source": pa.array(srcs)})
+    got = dedup_savings(rd.from_arrow(tbl)).to_pandas() \
+        .sort_values("source").reset_index(drop=True)
+
+    import pandas as pd
+    df = tbl.to_pandas()
+    keep = df.groupby("text")["doc_id"].min()
+    dropped = df[~df["doc_id"].isin(keep)]
+    want = (dropped.assign(tok=[len(tokenize(t)) for t in dropped["text"]])
+            .groupby("source").agg(n_dropped=("doc_id", "size"),
+                                   tokens_dropped=("tok", "sum"))
+            .reset_index().sort_values("source").reset_index(drop=True))
+    assert got["source"].tolist() == want["source"].tolist()
+    assert got["n_dropped"].tolist() == want["n_dropped"].tolist()
+    assert got["tokens_dropped"].tolist() == want["tokens_dropped"].tolist()
