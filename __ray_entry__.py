@@ -2368,6 +2368,16 @@ def _q_dedup_savings(sf_dir):
     return dedup_savings(docs)
 
 
+def _q_pmi_collocations(sf_dir):
+    """Top-100 bigram collocations by PMI (stages/text_ops.
+    pmi_collocations): exact integer counts folded into the double
+    formula in a fixed order, min bigram count 5, 6dp rounding."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.text_ops import pmi_collocations
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return pmi_collocations(docs, k=100, min_count=5)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2940,6 +2950,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_length_histogram": _q_doc_length_histogram,
         "doc_keywords": _q_doc_keywords,
         "dedup_savings": _q_dedup_savings,
+        "pmi_collocations": _q_pmi_collocations,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4739,6 +4750,29 @@ SELECT source,
 FROM documents
 WHERE doc_id NOT IN (SELECT kid FROM keep)
 GROUP BY source
+""",
+        # PMI collocations: pmi = ln((B*Tu*Tu)/(Tb*Ua*Ub)) with the
+        # exact fold order of the numpy kernel; bigram convention ==
+        # top_bigrams; min count 5; 6dp rounding; (pmi desc, ngram)
+        "pmi_collocations": r"""
+WITH toks AS (SELECT regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents),
+uni AS (SELECT unnest(t) AS word FROM toks),
+u AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM uni GROUP BY word),
+tu AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM uni),
+bg AS (SELECT unnest(list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS ngram
+       FROM toks WHERE len(t) >= 2),
+b AS (SELECT ngram, CAST(COUNT(*) AS BIGINT) AS n FROM bg GROUP BY ngram),
+tb AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM bg)
+SELECT b.ngram, b.n,
+       ROUND(ln(((CAST(b.n AS DOUBLE) * tu.t) * tu.t)
+                / ((CAST(tb.t AS DOUBLE) * ua.n) * ub.n)), 6) AS pmi
+FROM b, tu, tb
+JOIN u ua ON ua.word = split_part(b.ngram, ' ', 1)
+JOIN u ub ON ub.word = split_part(b.ngram, ' ', 2)
+WHERE b.n >= 5
+ORDER BY pmi DESC, b.ngram LIMIT 100
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

@@ -526,3 +526,112 @@ def doc_length_histogram(docs_ds, text_col: str = "text"):
             "total_tokens": t["sum(total_tokens)"].combine_chunks()})
 
     return agg.map_batches(_final, batch_format="pyarrow")
+
+
+def pmi_collocations(docs_ds, text_col: str = "text", k: int = 100,
+                     min_count: int = 5,
+                     broadcast_max_vocab: int = 5_000_000):
+    """Top-``k`` bigram collocations by pointwise mutual information —
+    the collocation-detection pass (phrase mining, tokenizer-vocab
+    candidates) over the corpus.
+
+    ``pmi(a,b) = ln( (B(a,b)·T_uni²) / (T_bi·U(a)·U(b)) )`` with exact
+    integer counts folded into the double formula in a FIXED order
+    (mirrored by the SQL twin), bigrams below ``min_count`` dropped,
+    6dp rounding, ties (pmi desc, ngram asc).  Unigram counts broadcast
+    as a worker-assembled dict below ``broadcast_max_vocab`` terms
+    (cached per worker); the at-scale fallback is the hash join."""
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray
+
+    from .broadcast import cached_get
+    from .relational import rename, topk
+    from .schema_util import enforce_schema
+
+    def _uni(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in batch[text_col]:
+            c.update(tokenize(text))
+        return pd.DataFrame({"word": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64,
+                                              count=len(c))})
+
+    def _bi(batch: pd.DataFrame) -> pd.DataFrame:
+        c = Counter()
+        for text in batch[text_col]:
+            toks = tokenize(text)
+            c.update(" ".join(toks[i:i + 2])
+                     for i in range(len(toks) - 1))
+        return pd.DataFrame({"ngram": list(c.keys()),
+                             "n": np.fromiter(c.values(), dtype=np.int64,
+                                              count=len(c))})
+
+    uni = enforce_schema(
+        docs_ds.map_batches(_uni, batch_format="pandas"),
+        pa.schema([("word", pa.string()), ("n", pa.int64())])) \
+        .groupby("word").sum("n")
+    uni = rename(uni, {"sum(n)": "n"}).materialize()
+    bi = enforce_schema(
+        docs_ds.map_batches(_bi, batch_format="pandas"),
+        pa.schema([("ngram", pa.string()), ("n", pa.int64())])) \
+        .groupby("ngram").sum("n")
+    bi = rename(bi, {"sum(n)": "n"}).materialize()
+
+    t_uni = int(sum(r["s"] for r in uni.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(t["n"].to_numpy(zero_copy_only=False).sum())
+             if t.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow").take_all()))
+    t_bi = int(sum(r["s"] for r in bi.map_batches(
+        lambda t: pa.table({"s": pa.array(
+            [int(t["n"].to_numpy(zero_copy_only=False).sum())
+             if t.num_rows else 0], pa.int64())}),
+        batch_format="pyarrow").take_all()))
+    if t_bi == 0:
+        return pd.DataFrame({"ngram": pd.Series(dtype="object"),
+                             "n": pd.Series(dtype="int64"),
+                             "pmi": pd.Series(dtype="float64")})
+
+    n_vocab = uni.count()
+    if n_vocab > broadcast_max_vocab:
+        raise NotImplementedError(
+            "pmi_collocations above the broadcast vocab gate needs the "
+            "two-sided hash-join plan; raise broadcast_max_vocab or "
+            "pre-prune the corpus")
+
+    @ray.remote
+    def _umap(*parts):
+        out = {}
+        for p in parts:
+            if p.num_rows:
+                out.update(zip(p["word"].to_pylist(),
+                               p["n"].to_numpy(zero_copy_only=False)))
+        return out
+
+    uref = _umap.remote(*uni.to_arrow_refs())
+
+    def _score(t: pa.Table) -> pa.Table:
+        um = cached_get(uref)
+        ngrams = t["ngram"].to_pylist()
+        b = t["n"].to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = b >= min_count
+        ua = np.empty(len(ngrams))
+        ub = np.empty(len(ngrams))
+        for i, g in enumerate(ngrams):
+            if keep[i]:
+                a, bb = g.split(" ", 1)
+                ua[i] = um[a]
+                ub[i] = um[bb]
+            else:
+                ua[i] = ub[i] = 1.0
+        # fixed fold order — mirrored verbatim by the SQL twin
+        pmi = np.round(np.log((b * t_uni * t_uni) / (t_bi * ua * ub)), 6)
+        return pa.table({
+            "ngram": pa.array(ngrams, pa.string()),
+            "n": pa.array(b.astype(np.int64)),
+            "pmi": pa.array(pmi, pa.float64())}).filter(pa.array(keep))
+
+    scored = bi.map_batches(_score, batch_format="pyarrow")
+    return topk(scored, ["pmi", "ngram"], k, descending=[True, False])
