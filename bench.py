@@ -186,7 +186,9 @@ def run_queries(sf_dir: str) -> dict:
              "closeness_sharded", "delta_pagerank", "pack_sequences",
              "pack_fill", "delta_dataprep", "ivf_topk", "media_stats",
              "bpe_merges", "emb_covariance", "pca_coords",
-             "tfidf_search_indexed", "bm25_search_delta"]
+             "tfidf_search_indexed", "bm25_search_delta",
+             "quality_model", "doc_length_histogram", "doc_keywords",
+             "dedup_savings", "pmi_collocations"]
     qs = entrymod.queries()
     times = {}
     for name in picks:
