@@ -2378,6 +2378,17 @@ def _q_pmi_collocations(sf_dir):
     return pmi_collocations(docs, k=100, min_count=5)
 
 
+def _q_ngram_novelty(sf_dir):
+    """Per-doc bigram novelty (stages/dedup_near.ngram_novelty): the
+    fraction of a doc's DISTINCT bigrams appearing in no other doc —
+    one doc-count shuffle over 8-byte gram hashes, shared-set
+    broadcast, local second pass."""
+    _quiet()
+    from hackathon_pagerank_ray.stages.dedup_near import ngram_novelty
+    docs = _docs_ds(sf_dir, ["doc_id", "text"])
+    return ngram_novelty(docs, n=2)
+
+
 def _q_mutual_edges(sf_dir):
     """Per-source reciprocated-edge counts: distinct edges semi-joined
     against themselves with swapped keys, then a count shuffle."""
@@ -2951,6 +2962,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "dedup_savings": _q_dedup_savings,
         "pmi_collocations": _q_pmi_collocations,
+        "ngram_novelty": _q_ngram_novelty,
         "title_edit_pairs": _q_title_edit_pairs,
     }
 
@@ -4773,6 +4785,29 @@ JOIN u ua ON ua.word = split_part(b.ngram, ' ', 1)
 JOIN u ub ON ub.word = split_part(b.ngram, ' ', 2)
 WHERE b.n >= 5
 ORDER BY pmi DESC, b.ngram LIMIT 100
+""",
+        # per-doc bigram novelty: distinct bigrams per doc; novel =
+        # bigram string in no other doc (engine hashes collide-free on
+        # this scale — same convention the dup_windows oracle uses)
+        "ngram_novelty": r"""
+WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '\w+') AS t
+              FROM documents),
+bg AS (SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(t)),
+                       i -> t[i] || ' ' || t[i+1])) AS g
+       FROM toks WHERE len(t) >= 2),
+dfc AS (SELECT g, COUNT(*) AS ndocs FROM bg GROUP BY g),
+per AS (SELECT bg.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_distinct,
+               CAST(SUM(CASE WHEN dfc.ndocs = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_novel
+        FROM bg JOIN dfc USING (g) GROUP BY bg.doc_id)
+SELECT d.doc_id,
+       COALESCE(p.n_distinct, 0) AS n_distinct,
+       COALESCE(p.n_novel, 0) AS n_novel,
+       CASE WHEN COALESCE(p.n_distinct, 0) > 0
+            THEN CAST(p.n_novel AS DOUBLE) / p.n_distinct
+            ELSE 1.0 END AS novelty
+FROM documents d LEFT JOIN per p USING (doc_id)
 """,
         "pack_sequences": r"""
 WITH RECURSIVE k AS (SELECT doc_id,

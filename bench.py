@@ -188,7 +188,7 @@ def run_queries(sf_dir: str) -> dict:
              "bpe_merges", "emb_covariance", "pca_coords",
              "tfidf_search_indexed", "bm25_search_delta",
              "quality_model", "doc_length_histogram", "doc_keywords",
-             "dedup_savings", "pmi_collocations"]
+             "dedup_savings", "pmi_collocations", "ngram_novelty"]
     qs = entrymod.queries()
     times = {}
     for name in picks:

@@ -1429,3 +1429,83 @@ def dedup_savings(docs_ds, id_col="doc_id", text_col="text",
             "n_dropped": t["sum(n_dropped)"].combine_chunks(),
             "tokens_dropped": t["sum(tokens_dropped)"].combine_chunks()}),
         batch_format="pyarrow")
+
+
+def ngram_novelty(docs_ds, id_col="doc_id", text_col="text", n: int = 2,
+                  broadcast_max_shared: int = 8_000_000):
+    """Per-document n-gram novelty — the inverse-boilerplate signal:
+    the fraction of a doc's DISTINCT n-grams that appear in no other
+    document.  Returns ``(id, n_distinct, n_novel, novelty)``
+    (docs with < n tokens get (0, 0, 1.0) — nothing shared).
+
+    Scale shape (same plan as :func:`cross_doc_line_stats`): explode to
+    pre-deduplicated ``(doc, gram_hash)`` rows (8-byte FNV per distinct
+    gram), one ``groupby(hash)`` doc-count shuffle, then the SHARED
+    hash set (df ≥ 2 — typically a small fraction of the gram space)
+    broadcasts below ``broadcast_max_shared`` and a second local pass
+    recomputes per-doc stats batch-side; the semi-join plan remains
+    above the gate."""
+    import ray
+
+    def _gram_hashes(text):
+        toks = tokenize(text)
+        if len(toks) < n:
+            return np.empty(0, dtype=np.int64)
+        hs = {np.uint64(_fnv1a_bytes(
+            " ".join(toks[i:i + n]).encode("utf-8"))).astype(np.int64)
+            for i in range(len(toks) - n + 1)}
+        return np.fromiter(hs, dtype=np.int64, count=len(hs))
+
+    def _explode(batch: pd.DataFrame) -> pd.DataFrame:
+        ids, ghs = [], []
+        for did, text in zip(batch[id_col], batch[text_col]):
+            hs = _gram_hashes(text)
+            ids.extend([did] * len(hs))
+            ghs.extend(hs)
+        return pd.DataFrame({id_col: np.asarray(ids, dtype=np.int64),
+                             "gh": np.asarray(ghs, dtype=np.int64)})
+
+    from .schema_util import enforce_schema
+    grams = enforce_schema(
+        docs_ds.map_batches(_explode, batch_format="pandas"),
+        pa.schema([(id_col, pa.int64()), ("gh", pa.int64())]))
+    shared = (grams.groupby("gh").count()
+              .map_batches(lambda t: t.filter(
+                  pc.greater(t["count()"], 1)).select(["gh"]),
+                  batch_format="pyarrow"))
+    n_shared = shared.count()
+    if n_shared > broadcast_max_shared:
+        raise NotImplementedError(
+            "ngram_novelty above the broadcast gate needs the "
+            "hash-semi-join plan of cross_doc_line_stats; raise "
+            "broadcast_max_shared or pre-dedup the corpus")
+
+    @ray.remote
+    def _shared_set(*parts):
+        arrs = [np.asarray(p["gh"], dtype=np.int64)
+                for p in parts if p.num_rows]
+        return (np.sort(np.concatenate(arrs)) if arrs
+                else np.empty(0, dtype=np.int64))
+
+    sref = _shared_set.remote(*shared.materialize().to_arrow_refs())
+
+    def _stats(batch: pd.DataFrame) -> pd.DataFrame:
+        sh = cached_get(sref)
+        out_nd = np.zeros(len(batch), dtype=np.int64)
+        out_nv = np.zeros(len(batch), dtype=np.int64)
+        for j, text in enumerate(batch[text_col]):
+            hs = _gram_hashes(text)
+            out_nd[j] = len(hs)
+            if len(hs) and len(sh):
+                idx = np.minimum(np.searchsorted(sh, hs), len(sh) - 1)
+                out_nv[j] = int((sh[idx] != hs).sum())
+            else:
+                out_nv[j] = len(hs)
+        novelty = np.where(out_nd > 0, out_nv / np.maximum(out_nd, 1),
+                           1.0)
+        return pd.DataFrame({
+            id_col: batch[id_col].to_numpy().astype(np.int64),
+            "n_distinct": out_nd, "n_novel": out_nv,
+            "novelty": novelty})
+
+    return docs_ds.map_batches(_stats, batch_format="pandas")

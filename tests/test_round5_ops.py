@@ -817,3 +817,22 @@ def test_dedup_savings_with_planted_dups():
     assert got["source"].tolist() == want["source"].tolist()
     assert got["n_dropped"].tolist() == want["n_dropped"].tolist()
     assert got["tokens_dropped"].tolist() == want["tokens_dropped"].tolist()
+
+
+def test_ngram_novelty_known_answer():
+    """Hand-checkable bigram novelty: shared vs unique bigrams across
+    three docs, short docs get novelty 1.0."""
+    from hackathon_pagerank_ray.stages.dedup_near import ngram_novelty
+
+    docs = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array([
+            "alpha beta gamma",      # bigrams: 'alpha beta', 'beta gamma'
+            "alpha beta delta",      # shares 'alpha beta'
+            "unique words only here",
+            "tiny"])})               # < 2 tokens
+    got = ngram_novelty(rd.from_arrow(docs), n=2).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert got["n_distinct"].tolist() == [2, 2, 3, 0]
+    assert got["n_novel"].tolist() == [1, 1, 3, 0]
+    assert got["novelty"].tolist() == [0.5, 0.5, 1.0, 1.0]
